@@ -1,0 +1,148 @@
+"""One typed config shared by every entry point.
+
+The reference re-declares argparse flags per script with inconsistent
+defaults (SURVEY.md §5: base_filters 32 in train vs 64 in infer, batch_size
+8 vs README's 4). Here a single source of truth holds the canonical
+defaults; CLIs build these dataclasses from their flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class ModelConfig:
+    """U-Net hyperparameters (reference models/unet_model.py:116-129)."""
+    model_type: str = "unet"
+    in_channels: int = 1
+    out_channels: int = 1
+    base_filters: int = 32
+    initial_alpha: float = 0.0  # percentage 0-100, normalized /100 internally
+
+
+@dataclass
+class LossConfig:
+    """CombinedLoss weights (reference utils/losses.py:153-198).
+    l1_weight = 1 - ssim_weight - perceptual_weight, derived."""
+    ssim_weight: float = 0.3
+    perceptual_weight: float = 0.0
+    vgg_layer_idx: int = 35        # relu5_4 features in VGG19
+    perceptual_loss_type: str = "l1"
+    window_size: int = 11
+    sigma: float = 1.5
+    val_range: float = 1.0
+
+    @property
+    def l1_weight(self) -> float:
+        return 1.0 - self.ssim_weight - self.perceptual_weight
+
+    def validate(self) -> None:
+        if not 0 <= self.ssim_weight <= 1:
+            raise ValueError("ssim_weight must be between 0 and 1")
+        if not 0 <= self.perceptual_weight <= 1:
+            raise ValueError("perceptual_weight must be between 0 and 1")
+        if self.ssim_weight + self.perceptual_weight > 1:
+            raise ValueError("Sum of ssim_weight and perceptual_weight cannot exceed 1")
+
+
+@dataclass
+class AugmentConfig:
+    """Paired augmentation defaults (reference utils/dataset.py:71-81)."""
+    enabled: bool = False
+    flip_prob: float = 0.5
+    rotate_prob: float = 0.5
+    rotate_range: Tuple[float, float] = (-5.0, 5.0)
+    brightness_prob: float = 0.3
+    brightness_range: Tuple[float, float] = (0.9, 1.1)
+    contrast_prob: float = 0.3
+    contrast_range: Tuple[float, float] = (0.9, 1.1)
+    noise_prob: float = 0.2      # applied to the LR image only
+    noise_std: float = 0.01
+
+
+@dataclass
+class TrainConfig:
+    """Training loop config (reference scripts/train.py:486-548 defaults)."""
+    full_res_dir: str = ""
+    low_res_dir: str = ""
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+    batch_size: int = 8
+    epochs: int = 100
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-5
+    validation_split: float = 0.2
+    patience: int = 10
+    seed: int = 42
+    checkpoint_dir: str = "./checkpoints"
+    log_dir: str = "./logs"
+    use_tensorboard: bool = False
+    bf16: bool = True            # bfloat16 compute (TPU-native mixed precision)
+    num_data_devices: int = 0    # 0 = use all visible devices (DP mesh)
+    resume: bool = False         # resume from latest checkpoint (our extension)
+    vgg_weights: Optional[str] = None  # .npz VGG19 weights for perceptual loss
+
+
+@dataclass
+class ExtractConfig:
+    """Paired-slice extraction config
+    (reference scripts/extract_paired_slices.py:98-122 defaults)."""
+    datasets_dir: str = "./datasets"
+    hr_output_dir: str = "./training_data"
+    lr_output_dir: str = "./training_data_1.5T"
+    n_slices: int = 10
+    lower_percent: float = 0.2
+    upper_percent: float = 0.8
+    target_size: Tuple[int, int] = (256, 256)  # (width, height)
+    noise_std: float = 5.0
+    kspace_crop_factor: float = 0.5
+    seed: int = 0
+
+
+@dataclass
+class InferConfig:
+    """Inference config (reference scripts/infer.py:452-486)."""
+    model: ModelConfig = field(default_factory=ModelConfig)
+    checkpoint_dir: str = "./checkpoints"
+    checkpoint_path: Optional[str] = None
+    bf16: bool = True
+    batch_size: int = 8          # for batched/full-volume inference
+
+
+def to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def to_json(cfg) -> str:
+    return json.dumps(to_dict(cfg), indent=2, sort_keys=True)
+
+
+def _build(cls, data: dict):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in data.items():
+        if k not in fields:
+            continue
+        ftype = fields[k].type
+        if isinstance(v, dict) and "Config" in str(ftype):
+            sub = {"model": ModelConfig, "loss": LossConfig,
+                   "augment": AugmentConfig}.get(k)
+            kwargs[k] = _build(sub, v) if sub else v
+        elif isinstance(v, list):
+            kwargs[k] = tuple(v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def train_config_from_dict(data: dict) -> TrainConfig:
+    return _build(TrainConfig, data)
+
+
+def model_config_from_dict(data: dict) -> ModelConfig:
+    return _build(ModelConfig, data)
