@@ -1,0 +1,245 @@
+"""U-Net for 2x MRI super-resolution — Flax/linen, NHWC, bf16-ready.
+
+Reproduces the topology of the reference ``UNetSuperRes``
+(models/unet_model.py:116-211): 3 maxpool Down stages, 3 bilinear Up stages
+with skip concatenation, a dual-branch final 2x upsample (bilinear+conv vs.
+PixelShuffle) fused by a learned ``sigmoid(alpha)``, and a sigmoid-bounded
+1-channel output.
+
+TPU-first design decisions:
+- NHWC layout throughout (TPU conv-friendly); weights are HWIO.
+- Compute dtype is configurable (bfloat16 by default in training); params
+  are always fp32 masters. The final sigmoid output is returned in fp32.
+- Bilinear align_corners=True upsampling is expressed as two small matmuls
+  (see ops/resize.py) rather than gathers.
+- PixelShuffle is a reshape/transpose with torch-compatible channel order
+  (input channel ``c*r*r + i*r + j`` → output channel ``c`` at offset
+  ``(i, j)``) so reference checkpoints convert losslessly.
+
+Initialization parity: the reference's ``_initialize_weights``
+(models/unet_model.py:177-187) runs *after* the ICNR init inside
+``PixelShuffleUp.__init__`` and overwrites it with Kaiming — so the shipped
+reference model is Kaiming-everything. We default to that behavior and
+expose ``icnr_init=True`` to opt into the (intended) ICNR initialization.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mri_superresolution_tpu.ops.resize import upsample_bilinear_align_corners
+
+# Kaiming He normal, mode='fan_out', nonlinearity='leaky_relu' with torch's
+# default negative_slope param (0.01): gain^2 = 2 / (1 + 0.01^2)
+_KAIMING_SCALE = 2.0 / (1.0 + 0.01 ** 2)
+
+
+def kaiming_fan_out():
+    return nn.initializers.variance_scaling(
+        _KAIMING_SCALE, mode="fan_out", distribution="normal")
+
+
+def icnr_kaiming_fan_in(scale: int = 2):
+    """ICNR init (reference models/unet_model.py:6-15): draw a Kaiming-normal
+    (fan_in, torch default) kernel with out_c/scale² sub-band channels, then
+    repeat each sub-band scale² times along the output axis so PixelShuffle
+    starts as a checkerboard-free nearest-neighbor upsample."""
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, in_c, out_c = shape
+        sub_c = out_c // (scale ** 2)
+        base = nn.initializers.variance_scaling(
+            _KAIMING_SCALE, mode="fan_in", distribution="normal")(
+                key, (kh, kw, in_c, sub_c), dtype)
+        return jnp.repeat(base, scale ** 2, axis=-1)
+
+    return init
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """NHWC pixel shuffle with torch nn.PixelShuffle channel ordering."""
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)          # channel index = c*r*r + i*r + j
+    x = x.transpose(0, 1, 4, 2, 5, 3)        # b, h, i, w, j, c
+    return x.reshape(b, h * r, w * r, c)
+
+
+class DoubleConv(nn.Module):
+    """(Conv3x3 → GroupNorm(8) → LeakyReLU(0.2)) x2, residual when channels
+    match (reference models/unet_model.py:17-45)."""
+
+    out_channels: int
+    mid_channels: Optional[int] = None
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        mid = self.mid_channels or self.out_channels
+        self.conv1 = nn.Conv(mid, (3, 3), padding=1, use_bias=False,
+                             dtype=self.dtype, kernel_init=kaiming_fan_out())
+        self.norm1 = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype)
+        d = self.dilation
+        self.conv2 = nn.Conv(self.out_channels, (3, 3), padding=d,
+                             kernel_dilation=(d, d), use_bias=False,
+                             dtype=self.dtype, kernel_init=kaiming_fan_out())
+        self.norm2 = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype)
+
+    def __call__(self, x):
+        in_channels = x.shape[-1]
+        y = nn.leaky_relu(self.norm1(self.conv1(x)), 0.2)
+        y = nn.leaky_relu(self.norm2(self.conv2(y)), 0.2)
+        if in_channels == self.out_channels:
+            y = y + x
+        return y
+
+
+class Down(nn.Module):
+    """MaxPool(2) then DoubleConv (reference models/unet_model.py:47-57)."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.conv = DoubleConv(self.out_channels, dtype=self.dtype)
+
+    def __call__(self, x):
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return self.conv(x)
+
+
+class Up(nn.Module):
+    """Bilinear 2x (align_corners) + 1x1 conv halving channels, pad-to-match,
+    skip concat, DoubleConv (reference models/unet_model.py:59-94)."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        in_ch_up = x1.shape[-1]
+        x1 = upsample_bilinear_align_corners(x1, 2)
+        x1 = nn.Conv(in_ch_up // 2, (1, 1), use_bias=False, dtype=self.dtype,
+                     kernel_init=kaiming_fan_out(), name="up_conv")(x1)
+        x1 = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
+                          name="up_norm")(x1)
+        x1 = nn.leaky_relu(x1, 0.2)
+
+        # Pad x1 to x2's spatial size (shapes static under jit; zero pad,
+        # split left/right like torch F.pad at models/unet_model.py:86-90).
+        dy = x2.shape[1] - x1.shape[1]
+        dx = x2.shape[2] - x1.shape[2]
+        if dy != 0 or dx != 0:
+            x1 = jnp.pad(x1, ((0, 0), (dy // 2, dy - dy // 2),
+                              (dx // 2, dx - dx // 2), (0, 0)))
+
+        x = jnp.concatenate([x2, x1], axis=-1)
+        return DoubleConv(self.out_channels, dtype=self.dtype, name="conv")(x)
+
+
+class PixelShuffleUp(nn.Module):
+    """Conv3x3 → PixelShuffle(scale) → GroupNorm(8) → LeakyReLU(0.2)
+    (reference models/unet_model.py:96-114)."""
+
+    out_channels: int
+    scale: int = 2
+    icnr_init: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        init = (icnr_kaiming_fan_in(self.scale) if self.icnr_init
+                else kaiming_fan_out())
+        x = nn.Conv(self.out_channels * self.scale ** 2, (3, 3), padding=1,
+                    use_bias=True, dtype=self.dtype, kernel_init=init,
+                    name="conv")(x)
+        x = pixel_shuffle(x, self.scale)
+        x = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
+                         name="norm")(x)
+        return nn.leaky_relu(x, 0.2)
+
+
+class UNetSuperRes(nn.Module):
+    """2x super-resolution U-Net (reference models/unet_model.py:116-211).
+
+    Input: (B, H, W, in_channels) in [0, 1]. Output: (B, 2H, 2W,
+    out_channels) in (0, 1), fp32.
+    """
+
+    in_channels: int = 1
+    out_channels: int = 1
+    base_filters: int = 32
+    initial_alpha: float = 0.0   # percentage (0-100), normalized to [0,1]
+    icnr_init: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        f = self.base_filters
+        dt = self.dtype
+        self.inc = DoubleConv(f, dtype=dt)
+        self.down1 = Down(f * 2, dtype=dt)
+        self.down2 = Down(f * 4, dtype=dt)
+        self.down3 = Down(f * 8, dtype=dt)
+        self.up1 = Up(f * 4, dtype=dt)
+        self.up2 = Up(f * 2, dtype=dt)
+        self.up3 = Up(f, dtype=dt)
+
+        self.final_up_conv = nn.Conv(f // 2, (3, 3), padding=1, use_bias=False,
+                                     dtype=dt, kernel_init=kaiming_fan_out())
+        self.final_up_norm = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=dt)
+        self.final_up_pixelshuffle = PixelShuffleUp(
+            f // 2, icnr_init=self.icnr_init, dtype=dt)
+
+        self.final_conv1 = nn.Conv(f // 2, (3, 3), padding=1, use_bias=False,
+                                   dtype=dt, kernel_init=kaiming_fan_out())
+        self.final_norm = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=dt)
+        self.final_conv2 = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                                   dtype=dt, kernel_init=kaiming_fan_out())
+        # Learned fusion weight (reference models/unet_model.py:160-163):
+        # initial_alpha is a percentage, normalized to [0, 1].
+        self.alpha = self.param(
+            "alpha",
+            lambda _: jnp.asarray(self.initial_alpha / 100.0, jnp.float32))
+
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+
+        # Encoder
+        x1 = self.inc(x)
+        x2 = self.down1(x1)
+        x3 = self.down2(x2)
+        x4 = self.down3(x3)
+
+        # Decoder with skips
+        y = self.up1(x4, x3)
+        y = self.up2(y, x2)
+        y = self.up3(y, x1)
+
+        # Dual-branch final 2x upsample
+        yb = upsample_bilinear_align_corners(y, 2)
+        yb = nn.leaky_relu(self.final_up_norm(self.final_up_conv(yb)), 0.2)
+        yp = self.final_up_pixelshuffle(y)
+
+        w = jax.nn.sigmoid(self.alpha).astype(self.dtype)
+        y = w * yb + (1.0 - w) * yp
+
+        y = nn.leaky_relu(self.final_norm(self.final_conv1(y)), 0.2)
+        y = self.final_conv2(y)
+        return jax.nn.sigmoid(y.astype(jnp.float32))
+
+
+def init_params(model: UNetSuperRes, rng: jax.Array,
+                input_hw=(64, 64)) -> dict:
+    """Initialize a parameter pytree for the model."""
+    dummy = jnp.zeros((1, input_hw[0], input_hw[1], model.in_channels),
+                      jnp.float32)
+    return model.init(rng, dummy)["params"]
+
+
+def param_count(params) -> int:
+    return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)))

@@ -1,0 +1,100 @@
+"""Convert reference PyTorch ``UNetSuperRes`` checkpoints to our Flax params.
+
+Lets a user of the reference repo (checkpoint format at
+scripts/train.py:410-418: dict with 'model_state_dict') load their trained
+weights into the TPU framework. Conv weights transpose OIHW → HWIO; GroupNorm
+weight/bias map to scale/bias. PixelShuffle channel order is already
+torch-compatible (see models/unet.py:pixel_shuffle), so no channel permute
+is needed.
+
+Usage:
+    python tools/torch_compat.py --pth best_model_unet.pth \
+        --out best_model_unet.msgpack --base_filters 32
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict
+
+import numpy as np
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))  # OIHW→HWIO
+
+
+def _double_conv(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    # torch Sequential indices: 0 conv, 1 GN, 3 conv, 4 GN
+    return {
+        "conv1": {"kernel": _conv(sd[f"{prefix}.0.weight"])},
+        "norm1": {"scale": sd[f"{prefix}.1.weight"], "bias": sd[f"{prefix}.1.bias"]},
+        "conv2": {"kernel": _conv(sd[f"{prefix}.3.weight"])},
+        "norm2": {"scale": sd[f"{prefix}.4.weight"], "bias": sd[f"{prefix}.4.bias"]},
+    }
+
+
+def torch_state_dict_to_flax(sd: Dict[str, np.ndarray]) -> dict:
+    """Map the reference model's state_dict (models/unet_model.py:116-211)
+    onto our parameter pytree."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = {
+        "inc": _double_conv(sd, "inc.double_conv"),
+        "alpha": sd["alpha"].reshape(()),
+        "final_up_conv": {"kernel": _conv(sd["final_up_bilinear.1.weight"])},
+        "final_up_norm": {"scale": sd["final_up_bilinear.2.weight"],
+                          "bias": sd["final_up_bilinear.2.bias"]},
+        "final_up_pixelshuffle": {
+            "conv": {"kernel": _conv(sd["final_up_pixelshuffle.conv.weight"]),
+                     "bias": sd["final_up_pixelshuffle.conv.bias"]},
+            "norm": {"scale": sd["final_up_pixelshuffle.norm.weight"],
+                     "bias": sd["final_up_pixelshuffle.norm.bias"]},
+        },
+        "final_conv1": {"kernel": _conv(sd["final_conv.0.weight"])},
+        "final_norm": {"scale": sd["final_conv.1.weight"],
+                       "bias": sd["final_conv.1.bias"]},
+        "final_conv2": {"kernel": _conv(sd["final_conv.3.weight"]),
+                        "bias": sd["final_conv.3.bias"]},
+    }
+    for i in (1, 2, 3):
+        params[f"down{i}"] = {
+            "conv": _double_conv(sd, f"down{i}.maxpool_conv.1.double_conv")}
+    for i in (1, 2, 3):
+        params[f"up{i}"] = {
+            "up_conv": {"kernel": _conv(sd[f"up{i}.up.1.weight"])},
+            "up_norm": {"scale": sd[f"up{i}.up.2.weight"],
+                        "bias": sd[f"up{i}.up.2.bias"]},
+            "conv": _double_conv(sd, f"up{i}.conv.double_conv"),
+        }
+    return params
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a reference .pth (full checkpoint dict or bare state_dict,
+    format sniffing as in scripts/infer.py:56-65) → flax params."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model_state_dict"] if isinstance(ckpt, dict) and \
+        "model_state_dict" in ckpt else ckpt
+    sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    return torch_state_dict_to_flax(sd)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pth", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--base_filters", type=int, default=32)
+    args = ap.parse_args()
+
+    from flax import serialization
+
+    params = load_torch_checkpoint(args.pth)
+    with open(args.out, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    print(f"Wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
