@@ -1,0 +1,148 @@
+"""Paired-PNG dataset + host-side batching that keeps the TPU fed.
+
+Reference behavior (utils/dataset.py:13-187): pairs matched by identical
+filename, subject IDs via the ``sub-([A-Za-z0-9]+)`` regex, per-pair
+metadata records, deterministic train/val split.
+
+Deliberate fixes vs. the reference's quirks (documented in SURVEY.md §2 #7):
+- ``__len__`` counts *valid pairs* (the reference counts all HR files even
+  when the LR mate is missing, which crashes at access time),
+- caching holds the decoded, un-augmented uint8 arrays (the reference caches
+  post-augmentation tensors, freezing the augmentation of cached items).
+
+Augmentation itself runs on device inside the jitted train step
+(ops/augment.py), so this module only decodes PNGs and assembles padded
+batches with sample-weight masks (static shapes under jit — the reference's
+ragged final DataLoader batch would trigger a recompile per shape).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise RuntimeError(f"Error loading image at path: {path}")
+    return img
+
+
+class PairedSliceDataset:
+    """Filename-paired HR/LR PNG dataset."""
+
+    SUBJECT_RE = re.compile(r"sub-([A-Za-z0-9]+)")
+
+    def __init__(self, full_res_dir: str, low_res_dir: str,
+                 cache_size: int = 0):
+        self.full_res_dir = Path(full_res_dir)
+        self.low_res_dir = Path(low_res_dir)
+
+        full_res_files = sorted(
+            f for f in os.listdir(full_res_dir) if f.lower().endswith(".png"))
+
+        self.valid_pairs: List[str] = []
+        self.subjects: List[str] = []
+        self.metadata: List[Dict] = []
+        for f in full_res_files:
+            if not (self.low_res_dir / f).exists():
+                continue
+            self.valid_pairs.append(f)
+            m = self.SUBJECT_RE.search(f)
+            subject = m.group(1) if m else f
+            self.subjects.append(subject)
+            self.metadata.append({
+                "filename": f,
+                "subject": subject,
+                "full_res_path": str(self.full_res_dir / f),
+                "low_res_path": str(self.low_res_dir / f),
+            })
+
+        self.cache_size = cache_size
+        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def __len__(self) -> int:
+        return len(self.valid_pairs)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (lr_uint8 (h,w), hr_uint8 (H,W)) — LR first, mirroring the
+        reference's (low, full) tuple order (utils/dataset.py:136)."""
+        if idx in self._cache:
+            return self._cache[idx]
+        meta = self.metadata[idx]
+        hr = _imread_gray(meta["full_res_path"])
+        lr = _imread_gray(meta["low_res_path"])
+        item = (lr, hr)
+        if self.cache_size > 0:
+            if len(self._cache) >= self.cache_size:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[idx] = item
+        return item
+
+    def get_subject_indices(self, subject_id: str) -> List[int]:
+        return [i for i, s in enumerate(self.subjects) if s == subject_id]
+
+    def get_unique_subjects(self) -> List[str]:
+        return sorted(set(self.subjects))
+
+    def load_all(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode every pair into contiguous (N,h,w) / (N,H,W) uint8 arrays.
+        Shapes must agree across the dataset (the extractor guarantees it)."""
+        lrs, hrs = [], []
+        for i in range(len(self)):
+            lr, hr = self[i]
+            lrs.append(lr)
+            hrs.append(hr)
+        return np.stack(lrs), np.stack(hrs)
+
+
+def train_val_split(n: int, validation_split: float,
+                    seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic random split (role of torch random_split at
+    scripts/train.py:210-213; permutation RNG is ours, seeded)."""
+    val_size = int(validation_split * n)
+    perm = np.random.default_rng(seed).permutation(n)
+    return perm[val_size:], perm[:val_size]
+
+
+class BatchLoader:
+    """Shuffled epoch iterator yielding fixed-shape padded batches.
+
+    Yields dicts with ``lr`` (B,h,w,1) float32 [0,1], ``hr`` (B,H,W,1), and
+    ``weight`` (B,) — zeros mark padding rows of the final partial batch so
+    losses/metrics stay exact while jit shapes stay static.
+    """
+
+    def __init__(self, lr_array: np.ndarray, hr_array: np.ndarray,
+                 indices: Sequence[int], batch_size: int,
+                 shuffle: bool = True, seed: int = 0):
+        self.lr = lr_array
+        self.hr = hr_array
+        self.indices = np.asarray(indices, dtype=np.int64)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return int(np.ceil(len(self.indices) / self.batch_size))
+
+    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = (self._rng.permutation(self.indices) if self.shuffle
+                 else self.indices)
+        bs = self.batch_size
+        for start in range(0, len(order), bs):
+            idx = order[start:start + bs]
+            n_valid = len(idx)
+            if n_valid < bs:  # pad by repeating the first row; weight 0
+                idx = np.concatenate([idx, np.repeat(idx[:1], bs - n_valid)])
+            lr = self.lr[idx].astype(np.float32)[..., None] / 255.0
+            hr = self.hr[idx].astype(np.float32)[..., None] / 255.0
+            weight = np.zeros((bs,), np.float32)
+            weight[:n_valid] = 1.0
+            yield {"lr": lr, "hr": hr, "weight": weight}
