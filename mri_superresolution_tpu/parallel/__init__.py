@@ -1,0 +1,6 @@
+from mri_superresolution_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    data_sharding,
+    replicated_sharding,
+    shard_batch,
+)

@@ -1,0 +1,54 @@
+"""Device mesh construction and sharding rules.
+
+The reference is single-process single-device (SURVEY.md §2.2: no
+torch.distributed anywhere). Here data parallelism is first-class and
+TPU-native: a 1-D ``('data',)`` mesh, parameters replicated, the batch axis
+sharded. ``jax.jit`` + GSPMD insert the gradient ``psum`` and eval-metric
+reductions automatically over ICI; there is no hand-written communication.
+
+A ~2M-param U-Net needs no tensor/pipeline parallelism (SURVEY.md §2.2
+documents TP/PP/EP as out of scope); the scaling axes that matter are batch
+(training, full-volume inference) and — for arbitrarily large slices —
+spatial tiling in the inference engine.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: int = 0,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices
+    (0 = all visible)."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-axis sharding for (B, ...) arrays."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place a host batch dict onto the mesh, batch axis sharded."""
+    ds = data_sharding(mesh)
+    return {k: jax.device_put(v, ds) for k, v in batch.items()}
+
+
+def pad_batch_to_devices(batch_size: int, n_devices: int) -> int:
+    """Smallest batch size >= batch_size divisible by the mesh size."""
+    return int(-(-batch_size // n_devices) * n_devices)

@@ -7,9 +7,7 @@ weight/bias map to scale/bias. PixelShuffle channel order is already
 torch-compatible (see models/unet.py:pixel_shuffle), so no channel permute
 is needed.
 
-Usage:
-    python tools/torch_compat.py --pth best_model_unet.pth \
-        --out best_model_unet.msgpack --base_filters 32
+CLI wrapper: tools/convert_torch_checkpoint.py
 """
 
 from __future__ import annotations

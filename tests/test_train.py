@@ -1,0 +1,202 @@
+"""Trainer tests: scheduler parity, optimizer parity vs torch Adam,
+end-to-end tiny training over the 8-device CPU mesh, checkpoint/resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mri_superresolution_tpu.config import (AugmentConfig, LossConfig,
+                                            ModelConfig, TrainConfig)
+from mri_superresolution_tpu.train.plateau import (EarlyStopping,
+                                                   ReduceLROnPlateau)
+from mri_superresolution_tpu.train import checkpoint as ckpt
+from mri_superresolution_tpu.train.trainer import make_optimizer
+
+
+# ---------------------------------------------------------------- scheduler
+
+def test_plateau_matches_torch_semantics():
+    torch = pytest.importorskip("torch")
+    tparam = torch.nn.Parameter(torch.zeros(1))
+    topt = torch.optim.Adam([tparam], lr=1e-3)
+    tsch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        topt, mode="min", factor=0.5, patience=2)
+    ours = ReduceLROnPlateau(1e-3, factor=0.5, patience=2)
+    rng = np.random.default_rng(3)
+    metrics = list(rng.random(8)) + [0.01] + list(rng.random(8) * 0.009 + 0.009)
+    for m in metrics:
+        tsch.step(m)
+        ours.step(m)
+        assert abs(topt.param_groups[0]["lr"] - ours.lr) < 1e-12, m
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=3)
+    assert es.update(1.0) and not es.should_stop
+    assert not es.update(1.1)
+    assert not es.update(1.2)
+    assert es.update(0.9)          # reset on new best
+    assert es.counter == 0
+    for v in (1.0, 1.0, 1.0):
+        es.update(v)
+    assert es.should_stop
+
+
+# ---------------------------------------------------------------- optimizer
+
+def test_optimizer_matches_torch_adam_l2():
+    """Our add_decayed_weights→scale_by_adam chain must track torch Adam with
+    weight_decay (L2-in-Adam semantics, scripts/train.py:186)."""
+    torch = pytest.importorskip("torch")
+    import optax
+
+    w0 = np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32)
+    lr, wd = 1e-2, 1e-3
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
+
+    params = {"w": jnp.asarray(w0)}
+    opt = make_optimizer(wd)
+    opt_state = opt.init(params)
+
+    for step in range(5):
+        g = np.random.default_rng(step + 1).normal(size=(4, 3)).astype(np.float32)
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+        grads = {"w": jnp.asarray(g)}
+        updates, opt_state = opt.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------- end-to-end
+
+def _make_dataset(tmp_path, n=16, hw=32):
+    """Synthetic paired dataset: HR = smooth random fields, LR = 2x AREA
+    downsample (learnable mapping)."""
+    import cv2
+    hr_dir = tmp_path / "hr"
+    lr_dir = tmp_path / "lr"
+    hr_dir.mkdir()
+    lr_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        base = rng.random((hw // 4, hw // 4)).astype(np.float32)
+        hr = cv2.resize(base, (hw, hw), interpolation=cv2.INTER_CUBIC)
+        hr = np.clip(hr, 0, 1)
+        lr = cv2.resize(hr, (hw // 2, hw // 2), interpolation=cv2.INTER_AREA)
+        cv2.imwrite(str(hr_dir / f"sub-S{i:02d}_s000.png"),
+                    (hr * 255).astype(np.uint8))
+        cv2.imwrite(str(lr_dir / f"sub-S{i:02d}_s000.png"),
+                    (lr * 255).astype(np.uint8))
+    return str(hr_dir), str(lr_dir)
+
+
+def _tiny_config(tmp_path, hr_dir, lr_dir, **overrides):
+    cfg = TrainConfig(
+        full_res_dir=hr_dir,
+        low_res_dir=lr_dir,
+        model=ModelConfig(base_filters=16),
+        loss=LossConfig(ssim_weight=0.3),
+        augment=AugmentConfig(enabled=False),
+        batch_size=8,
+        epochs=3,
+        learning_rate=2e-3,
+        patience=10,
+        seed=0,
+        bf16=False,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+    )
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_train_end_to_end_8dev_mesh(tmp_path, capsys):
+    """Full training over the virtual 8-device mesh: loss decreases,
+    checkpoints + protocol messages written."""
+    pytest.importorskip("cv2")
+    from mri_superresolution_tpu.train.trainer import train
+
+    hr_dir, lr_dir = _make_dataset(tmp_path)
+    cfg = _tiny_config(tmp_path, hr_dir, lr_dir)
+    assert jax.device_count() == 8
+
+    final = train(cfg)
+    assert os.path.exists(final)
+    assert os.path.exists(os.path.join(cfg.checkpoint_dir,
+                                       "best_model_unet.ckpt"))
+
+    out = capsys.readouterr().out
+    lines = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    kinds = {l["type"] for l in lines}
+    assert {"params", "batch_update", "epoch_summary"} <= kinds
+    summaries = [l for l in lines if l["type"] == "epoch_summary"]
+    assert len(summaries) == 3
+    # training made progress
+    assert summaries[-1]["train_loss"] < summaries[0]["train_loss"]
+    # hyperparams stored in the checkpoint sidecar (fixes reference gap)
+    meta = json.load(open(os.path.join(cfg.checkpoint_dir,
+                                       "final_model_unet.json")))
+    assert meta["config"]["model"]["base_filters"] == 16
+    assert "val_loss" in meta
+
+
+def test_train_resume(tmp_path, capsys):
+    pytest.importorskip("cv2")
+    from mri_superresolution_tpu.train.trainer import train
+
+    hr_dir, lr_dir = _make_dataset(tmp_path, n=8)
+    cfg = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=2)
+    train(cfg)
+    capsys.readouterr()
+
+    cfg2 = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=4)
+    cfg2.resume = True
+    train(cfg2)
+    out = capsys.readouterr().out
+    lines = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    summaries = [l for l in lines if l["type"] == "epoch_summary"]
+    # resumed at epoch 2 → epochs 2 and 3 only
+    assert [s["epoch"] for s in summaries] == [2, 3]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from flax import serialization
+
+    params = {"layer": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    opt = make_optimizer(1e-5)
+    opt_state = opt.init(params)
+    path = str(tmp_path / "best_model_unet")
+    ckpt.save_checkpoint(path, params, opt_state, meta={"epoch": 7})
+    p2, o2, meta = ckpt.load_checkpoint(path + ".ckpt",
+                                        opt_state_template=opt_state)
+    np.testing.assert_array_equal(p2["layer"]["kernel"],
+                                  params["layer"]["kernel"])
+    assert meta["epoch"] == 7
+    assert jax.tree_util.tree_structure(o2) == \
+        jax.tree_util.tree_structure(opt_state)
+
+
+def test_checkpoint_discovery_precedence(tmp_path):
+    d = str(tmp_path)
+    with pytest.raises(FileNotFoundError):
+        ckpt.find_best_checkpoint(d, "unet")
+    open(os.path.join(d, "other_unet_run.ckpt"), "wb").write(b"")
+    assert ckpt.find_best_checkpoint(d, "unet").endswith("other_unet_run.ckpt")
+    open(os.path.join(d, "final_model_unet.ckpt"), "wb").write(b"")
+    assert ckpt.find_best_checkpoint(d, "unet").endswith("final_model_unet.ckpt")
+    open(os.path.join(d, "best_model_unet.ckpt"), "wb").write(b"")
+    assert ckpt.find_best_checkpoint(d, "unet").endswith("best_model_unet.ckpt")

@@ -72,8 +72,8 @@ def test_forward_matches_torch_reference(rng):
         from models.unet_model import UNetSuperRes as TorchUNet
     finally:
         sys.path.remove(REFERENCE)
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    from tools.torch_compat import torch_state_dict_to_flax
+    from mri_superresolution_tpu.utils.torch_compat import (
+        torch_state_dict_to_flax)
 
     torch.manual_seed(0)
     tmodel = TorchUNet(in_channels=1, out_channels=1, base_filters=16,
