@@ -1,0 +1,126 @@
+"""Inference engine + baseline tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mri_superresolution_tpu.config import InferConfig, ModelConfig
+from mri_superresolution_tpu.evalsuite import (sharpen3x3,
+                                               upscale_with_interpolation)
+from mri_superresolution_tpu.infer import (InferenceEngine, load_engine,
+                                           preprocess_image_array)
+from mri_superresolution_tpu.models import UNetSuperRes, init_params
+from mri_superresolution_tpu.train import checkpoint as ckpt
+
+
+def _engine(base_filters=16, num_devices=1, **kw):
+    model = UNetSuperRes(base_filters=base_filters)
+    params = init_params(model, jax.random.key(0), (16, 16))
+    return InferenceEngine(ModelConfig(base_filters=base_filters), params,
+                           bf16=False, num_devices=num_devices, **kw)
+
+
+def test_preprocess_image_array(rng):
+    img = rng.integers(0, 255, (40, 40)).astype(np.float32)
+    out = preprocess_image_array(img)
+    assert out.min() >= 0 and out.max() <= 1
+    lo, hi = np.percentile(img, 0.5), np.percentile(img, 99.5)
+    want = np.clip(img, lo, hi)
+    want = (want - lo) / (hi - lo)
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+def test_upscale_shapes_and_bucketing(rng):
+    eng = _engine()
+    # non-%8, non-bucket-aligned size
+    x = rng.random((3, 27, 35)).astype(np.float32)
+    y = eng.upscale_batch(x)
+    assert y.shape == (3, 54, 70)
+    assert y.min() >= 0 and y.max() <= 1
+    # bucketed padding must not change the result vs direct forward
+    y1 = eng.upscale_image(x[0])
+    np.testing.assert_allclose(y[0], y1, atol=1e-5)
+
+
+def test_upscale_sharded_over_mesh(rng):
+    eng = _engine(num_devices=8)
+    assert eng.n_devices == 8
+    x = rng.random((5, 16, 16)).astype(np.float32)  # 5 → padded to 8 rows
+    y = eng.upscale_batch(x)
+    assert y.shape == (5, 32, 32)
+    # same result as single-device engine with identical params
+    eng1 = InferenceEngine(eng.model_cfg, eng.params, bf16=False,
+                           num_devices=1)
+    y1 = eng1.upscale_batch(x)
+    np.testing.assert_allclose(y, y1, atol=1e-5)
+
+
+def test_metrics_resizes_mismatched_target(rng):
+    out = rng.random((32, 32)).astype(np.float32)
+    target = rng.random((30, 30)).astype(np.float32)
+    m = InferenceEngine.calculate_metrics(out, target)
+    assert set(m) == {"ssim", "rmse", "mae"}
+    assert all(np.isfinite(v) for v in m.values())
+
+
+def test_process_single_image_end_to_end(tmp_path, rng):
+    cv2 = pytest.importorskip("cv2")
+    eng = _engine()
+    inp = rng.integers(0, 255, (24, 24), dtype=np.uint8)
+    tgt = rng.integers(0, 255, (48, 48), dtype=np.uint8)
+    ipath, tpath = str(tmp_path / "in.png"), str(tmp_path / "tgt.png")
+    opath = str(tmp_path / "out.png")
+    fpath = str(tmp_path / "fig.png")
+    cv2.imwrite(ipath, inp)
+    cv2.imwrite(tpath, tgt)
+    out, metrics = eng.process_single_image(
+        ipath, opath, tpath, show_comparison=True, show_diff=True,
+        save_figures_to=fpath)
+    assert out.shape == (48, 48)
+    assert os.path.exists(opath) and os.path.exists(fpath)
+    assert metrics and "ssim" in metrics
+    # histogram matching pulls output distribution toward the target's
+    saved = cv2.imread(opath, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255
+    tgt01 = preprocess_image_array(tgt.astype(np.float32))
+    assert abs(np.median(saved) - np.median(tgt01)) < 0.1
+
+
+def test_load_engine_from_checkpoint(tmp_path, rng):
+    model = UNetSuperRes(base_filters=16)
+    params = init_params(model, jax.random.key(0), (16, 16))
+    d = str(tmp_path)
+    ckpt.save_checkpoint(os.path.join(d, "best_model_unet"), params,
+                         meta={"config": {"model": {
+                             "model_type": "unet", "base_filters": 16}}})
+    # engine must pick up base_filters from the checkpoint even though the
+    # CLI default differs (fixes the reference's 32-vs-64 default clash)
+    eng = load_engine(InferConfig(model=ModelConfig(base_filters=64),
+                                  checkpoint_dir=d, bf16=False))
+    assert eng.model_cfg.base_filters == 16
+    y = eng.upscale_batch(rng.random((1, 16, 16)).astype(np.float32))
+    assert y.shape == (1, 32, 32)
+
+
+def test_sharpen_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    img = rng.random((20, 24)).astype(np.float32)
+    got = np.asarray(sharpen3x3(jnp.asarray(img)))
+    kern = np.array([[-1, -1, -1], [-1, 9, -1], [-1, -1, -1]], np.float32)
+    want = cv2.filter2D(img, -1, kern)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["bilinear", "sharp_bilinear", "bicubic"])
+def test_baseline_upscales(rng, method):
+    cv2 = pytest.importorskip("cv2")
+    img = rng.random((16, 20)).astype(np.float32)
+    got = np.asarray(upscale_with_interpolation(jnp.asarray(img), method))
+    assert got.shape == (32, 40)
+    if method != "sharp_bilinear":
+        flag = cv2.INTER_LINEAR if method == "bilinear" else cv2.INTER_CUBIC
+        want = cv2.resize(img, (40, 32), interpolation=flag)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
