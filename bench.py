@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Headline benchmark: U-Net inference throughput at 256x256 input.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "slices/sec/chip", "vs_baseline": N}
+
+North star (BASELINE.json): >= 10,000 256^2 slices/sec on a v5e-8 with the
+reference U-Net (base_filters=32) — i.e. 1250 slices/sec/chip.
+``vs_baseline`` is measured-per-chip / 1250.
+
+Measurement method: the axon TPU tunnel's ``block_until_ready`` does not
+synchronize, so N forward passes are *chained* inside a ``lax.fori_loop``
+(each step's output strided-sliced back to the input shape) and a scalar is
+fetched; per-step time is the slope between two chain lengths, which cancels
+dispatch/transfer overhead.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+PER_CHIP_TARGET = 10_000 / 8.0  # north-star divided across a v5e-8
+
+
+def bench_forward(batch_sizes=(64, 128, 256), hw=256):
+    import jax
+    import jax.numpy as jnp
+
+    from mri_superresolution_tpu.models import UNetSuperRes, init_params
+    from mri_superresolution_tpu.parallel import (data_sharding, make_mesh,
+                                                  replicated_sharding)
+
+    mesh = make_mesh()
+    n_chips = mesh.devices.size
+    rsh, dsh = replicated_sharding(mesh), data_sharding(mesh)
+
+    model = UNetSuperRes(base_filters=32, dtype=jnp.bfloat16)
+    params = init_params(model, jax.random.key(0), (64, 64))
+    params = jax.device_put(params, rsh)
+
+    @jax.jit
+    def chain(p, x, n):
+        def body(_, a):
+            out = jnp.clip(model.apply({"params": p}, a), 0.0, 1.0)
+            return out[:, ::2, ::2, :]  # feed forward the dependency
+        return jax.lax.fori_loop(0, n, body, x)
+
+    def timed(x, n):
+        t0 = time.perf_counter()
+        r = chain(params, x, n)
+        float(jnp.sum(r))  # host fetch of a scalar forces execution
+        return time.perf_counter() - t0
+
+    best, best_bs = 0.0, 0
+    n1, n2 = 2, 10
+    for bs in batch_sizes:
+        bs = int(-(-bs // n_chips) * n_chips)
+        x = jax.device_put(
+            np.random.default_rng(0).random((bs, hw, hw, 1),
+                                            dtype=np.float32), dsh)
+        try:
+            timed(x, n1)  # compile + warm
+            t1 = min(timed(x, n1) for _ in range(3))
+            t2 = min(timed(x, n2) for _ in range(3))
+        except Exception as e:
+            print(f"batch {bs}: failed ({type(e).__name__})", file=sys.stderr)
+            break
+        per_step = max((t2 - t1) / (n2 - n1), 1e-9)
+        sps = bs / per_step
+        if not os.environ.get("BENCH_JSON_ONLY"):
+            print(f"batch {bs}: {per_step * 1e3:.2f} ms/step -> "
+                  f"{sps:,.0f} slices/sec total ({sps / n_chips:,.0f}/chip)",
+                  file=sys.stderr)
+        if sps > best:
+            best, best_bs = sps, bs
+    return best, best_bs, n_chips
+
+
+def main():
+    value_total, bs, n_chips = bench_forward()
+    per_chip = value_total / n_chips
+    print(json.dumps({
+        "metric": "unet256_inference_throughput",
+        "value": round(per_chip, 1),
+        "unit": "slices/sec/chip",
+        "vs_baseline": round(per_chip / PER_CHIP_TARGET, 4),
+        "detail": {"total_slices_per_sec": round(value_total, 1),
+                   "chips": n_chips, "batch": bs,
+                   "input": "256x256x1", "model": "unet bf16 bf=32"},
+    }))
+
+
+if __name__ == "__main__":
+    main()
