@@ -18,6 +18,9 @@ from typing import Union
 def setup_logging(logfile: str = "training.log",
                   name: str = "mri_superresolution_tpu") -> logging.Logger:
     logger = logging.getLogger(name)
+    # child loggers (e.g. ...tpu.infer) must not re-emit through the root
+    # package logger's handlers — that double-prints every line
+    logger.propagate = False
     if not logger.handlers:
         logger.setLevel(logging.INFO)
         fmt = logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")

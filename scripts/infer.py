@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Single-image super-resolution inference.
+
+CLI parity with the reference (scripts/infer.py:452-486 flags). Checkpoints
+carry their hyperparams, so --base_filters is only a fallback for bare
+weight files (the reference's default-mismatch footgun — 32 in train vs 64
+in infer — is thereby defused).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..")))
+
+from scripts._bootstrap import force_cpu_if_requested  # noqa: E402
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(
+        description="MRI quality enhancement inference")
+    parser.add_argument('--input', type=str, required=True)
+    parser.add_argument('--output', type=str, required=True)
+    parser.add_argument('--target', type=str, default=None)
+    parser.add_argument('--checkpoint_dir', type=str, default='./checkpoints')
+    parser.add_argument('--checkpoint_path', type=str, default=None)
+    parser.add_argument('--model_type', type=str, choices=['unet'],
+                        default='unet')
+    parser.add_argument('--base_filters', type=int, default=64)
+    parser.add_argument('--show_comparison', action='store_true')
+    parser.add_argument('--show_diff', action='store_true')
+    parser.add_argument('--save_figure', type=str, default=None,
+                        help='Write the comparison/diff figure to this path '
+                             '(headless equivalent of plt.show())')
+    parser.add_argument('--cpu', action='store_true')
+    parser.add_argument('--use_amp', action='store_true',
+                        help='Reference-compat alias: bf16 is the default')
+    parser.add_argument('--no_bf16', action='store_true')
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    force_cpu_if_requested()
+
+    from mri_superresolution_tpu.config import InferConfig, ModelConfig
+    from mri_superresolution_tpu.infer import load_engine
+    from mri_superresolution_tpu.utils.logging import setup_logging
+
+    logger = setup_logging("inference.log")
+    try:
+        cfg = InferConfig(
+            model=ModelConfig(model_type=args.model_type,
+                              base_filters=args.base_filters),
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_path=args.checkpoint_path,
+            bf16=not args.no_bf16)
+        engine = load_engine(cfg)
+        fig_path = args.save_figure
+        if (args.show_comparison or args.show_diff) and not fig_path:
+            fig_path = os.path.splitext(args.output)[0] + "_comparison.png"
+        engine.process_single_image(
+            input_path=args.input,
+            output_path=args.output,
+            target_path=args.target,
+            show_comparison=args.show_comparison,
+            show_diff=args.show_diff,
+            save_figures_to=fig_path)
+        logger.info("Inference completed successfully!")
+        return 0
+    except Exception as e:
+        logger.error(f"Error during inference: {e}")
+        return 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Train the MRI super-resolution model (TPU data-parallel).
+
+CLI parity with the reference trainer (scripts/train.py:486-548 flags),
+with TPU-native replacements: --use_amp maps to bfloat16 compute (on by
+default; --no_bf16 disables), --num_devices sizes the data mesh, --resume
+restores the full train state (a capability the reference lacks), and
+--num_workers is accepted for compatibility (data loading is in-memory +
+on-device here, no worker processes).
+"""
+
+import argparse
+import random
+import sys
+
+sys.path.insert(0, __import__("os").path.abspath(
+    __import__("os").path.join(__import__("os").path.dirname(__file__), "..")))
+
+from scripts._bootstrap import force_cpu_if_requested  # noqa: E402
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(
+        description="Train MRI quality enhancement model")
+    parser.add_argument('--full_res_dir', type=str, required=True,
+                        help='Directory containing high-quality MRI slices')
+    parser.add_argument('--low_res_dir', type=str, required=True,
+                        help='Directory containing low-quality MRI slices')
+    parser.add_argument('--model_type', type=str, choices=['unet'],
+                        default='unet')
+    parser.add_argument('--base_filters', type=int, default=32)
+    parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--epochs', type=int, default=100)
+    parser.add_argument('--learning_rate', type=float, default=1e-4)
+    parser.add_argument('--weight_decay', type=float, default=1e-5)
+    parser.add_argument('--ssim_weight', type=float, default=0.3)
+    parser.add_argument('--perceptual_weight', type=float, default=0.0)
+    parser.add_argument('--vgg_layer_idx', type=int, default=35)
+    parser.add_argument('--perceptual_loss_type', type=str, default='l1',
+                        choices=['l1', 'l2', 'mse'])
+    parser.add_argument('--initial_alpha', type=float, default=0.0)
+    parser.add_argument('--validation_split', type=float, default=0.2)
+    parser.add_argument('--patience', type=int, default=10)
+    parser.add_argument('--num_workers', type=int, default=0,
+                        help='Accepted for reference compatibility (unused)')
+    parser.add_argument('--seed', type=int, default=random.randint(1, 10000))
+    parser.add_argument('--augmentation', action='store_true')
+    parser.add_argument('--use_tensorboard', action='store_true')
+    parser.add_argument('--use_amp', action='store_true',
+                        help='Reference-compat alias: bf16 is already the '
+                             'default on TPU')
+    parser.add_argument('--no_bf16', action='store_true',
+                        help='Disable bfloat16 compute (fp32 everywhere)')
+    parser.add_argument('--cpu', action='store_true',
+                        help='Force CPU backend')
+    parser.add_argument('--num_devices', type=int, default=0,
+                        help='Data-mesh size (0 = all visible devices)')
+    parser.add_argument('--resume', action='store_true',
+                        help='Resume from the final checkpoint if present')
+    parser.add_argument('--vgg_weights', type=str, default=None,
+                        help='.npz VGG19 weights for the perceptual loss')
+    parser.add_argument('--checkpoint_dir', type=str, default='./checkpoints')
+    parser.add_argument('--log_dir', type=str, default='./logs')
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    force_cpu_if_requested()
+
+    from mri_superresolution_tpu.config import (AugmentConfig, LossConfig,
+                                                ModelConfig, TrainConfig)
+    from mri_superresolution_tpu.train import train
+
+    cfg = TrainConfig(
+        full_res_dir=args.full_res_dir,
+        low_res_dir=args.low_res_dir,
+        model=ModelConfig(model_type=args.model_type,
+                          base_filters=args.base_filters,
+                          initial_alpha=args.initial_alpha),
+        loss=LossConfig(ssim_weight=args.ssim_weight,
+                        perceptual_weight=args.perceptual_weight,
+                        vgg_layer_idx=args.vgg_layer_idx,
+                        perceptual_loss_type=args.perceptual_loss_type),
+        augment=AugmentConfig(enabled=args.augmentation),
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        validation_split=args.validation_split,
+        patience=args.patience,
+        seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+        log_dir=args.log_dir,
+        use_tensorboard=args.use_tensorboard,
+        bf16=not args.no_bf16,
+        num_data_devices=args.num_devices,
+        resume=args.resume,
+        vgg_weights=args.vgg_weights,
+    )
+    train(cfg)
+
+
+if __name__ == '__main__':
+    main()
