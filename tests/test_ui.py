@@ -1,0 +1,100 @@
+"""TUI logic tests: parameter validation, command construction, rendering."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..")))
+
+from scripts.ui import DEFAULT_PARAMS, build_command, validate  # noqa: E402
+
+
+def test_validate_weight_sum():
+    p = dict(DEFAULT_PARAMS)
+    p["perceptual_weight"] = 0.4
+    assert validate("ssim_weight", "0.5", p) == 0.5
+    with pytest.raises(ValueError, match="<= 1"):
+        validate("ssim_weight", "0.7", p)
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        validate("ssim_weight", "1.5", p)
+
+
+def test_validate_crop_factor_and_ints():
+    p = dict(DEFAULT_PARAMS)
+    assert validate("kspace_crop_factor", "0.25", p) == 0.25
+    with pytest.raises(ValueError):
+        validate("kspace_crop_factor", "0", p)
+    with pytest.raises(ValueError):
+        validate("kspace_crop_factor", "1.2", p)
+    assert validate("batch_size", "16", p) == 16
+    with pytest.raises(ValueError):
+        validate("batch_size", "-1", p)
+    with pytest.raises(ValueError):
+        validate("target_size", "256", p)
+    assert validate("target_size", "128 128", p) == "128 128"
+
+
+def test_build_commands():
+    p = dict(DEFAULT_PARAMS)
+    p["augmentation"] = True
+    p["cpu"] = True
+    cmd = build_command("train", p)
+    assert "--augmentation" in cmd and "--cpu" in cmd
+    assert cmd[cmd.index("--ssim_weight") + 1] == "0.3"
+    assert cmd[1].endswith("train.py")
+
+    p["input_image"] = "in.png"
+    p["checkpoint_file"] = "ckpt/best.ckpt"
+    cmd = build_command("infer", p)
+    assert cmd[cmd.index("--checkpoint_path") + 1] == "ckpt/best.ckpt"
+    assert "--show_comparison" in cmd
+
+    cmd = build_command("extract_paired", p)
+    i = cmd.index("--target_size")
+    assert cmd[i + 1:i + 3] == ["256", "256"]
+
+
+def test_tui_renders_and_quits():
+    """Launch under a pty, check the main menu renders, quit with q."""
+    import pty
+    import select
+    import signal
+    import time
+
+    pid, fd = pty.fork()
+    if pid == 0:
+        os.environ["TERM"] = "xterm"
+        os.execvp(sys.executable,
+                  [sys.executable,
+                   os.path.join(os.path.dirname(__file__), "..",
+                                "scripts", "ui.py")])
+    out = b""
+    try:
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if select.select([fd], [], [], 0.3)[0]:
+                try:
+                    out += os.read(fd, 65536)
+                except OSError:
+                    break
+            if b"Train Super-Resolution Model" in out:
+                break
+        assert b"MRI Super-Resolution Tool" in out
+        assert b"Extract Paired Slices" in out
+        assert b"Train Super-Resolution Model" in out
+        os.write(fd, b"q")
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            done, _ = os.waitpid(pid, os.WNOHANG)
+            if done:
+                pid = 0
+                break
+            time.sleep(0.2)
+        assert pid == 0, "TUI did not exit on 'q'"
+    finally:
+        if pid:
+            os.kill(pid, signal.SIGKILL)
+            os.waitpid(pid, 0)
+        os.close(fd)
