@@ -86,6 +86,7 @@ class TrainConfig:
     num_data_devices: int = 0    # 0 = use all visible devices (DP mesh)
     resume: bool = False         # resume from latest checkpoint (our extension)
     vgg_weights: Optional[str] = None  # .npz VGG19 weights for perceptual loss
+    profile_dir: Optional[str] = None  # write a jax.profiler trace here
 
 
 @dataclass

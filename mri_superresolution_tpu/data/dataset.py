@@ -27,6 +27,10 @@ import numpy as np
 
 
 def _imread_gray(path: str) -> np.ndarray:
+    from mri_superresolution_tpu import native
+    img = native.decode_png(path)
+    if img is not None:
+        return img
     import cv2
     img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if img is None:
@@ -93,7 +97,24 @@ class PairedSliceDataset:
 
     def load_all(self) -> Tuple[np.ndarray, np.ndarray]:
         """Decode every pair into contiguous (N,h,w) / (N,H,W) uint8 arrays.
-        Shapes must agree across the dataset (the extractor guarantees it)."""
+        Shapes must agree across the dataset (the extractor guarantees it).
+
+        Uses the native C++ threaded batch decoder (native/png_loader.cpp)
+        when available; falls back to per-image decode otherwise.
+        """
+        from mri_superresolution_tpu import native
+
+        if len(self) and native.available():
+            hr_paths = [m["full_res_path"] for m in self.metadata]
+            lr_paths = [m["low_res_path"] for m in self.metadata]
+            hr_hw = native.png_size(hr_paths[0])
+            lr_hw = native.png_size(lr_paths[0])
+            if hr_hw and lr_hw:
+                hrs = native.decode_batch(hr_paths, hr_hw)
+                lrs = native.decode_batch(lr_paths, lr_hw)
+                if hrs is not None and lrs is not None:
+                    return lrs, hrs
+
         lrs, hrs = [], []
         for i in range(len(self)):
             lr, hr = self[i]

@@ -100,6 +100,49 @@ class InferenceEngine:
     def upscale_image(self, image01: np.ndarray) -> np.ndarray:
         return self.upscale_batch(image01[None])[0]
 
+    def upscale_tiled(self, image01: np.ndarray, tile: int = 256,
+                      halo: int = 16) -> np.ndarray:
+        """Spatially-tiled upscale with halo overlap for slices too large to
+        fit one forward pass.
+
+        This is the spatial analogue of sequence parallelism for this
+        workload (SURVEY.md §2.2/§5): the slice is cut into ``tile``-sized
+        patches with a ``halo``-pixel overlap; all tiles run as ONE sharded
+        batch over the mesh, and the 2x-upscaled interiors are stitched,
+        discarding the halos so tile seams carry full receptive-field
+        context. The reference has no counterpart (it warns on large inputs
+        and runs them whole, scripts/infer.py:119-121).
+        """
+        h, w = image01.shape
+        if h <= tile and w <= tile:
+            return self.upscale_image(image01)
+        stride = tile - 2 * halo
+        assert stride > 0, "tile must exceed 2*halo"
+        ys = list(range(0, max(h - 2 * halo, 1), stride))
+        xs = list(range(0, max(w - 2 * halo, 1), stride))
+        # pad so every tile is fully in-bounds
+        pad_h = ys[-1] + tile - h if ys[-1] + tile > h else 0
+        pad_w = xs[-1] + tile - w if xs[-1] + tile > w else 0
+        padded = np.pad(image01, ((0, pad_h), (0, pad_w)), mode="reflect")
+
+        tiles = np.stack([padded[y:y + tile, x:x + tile]
+                          for y in ys for x in xs])
+        up = self.upscale_batch(tiles)  # (n, 2*tile, 2*tile)
+
+        out = np.zeros((2 * (h + pad_h), 2 * (w + pad_w)), np.float32)
+        i = 0
+        for y in ys:
+            for x in xs:
+                # interior region of this tile (keep halo only at borders)
+                y0 = 0 if y == 0 else halo
+                x0 = 0 if x == 0 else halo
+                y1 = tile if y + tile >= h + pad_h else tile - halo
+                x1 = tile if x + tile >= w + pad_w else tile - halo
+                out[2 * (y + y0):2 * (y + y1), 2 * (x + x0):2 * (x + x1)] = \
+                    up[i, 2 * y0:2 * y1, 2 * x0:2 * x1]
+                i += 1
+        return out[:2 * h, :2 * w]
+
     # ------------------------------------------------------------- metrics
 
     @staticmethod

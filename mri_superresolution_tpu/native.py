@@ -1,0 +1,115 @@
+"""ctypes bindings for the native C++ data loader (native/png_loader.cpp).
+
+The shared library is built on demand (``make -C native``) and cached; when
+the toolchain or library is unavailable every entry point degrades to the
+cv2 path, so the framework never hard-depends on the native build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmsrt_native.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+        return os.path.exists(_LIB_PATH)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.msrt_decode_png.restype = ctypes.c_int
+    lib.msrt_decode_png.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.msrt_decode_batch.restype = ctypes.c_int
+    lib.msrt_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
+    lib.msrt_png_size.restype = ctypes.c_int
+    lib.msrt_png_size.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def png_size(path: str) -> Optional[tuple]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.msrt_png_size(path.encode(), ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    return (h.value, w.value)
+
+
+def decode_png(path: str) -> Optional[np.ndarray]:
+    """Decode one grayscale PNG → (H, W) uint8, or None on any failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    size = png_size(path)
+    if size is None:
+        return None
+    out = np.empty(size, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.msrt_decode_png(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out.size, ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        return None
+    return out
+
+
+def decode_batch(paths: List[str], item_hw: tuple,
+                 n_threads: int = 0) -> Optional[np.ndarray]:
+    """Decode same-sized grayscale PNGs into one (N, H, W) uint8 array with a
+    native thread pool; None on any failure (caller falls back to cv2)."""
+    lib = get_lib()
+    if lib is None or not paths:
+        return None
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    h, w = item_hw
+    n = len(paths)
+    out = np.empty((n, h, w), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.msrt_decode_batch(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        h, w, n_threads)
+    if rc != 0:
+        return None
+    return out

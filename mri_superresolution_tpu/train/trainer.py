@@ -261,8 +261,17 @@ def train(cfg: TrainConfig,
     hyper_meta = {"config": to_dict(cfg)}
     final_val_loss, final_val_ssim = float("inf"), 0.0
 
+    # optional profiler trace of the first post-warmup epoch (SURVEY.md §5:
+    # the reference only has wall-clock timing; we expose a real trace)
+    profiling = False
+    if cfg.profile_dir:
+        os.makedirs(cfg.profile_dir, exist_ok=True)
+
     epoch = start_epoch - 1
     for epoch in range(start_epoch, cfg.epochs):
+        if cfg.profile_dir and epoch == start_epoch + 1 and not profiling:
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
         epoch_start = time.time()
         train_loss, train_ssim = 0.0, 0.0
         for batch_idx, batch in enumerate(train_loader.epoch()):
@@ -313,7 +322,13 @@ def train(cfg: TrainConfig,
                             f"{val_loss:.6f}")
             final_val_loss, final_val_ssim = val_loss, val_ssim
 
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            log_message(f"Wrote profiler trace to {cfg.profile_dir}")
+
         elapsed = time.time() - epoch_start
+        n_seen = len(train_idx)
         log_message({
             "epoch": epoch, "total_epochs": cfg.epochs,
             "train_loss": train_loss,
@@ -321,6 +336,9 @@ def train(cfg: TrainConfig,
             "train_ssim": train_ssim,
             "val_ssim": val_ssim if n_val else "N/A",
             "elapsed": elapsed, "lr": scheduler.lr,
+            "slices_per_sec": n_seen / max(elapsed, 1e-9),
+            "slices_per_sec_per_chip": n_seen / max(elapsed, 1e-9) / n_dev,
+            "steps_per_sec": n_train_batches / max(elapsed, 1e-9),
         }, "epoch_summary")
 
         if writer:

@@ -59,6 +59,8 @@ def parse_args():
                         help='Resume from the final checkpoint if present')
     parser.add_argument('--vgg_weights', type=str, default=None,
                         help='.npz VGG19 weights for the perceptual loss')
+    parser.add_argument('--profile_dir', type=str, default=None,
+                        help='Write a jax.profiler trace of one epoch here')
     parser.add_argument('--checkpoint_dir', type=str, default='./checkpoints')
     parser.add_argument('--log_dir', type=str, default='./logs')
     return parser.parse_args()
@@ -97,6 +99,7 @@ def main():
         num_data_devices=args.num_devices,
         resume=args.resume,
         vgg_weights=args.vgg_weights,
+        profile_dir=args.profile_dir,
     )
     train(cfg)
 
