@@ -53,10 +53,15 @@ def _separable_blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarr
     kw = jnp.tile(kw, (1, 1, 1, c))
     pad = window_size // 2
     dn = lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
+    # HIGHEST precision: the TPU default lowers f32 convs to bf16 MXU
+    # multiplies (~1e-3 error), which breaks the 0.1 dB metric-parity budget;
+    # the window convs are tiny, so exact fp32 costs nothing measurable.
     x = lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)],
-                                 dimension_numbers=dn, feature_group_count=c)
+                                 dimension_numbers=dn, feature_group_count=c,
+                                 precision=lax.Precision.HIGHEST)
     x = lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)],
-                                 dimension_numbers=dn, feature_group_count=c)
+                                 dimension_numbers=dn, feature_group_count=c,
+                                 precision=lax.Precision.HIGHEST)
     return x
 
 
