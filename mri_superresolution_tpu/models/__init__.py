@@ -45,6 +45,19 @@ def _build_unet(cfg: ModelConfig, dtype=jnp.float32, **kwargs):
     )
 
 
+@register_model("unet_tpu")
+def _build_unet_tpu(cfg: ModelConfig, dtype=jnp.float32, **kwargs):
+    from mri_superresolution_tpu.models.unet_tpu import UNetSuperResTPU
+    return UNetSuperResTPU(
+        in_channels=cfg.in_channels,
+        out_channels=cfg.out_channels,
+        base_filters=cfg.base_filters,
+        initial_alpha=cfg.initial_alpha,
+        dtype=dtype,
+        **kwargs,
+    )
+
+
 def available_models():
     return sorted(_REGISTRY)
 
