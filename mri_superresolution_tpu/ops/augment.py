@@ -74,6 +74,83 @@ def rotate(img: jnp.ndarray, angle_deg: jnp.ndarray, fill: jnp.ndarray,
     return sample_nearest(sx, sy) if method == "nearest" else sample_bilinear(sx, sy)
 
 
+def _shift_select(img: jnp.ndarray, shifts: jnp.ndarray, fill: jnp.ndarray,
+                  axis: int, k_max: int, method: str) -> jnp.ndarray:
+    """Per-line fractional shift along ``axis`` without gathers.
+
+    ``out[line, i] = img[line, i - shifts[line]]`` implemented as a static
+    loop over the 2*k_max+1 possible integer shifts (cheap contiguous slices
+    of a padded copy) with per-line equality masks — pure VPU select/FMA
+    passes, which on TPU beat a 2-D gather by an order of magnitude.
+    ``shifts`` is indexed by the *other* spatial axis.
+    """
+    h, w, _ = img.shape
+    size = w if axis == 1 else h
+    pad_cfg = [(0, 0), (0, 0), (0, 0)]
+    pad_cfg[axis] = (k_max, k_max)
+    padded = jnp.pad(img, pad_cfg, constant_values=0.0)
+    # fill regions: pad a validity mask the same way
+    valid = jnp.pad(jnp.ones_like(img), pad_cfg, constant_values=0.0)
+
+    if method == "nearest":
+        k_line = jnp.round(shifts).astype(jnp.int32)
+        taps = ((k_line, None),)
+    else:  # linear
+        k0 = jnp.floor(shifts).astype(jnp.int32)
+        frac = shifts - k0
+        taps = ((k0, 1.0 - frac), (k0 + 1, frac))
+
+    mask_shape = (-1, 1, 1) if axis == 1 else (1, -1, 1)
+
+    out = jnp.zeros_like(img)
+    vsum = jnp.zeros_like(img)
+    for k in range(-k_max, k_max + 1):
+        if axis == 1:
+            copy = padded[:, k_max - k:k_max - k + size, :]
+            vcopy = valid[:, k_max - k:k_max - k + size, :]
+        else:
+            copy = padded[k_max - k:k_max - k + size, :, :]
+            vcopy = valid[k_max - k:k_max - k + size, :, :]
+        for k_line, weight in taps:
+            sel = (k_line == k).reshape(mask_shape).astype(img.dtype)
+            wgt = sel if weight is None else sel * weight.reshape(mask_shape)
+            out = out + wgt * copy
+            vsum = vsum + wgt * vcopy
+    # out-of-range contributions came from zero padding; blend in the fill
+    return out + (1.0 - vsum) * fill
+
+
+def rotate_shear(img: jnp.ndarray, angle_deg: jnp.ndarray, fill: jnp.ndarray,
+                 method: str = "nearest",
+                 max_angle_deg: float = 6.0) -> jnp.ndarray:
+    """Paeth 3-shear rotation of one (H, W, C) image — gather-free.
+
+    R(θ) = ShearX(-tan θ/2) · ShearY(sin θ) · ShearX(-tan θ/2); each shear is
+    a per-line 1-D shift executed by ``_shift_select``. ~10x faster than the
+    gather-based ``rotate`` on TPU for the augmentation's small angles.
+    ``max_angle_deg`` bounds the static shift range (must cover |angle|).
+    """
+    import math
+
+    h, w, _ = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    theta = -angle_deg * jnp.pi / 180.0  # display coords: ccw like rotate()
+    alpha = -jnp.tan(theta / 2.0)
+    beta = jnp.sin(theta)
+
+    max_t = math.radians(max_angle_deg)
+    k_x = int(math.ceil(abs(math.tan(max_t / 2.0)) * max(h, w) / 2.0)) + 1
+    k_y = int(math.ceil(abs(math.sin(max_t)) * max(h, w) / 2.0)) + 1
+
+    rows = (jax.lax.broadcasted_iota(jnp.float32, (h, 1), 0).reshape(h) - cy)
+    cols = (jax.lax.broadcasted_iota(jnp.float32, (w, 1), 0).reshape(w) - cx)
+
+    x = _shift_select(img, alpha * rows, fill, axis=1, k_max=k_x, method=method)
+    x = _shift_select(x, beta * cols, fill, axis=0, k_max=k_y, method=method)
+    x = _shift_select(x, alpha * rows, fill, axis=1, k_max=k_x, method=method)
+    return x
+
+
 def _maybe(apply_flag: jnp.ndarray, transformed: jnp.ndarray,
            original: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(apply_flag.reshape((-1,) + (1,) * (original.ndim - 1)),
@@ -110,14 +187,15 @@ def augment_pair(hr: jnp.ndarray, lr: jnp.ndarray, key: jax.Array,
     lr = _maybe(flip, jnp.flip(lr, axis=2), lr)
 
     # --- rotation (same angle; per-image mean fill like TF.to_tensor mean,
-    #     utils/dataset.py:148-154) ---
+    #     utils/dataset.py:148-154). Gather-free 3-shear rotation: the
+    #     naive per-pixel gather doubles the whole train step on TPU. ---
     do_rot = u_rot < cfg.rotate_prob
     fill_hr = jnp.mean(hr, axis=(1, 2, 3))
     fill_lr = jnp.mean(lr, axis=(1, 2, 3))
-    rot_hr = jax.vmap(lambda im, a, f: rotate(im, a, f, rotate_method))(
-        hr, angle, fill_hr)
-    rot_lr = jax.vmap(lambda im, a, f: rotate(im, a, f, rotate_method))(
-        lr, angle, fill_lr)
+    max_angle = max(abs(cfg.rotate_range[0]), abs(cfg.rotate_range[1])) + 1.0
+    rot = lambda im, a, f: rotate_shear(im, a, f, rotate_method, max_angle)
+    rot_hr = jax.vmap(rot)(hr, angle, fill_hr)
+    rot_lr = jax.vmap(rot)(lr, angle, fill_lr)
     hr = _maybe(do_rot, rot_hr, hr)
     lr = _maybe(do_rot, rot_lr, lr)
 
