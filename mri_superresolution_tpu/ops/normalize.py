@@ -75,6 +75,82 @@ def apply_windowing(x: jnp.ndarray, window_center: float, window_width: float,
     return windowed
 
 
+def clahe(image: jnp.ndarray, clip_limit: float = 2.0,
+          tile_grid_size: Tuple[int, int] = (8, 8)) -> jnp.ndarray:
+    """Contrast-limited adaptive histogram equalization on a [0,1] image.
+
+    Reimplements cv2.createCLAHE(...).apply semantics (the reference's
+    adaptive branch at utils/preprocessing.py:185-188): uint8 quantization,
+    per-tile 256-bin histograms (reflect-101 padding to a divisible grid),
+    clip + exact cv2 residual redistribution, per-tile LUTs, and bilinear
+    interpolation between the four neighboring tile LUTs. Returns float
+    in [0,1].
+    """
+    x8 = jnp.clip(jnp.round(image.astype(jnp.float32) * 255.0), 0, 255
+                  ).astype(jnp.int32)
+    h, w = x8.shape
+    gh, gw = tile_grid_size[1], tile_grid_size[0]  # cv2: (width, height)
+    th = -(-h // gh)
+    tw = -(-w // gw)
+    ph, pw = th * gh - h, tw * gw - w
+    padded = jnp.pad(x8, ((0, ph), (0, pw)), mode="reflect")
+
+    tiles = padded.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(gh * gw, th * tw)
+    n_tiles = gh * gw
+    tile_area = th * tw
+
+    # per-tile histograms via scatter-add
+    flat_idx = (jnp.arange(n_tiles)[:, None] * 256 + tiles).reshape(-1)
+    hist = jnp.zeros((n_tiles * 256,), jnp.int32).at[flat_idx].add(1)
+    hist = hist.reshape(n_tiles, 256)
+
+    # clip + cv2-exact residual redistribution
+    clip = max(int(clip_limit * tile_area / 256), 1)
+    clipped_amt = jnp.sum(jnp.maximum(hist - clip, 0), axis=1)  # (T,)
+    hist = jnp.minimum(hist, clip)
+    redist = clipped_amt // 256
+    residual = clipped_amt - redist * 256
+    hist = hist + redist[:, None]
+    # cv2: step = max(256 // residual, 1); +1 at bins i = k*step, k<residual
+    step = jnp.maximum(256 // jnp.maximum(residual, 1), 1)
+    bins = jnp.arange(256)[None, :]
+    add1 = ((bins % step[:, None] == 0) &
+            (bins // step[:, None] < residual[:, None]) &
+            (residual[:, None] > 0))
+    hist = hist + add1.astype(jnp.int32)
+
+    scale = 255.0 / tile_area
+    lut = jnp.round(jnp.cumsum(hist, axis=1) * scale)
+    lut = jnp.clip(lut, 0, 255).astype(jnp.float32)  # (T, 256)
+
+    # bilinear interpolation between the 4 neighboring tile LUTs
+    yy = jnp.arange(h, dtype=jnp.float32)
+    xx = jnp.arange(w, dtype=jnp.float32)
+    tyf = yy / th - 0.5
+    txf = xx / tw - 0.5
+    ty1 = jnp.floor(tyf).astype(jnp.int32)
+    tx1 = jnp.floor(txf).astype(jnp.int32)
+    ya = (tyf - ty1)[:, None]
+    xa = (txf - tx1)[None, :]
+    ty1c = jnp.clip(ty1, 0, gh - 1)[:, None]
+    ty2c = jnp.clip(ty1 + 1, 0, gh - 1)[:, None]
+    tx1c = jnp.clip(tx1, 0, gw - 1)[None, :]
+    tx2c = jnp.clip(tx1 + 1, 0, gw - 1)[None, :]
+
+    lut_flat = lut.reshape(-1)
+
+    def look(ty, tx):
+        tile_id = ty * gw + tx
+        return lut_flat[(tile_id * 256 + x8).reshape(-1)].reshape(h, w)
+
+    out = (look(ty1c, tx1c) * (1 - xa) * (1 - ya) +
+           look(ty1c, tx2c) * xa * (1 - ya) +
+           look(ty2c, tx1c) * (1 - xa) * ya +
+           look(ty2c, tx2c) * xa * ya)
+    return jnp.clip(jnp.round(out), 0, 255) / 255.0
+
+
 def histogram_equalization(image: jnp.ndarray, n_bins: int = 256) -> jnp.ndarray:
     """Global histogram equalization on a [0,1] float image.
 

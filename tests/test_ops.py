@@ -208,3 +208,49 @@ def test_match_histograms_device_vs_host(rng):
     np.testing.assert_allclose(
         np.quantile(dev, [0.1, 0.5, 0.9]),
         np.quantile(ref, [0.1, 0.5, 0.9]), atol=0.02)
+
+
+# ------------------------------------------------------------ CLAHE/pipeline
+
+def test_clahe_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    from mri_superresolution_tpu.ops.normalize import clahe
+    img8 = (rng.random((64, 64)) * 255).astype(np.uint8)
+    want = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)).apply(img8)
+    got = np.asarray(clahe(jnp.asarray(img8.astype(np.float32) / 255.0)))
+    got8 = np.clip(np.round(got * 255), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got8, want)
+    # non-divisible size: <=1 quantization step off
+    img8b = (rng.random((100, 90)) * 255).astype(np.uint8)
+    want_b = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)).apply(img8b)
+    got_b = np.asarray(clahe(jnp.asarray(img8b.astype(np.float32) / 255.0)))
+    got8_b = np.clip(np.round(got_b * 255), 0, 255).astype(np.uint8)
+    assert np.abs(got8_b.astype(int) - want_b.astype(int)).max() <= 1
+
+
+def test_preprocess_slice_orchestrator(rng):
+    from mri_superresolution_tpu.ops.pipeline import (ResizeMethod,
+                                                      preprocess_slice)
+    from mri_superresolution_tpu.ops.resize import Interp
+    x = jnp.asarray(rng.normal(200, 80, (60, 50)).astype(np.float32))
+    # default auto-window + letterbox
+    out = preprocess_slice(x, target_size=(64, 64),
+                           interpolation=Interp.LANCZOS)
+    assert out.shape == (64, 64)
+    # LANCZOS ringing may overshoot slightly; the reference likewise defers
+    # clipping to the uint8 save (utils/extraction_utils.py:131)
+    assert float(out.min()) >= -0.15 and float(out.max()) <= 1.15
+    # manual windowing + stretch
+    out2 = preprocess_slice(x, target_size=(32, 48), window_center=200.0,
+                            window_width=100.0,
+                            resize_method=ResizeMethod.STRETCH)
+    assert out2.shape == (48, 32)
+    # simulation branch (deterministic by key)
+    out3a = preprocess_slice(x, apply_simulation=True,
+                             rng_key=jax.random.key(3))
+    out3b = preprocess_slice(x, apply_simulation=True,
+                             rng_key=jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(out3a), np.asarray(out3b))
+    # equalize branch runs
+    out4 = preprocess_slice(x, equalize=True)
+    assert out4.shape == x.shape
