@@ -18,7 +18,6 @@ TPU-first design:
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Dict, Optional, Tuple
 
@@ -78,9 +77,9 @@ class InferenceEngine:
             in_shardings=(self._rsh, self._dsh),
             out_shardings=self._dsh)
 
-    @functools.lru_cache(maxsize=None)
     def _bucket_hw(self, h: int, w: int) -> Tuple[int, int]:
-        return _round_up(max(h, 8), self.bucket), _round_up(max(w, 8), self.bucket)
+        return (_round_up(max(h, 8), self.bucket),
+                _round_up(max(w, 8), self.bucket))
 
     def upscale_batch(self, batch: np.ndarray) -> np.ndarray:
         """(N, h, w) float [0,1] → (N, 2h, 2w) float [0,1].

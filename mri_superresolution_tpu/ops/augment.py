@@ -58,8 +58,7 @@ def rotate(img: jnp.ndarray, angle_deg: jnp.ndarray, fill: jnp.ndarray,
         y0 = jnp.floor(sy).astype(jnp.int32)
         fx = sx - x0
         fy = sy - y0
-        out = jnp.zeros_like(img) * 0.0
-        total = jnp.zeros(img.shape[:2] + (1,), img.dtype)
+        out = jnp.zeros_like(img)
         for dy in (0, 1):
             for dx in (0, 1):
                 ix, iy = x0 + dx, y0 + dy
@@ -68,7 +67,6 @@ def rotate(img: jnp.ndarray, angle_deg: jnp.ndarray, fill: jnp.ndarray,
                 valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
                 vals = img[jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1)]
                 out = out + wgt[..., None] * jnp.where(valid[..., None], vals, fill)
-        del total
         return out
 
     return sample_nearest(sx, sy) if method == "nearest" else sample_bilinear(sx, sy)

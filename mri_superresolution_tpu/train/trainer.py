@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import freeze
 
 from mri_superresolution_tpu.config import TrainConfig, to_dict
 from mri_superresolution_tpu.data import (BatchLoader, PairedSliceDataset,
