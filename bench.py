@@ -25,7 +25,7 @@ import numpy as np
 PER_CHIP_TARGET = 10_000 / 8.0  # north-star divided across a v5e-8
 
 
-def bench_forward(batch_sizes=(64, 128, 256), hw=256, model_type="unet"):
+def bench_forward(batch_sizes=(96, 112, 128), hw=256, model_type="unet"):
     import jax
     import jax.numpy as jnp
 

@@ -142,3 +142,41 @@ def test_gradients_flow_through_all_params(rng):
     for path, g in leaves:
         assert np.isfinite(np.asarray(g)).all(), path
         assert float(jnp.abs(g).sum()) > 0, f"zero grad at {path}"
+
+
+def test_metric_delta_vs_torch_reference(rng):
+    """BASELINE.json's parity clause: SSIM/PSNR of our output vs the torch
+    reference's output on the same input must be within 0.1 dB — here the
+    outputs agree so tightly the PSNR between them exceeds 55 dB and the
+    SSIM deltas vanish."""
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference not mounted")
+    sys.path.insert(0, REFERENCE)
+    try:
+        from models.unet_model import UNetSuperRes as TorchUNet
+    finally:
+        sys.path.remove(REFERENCE)
+    from mri_superresolution_tpu.utils.torch_compat import (
+        torch_state_dict_to_flax)
+    from mri_superresolution_tpu.ops.metrics import psnr
+    from mri_superresolution_tpu.ops.ssim import ssim as our_ssim
+
+    torch.manual_seed(1)
+    tmodel = TorchUNet(in_channels=1, out_channels=1, base_filters=16)
+    tmodel.eval()
+    params = torch_state_dict_to_flax(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()})
+    model = UNetSuperRes(base_filters=16)
+
+    x = rng.random((1, 32, 32, 1), dtype=np.float32)
+    ours = model.apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    theirs = jnp.asarray(theirs.numpy().transpose(0, 2, 3, 1))
+
+    # direct output agreement, in metric language
+    assert float(psnr(ours, theirs)) > 55.0
+    # and identical quality scores vs an arbitrary "ground truth"
+    gt = jnp.asarray(rng.random((1, 64, 64, 1), dtype=np.float32))
+    assert abs(float(our_ssim(ours, gt)) - float(our_ssim(theirs, gt))) < 1e-4
