@@ -22,6 +22,7 @@ class ModelConfig:
     out_channels: int = 1
     base_filters: int = 32
     initial_alpha: float = 0.0  # percentage 0-100, normalized /100 internally
+    num_blocks: int = 8         # trunk depth (edsr family only)
 
 
 @dataclass

@@ -45,6 +45,19 @@ def _build_unet(cfg: ModelConfig, dtype=jnp.float32, **kwargs):
     )
 
 
+@register_model("edsr")
+def _build_edsr(cfg: ModelConfig, dtype=jnp.float32, **kwargs):
+    from mri_superresolution_tpu.models.edsr import EDSR
+    return EDSR(
+        in_channels=cfg.in_channels,
+        out_channels=cfg.out_channels,
+        base_filters=cfg.base_filters,
+        num_blocks=cfg.num_blocks,
+        dtype=dtype,
+        **kwargs,
+    )
+
+
 @register_model("unet_tpu")
 def _build_unet_tpu(cfg: ModelConfig, dtype=jnp.float32, **kwargs):
     from mri_superresolution_tpu.models.unet_tpu import UNetSuperResTPU
