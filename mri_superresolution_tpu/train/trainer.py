@@ -272,38 +272,42 @@ def train(cfg: TrainConfig,
             jax.profiler.start_trace(cfg.profile_dir)
             profiling = True
         epoch_start = time.time()
-        train_loss, train_ssim = 0.0, 0.0
+        # Metrics stay on device until epoch end: a host fetch per step would
+        # serialize dispatch (costly over an async TPU tunnel, where only
+        # fetches synchronize). Only the sparse batch_update log syncs.
+        loss_accs, ssim_accs = [], []
         for batch_idx, batch in enumerate(train_loader.epoch()):
             rng, step_key = jax.random.split(rng)
             batch = {k: jax.device_put(v, dsh) for k, v in batch.items()}
             state, metrics = train_step(state, batch,
                                         jnp.asarray(scheduler.lr, jnp.float32),
                                         step_key)
-            loss_v = float(metrics["loss"])
-            train_loss += loss_v
-            train_ssim += float(metrics["ssim"])
+            loss_accs.append(metrics["loss"])
+            ssim_accs.append(metrics["ssim"])
             if batch_idx % max(10, n_train_batches // 10) == 0:
+                loss_v = float(metrics["loss"])
                 log_message({"epoch": epoch, "batch": batch_idx,
                              "total_batches": n_train_batches,
                              "loss": loss_v}, "batch_update")
                 if progress_cb:
                     progress_cb(epoch, batch_idx, loss_v)
-        train_loss /= max(n_train_batches, 1)
-        train_ssim /= max(n_train_batches, 1)
+        train_loss = float(jnp.mean(jnp.stack(loss_accs))) if loss_accs else 0.0
+        train_ssim = float(jnp.mean(jnp.stack(ssim_accs))) if ssim_accs else 0.0
 
         # --- validation (every epoch, scripts/train.py:279-280) ---
-        val_loss, val_ssim, n_val = 0.0, 0.0, 0
+        val_losses, val_ssims = [], []
+        n_val = 0
         vis_batch, vis_out = None, None
         for batch in val_loader.epoch():
             dev_batch = {k: jax.device_put(v, dsh) for k, v in batch.items()}
             metrics, out = eval_step(state.params, dev_batch)
-            val_loss += float(metrics["loss"])
-            val_ssim += float(metrics["ssim"])
+            val_losses.append(metrics["loss"])
+            val_ssims.append(metrics["ssim"])
             n_val += 1
             vis_batch, vis_out = batch, out
+        val_loss = float(jnp.mean(jnp.stack(val_losses))) if n_val else 0.0
+        val_ssim = float(jnp.mean(jnp.stack(val_ssims))) if n_val else 0.0
         if n_val:
-            val_loss /= n_val
-            val_ssim /= n_val
             prev_lr = scheduler.lr
             new_lr = scheduler.step(val_loss)
             if new_lr != prev_lr:
