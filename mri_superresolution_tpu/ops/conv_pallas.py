@@ -1,5 +1,5 @@
-"""Column-packed 3x3 convolution — a Pallas kernel that beats the MXU
-N-lane bound for narrow output channels.
+"""Column-packed 3x3 convolution — an EXPERIMENTAL Pallas kernel targeting
+the MXU N-lane bound for narrow output channels.
 
 Why: a 3x3 conv with Cout=16 fills only 16 of the MXU's 128 output lanes;
 XLA's conv runs at ~12% MXU utilization on such shapes (measured — see
@@ -9,7 +9,19 @@ columns* into the matmul's N dimension: each group of P output pixels is
 produced by one (3·(P+2)·Cin) × (P·Cout) matmul against a host-built packed
 weight matrix (kernel taps scattered per column phase, zeros elsewhere).
 FLOP overhead is (P+2)/3 ≈ 3.3x for P=8, but N utilization improves 8x —
-a ~2.4x net win on the N-bound shapes.
+a theoretical ~2.4x net win on the N-bound shapes.
+
+STATUS (v5e, jax 0.9 Mosaic): numerically exact (tests pass in interpret
+mode and the kernel compiles and runs on hardware), but NOT faster — the
+patch assembly (3·(P+2) sublane-indexed slices + scratch stores per strip)
+lowers to relayout-heavy code that costs ~5x the matmul itself (measured
+57 ms vs XLA's 10.8 ms for Cout=16 @512², batch 64). Mosaic currently has
+no cheap lowering for these layout changes (lane-merging reshapes, offset
+lane-concats, and <128-lane DMA slices are all rejected or slow — each
+alternative was tried). Kept as a documented experiment; the production
+path remains XLA's conv, and the architectural answer to the N-bound is
+the `unet_tpu` model family (wide channels until a terminal
+depth-to-space).
 
 Semantics: stride 1, zero padding 1, NHWC, bias-free (the U-Net's convs are
 bias-free before GroupNorm), bf16 inputs/weights with fp32 accumulation.
@@ -51,23 +63,44 @@ def pack_weights(kernel: jnp.ndarray, p: int) -> jnp.ndarray:
 def _kernel_body(h_tile: int, w: int, ci: int, co: int, p: int):
     groups = w // p
 
-    def body(x0_ref, x1_ref, x2_ref, w_ref, o_ref):
-        # x{dh}_ref: (1, h_tile, w+p, ci) — the strip's rows shifted by dh
-        # (three inputs so every BlockSpec is plain non-overlapping Blocked);
-        # w_ref packed weights; o_ref: (1, h_tile, w, co)
+    def body(x_ref, tb_ref, w_ref, o_ref, patch_ref):
+        # x_ref: (1, h_tile, w+p, ci) — this strip's rows (non-overlapping
+        # Blocked; overlapping windows aren't expressible with BlockSpecs and
+        # Mosaic rejected both shifted-copy inputs (3x HBM) and manual DMA of
+        # <128-lane slices). tb_ref: (1, 1, 2, w+p, ci) — the strip's
+        # top/bottom halo rows, precomputed outside. The three row-shifted
+        # views are assembled by sublane-concatenating halo rows with strip
+        # slices. w_ref: packed weights; o_ref: (1, h_tile, groups, p*co).
+        #
+        # Patch assembly avoids lane-merging reshapes (Mosaic rejects
+        # vector<...x512x32> -> <...x64x256> shape casts): the W axis is
+        # sublane-split into (groups, p), taps are sublane-indexed slices
+        # stored into the patch scratch at their K offset.
         wp = w_ref[...]
-        blocks = []
-        for rows_ref in (x0_ref, x1_ref, x2_ref):
-            rows = rows_ref[0]                             # (h_tile, w+p, ci)
-            main = rows[:, :w, :].reshape(h_tile, groups, p * ci)
-            tail = rows[:, p:p + w, :].reshape(h_tile, groups, p, ci)
-            tail2 = tail[:, :, :2, :].reshape(h_tile, groups, 2 * ci)
-            blocks.append(jnp.concatenate([main, tail2], axis=-1))
-        patches = jnp.concatenate(blocks, axis=-1)         # (h, g, 3(P+2)Ci)
-        patches = patches.reshape(h_tile * groups, 3 * (p + 2) * ci)
-        y = jnp.dot(patches, wp, preferred_element_type=jnp.float32)
-        y = y.reshape(h_tile, groups, p, co).reshape(h_tile, w, co)
-        o_ref[0] = y.astype(o_ref.dtype)
+        strip = x_ref[0]                                   # (h_tile, w+p, ci)
+        top = tb_ref[0, 0, 0:1]                            # (1, w+p, ci)
+        bottom = tb_ref[0, 0, 1:2]
+        t = 0
+        for dh in range(3):
+            if dh == 0:
+                rows = jnp.concatenate([top, strip[:h_tile - 1]], axis=0)
+            elif dh == 1:
+                rows = strip
+            else:
+                rows = jnp.concatenate([strip[1:], bottom], axis=0)
+            v0 = rows[:, :w, :].reshape(h_tile, groups, p, ci)
+            v1 = rows[:, p:p + w, :].reshape(h_tile, groups, p, ci)
+            for dwp in range(p + 2):
+                src = v0 if dwp < p else v1
+                piece = src[:, :, dwp % p, :]              # (h, g, ci)
+                patch_ref[:, t * ci:(t + 1) * ci] = piece.reshape(
+                    h_tile * groups, ci)
+                t += 1
+        y = jnp.dot(patch_ref[...], wp,
+                    preferred_element_type=jnp.float32)
+        # output stays packed as (h, groups, p*co): unpacking to (h, w, co)
+        # is a contiguous (free) reshape done by XLA outside the kernel
+        o_ref[0] = y.reshape(h_tile, groups, p * co).astype(o_ref.dtype)
 
     return body
 
@@ -84,29 +117,46 @@ def conv3x3_packed_fwd(x: jnp.ndarray, kernel: jnp.ndarray,
     assert h % h_tile == 0, f"H={h} must divide h_tile={h_tile}"
     wp = pack_weights(kernel, p).astype(x.dtype)
 
-    # pad: 1 row top/bottom; 1 column left and p-1 right (the packed patch
-    # windows read up to column W+1; the extra zero columns keep the strided
-    # tail view reshapeable). Three row-shifted copies give each grid strip
-    # its dh = 0/1/2 rows through plain non-overlapping Blocked specs.
+    # pad columns: 1 left and p-1 right (the packed patch windows read up to
+    # column W+1; the extra zero columns keep the strided tail view
+    # reshapeable). Rows stay unpadded — each strip's top/bottom halo rows
+    # are gathered into a tiny side array (2/h_tile of the input).
     wpad = max(p - 1, 1)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wpad), (0, 0)))
-    shifted = tuple(xp[:, dh:dh + h, :, :] for dh in range(3))
-    grid = (b, h // h_tile)
-    strip_spec = pl.BlockSpec((1, h_tile, w + wpad + 1, ci),
-                              lambda i, j: (i, j, 0, 0),
-                              memory_space=pltpu.VMEM)
+    xw = jnp.pad(x, ((0, 0), (0, 0), (1, wpad), (0, 0)))
+    n_strips = h // h_tile
+    zrow = jnp.zeros((b, 1, w + wpad + 1, ci), x.dtype)
+    # top halo of strip j is row j*h_tile - 1 (zeros for j=0)
+    tops = jnp.concatenate(
+        [zrow, xw[:, h_tile - 1:h - 1:h_tile, :, :]], axis=1)
+    # bottom halo of strip j is row (j+1)*h_tile (zeros for the last strip)
+    bottoms = jnp.concatenate(
+        [xw[:, h_tile::h_tile, :, :], zrow], axis=1)
+    halos = jnp.stack([tops, bottoms], axis=2)  # (b, n_strips, 2, w+p, ci)
+
+    grid = (b, n_strips)
+    groups = w // p
     out = pl.pallas_call(
         _kernel_body(h_tile, w, ci, co, p),
         grid=grid,
-        in_specs=[strip_spec, strip_spec, strip_spec,
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h_tile, w, co),
+        in_specs=[
+            pl.BlockSpec((1, h_tile, w + wpad + 1, ci),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, w + wpad + 1, ci),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h_tile, groups, p * co),
                                lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, groups, p * co), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h_tile * (w // p), 3 * (p + 2) * ci), x.dtype),
+        ],
         interpret=interpret,
-    )(*shifted, wp)
-    return out
+    )(xw, halos, wp)
+    return out.reshape(b, h, w, co)
 
 
 def _xla_conv(x, kernel):
