@@ -148,13 +148,23 @@ class BatchLoader:
         self.indices = np.asarray(indices, dtype=np.int64)
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
         return int(np.ceil(len(self.indices) / self.batch_size))
 
-    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = (self._rng.permutation(self.indices) if self.shuffle
+    def epoch(self, epoch_idx: Optional[int] = None
+              ) -> Iterator[Dict[str, np.ndarray]]:
+        """One shuffled pass. Passing ``epoch_idx`` derives the shuffle from
+        (seed, epoch_idx) so a resumed run reproduces exactly the data order
+        a continuous run would have seen (SURVEY.md §5: deterministic data
+        order for restart)."""
+        if epoch_idx is not None:
+            rng = np.random.default_rng((self._seed, epoch_idx))
+        else:
+            rng = self._rng
+        order = (rng.permutation(self.indices) if self.shuffle
                  else self.indices)
         bs = self.batch_size
         for start in range(0, len(order), bs):

@@ -36,10 +36,16 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
         state["opt_state"] = serialization.to_state_dict(_to_numpy(opt_state))
     blob = serialization.msgpack_serialize(state)
     base = path[:-5] if path.endswith(".ckpt") else path
-    with open(base + ".ckpt", "wb") as f:
+    # atomic writes: a crash mid-save must never corrupt the previous
+    # checkpoint (SURVEY.md §5 failure-recovery requirement)
+    tmp = base + ".ckpt.tmp"
+    with open(tmp, "wb") as f:
         f.write(blob)
-    with open(base + ".json", "w") as f:
+    os.replace(tmp, base + ".ckpt")
+    tmp = base + ".json.tmp"
+    with open(tmp, "w") as f:
         json.dump(meta or {}, f, indent=2, sort_keys=True, default=str)
+    os.replace(tmp, base + ".json")
 
 
 def load_checkpoint(path: str,

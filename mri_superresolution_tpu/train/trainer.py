@@ -269,15 +269,22 @@ def train(cfg: TrainConfig,
     epoch = start_epoch - 1
     for epoch in range(start_epoch, cfg.epochs):
         if cfg.profile_dir and epoch == start_epoch + 1 and not profiling:
-            jax.profiler.start_trace(cfg.profile_dir)
-            profiling = True
+            try:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
+            except Exception as e:  # some backends can't trace (e.g. tunnels)
+                log_message(f"Profiler unavailable on this backend: {e}")
+                cfg.profile_dir = None
         epoch_start = time.time()
         # Metrics stay on device until epoch end: a host fetch per step would
         # serialize dispatch (costly over an async TPU tunnel, where only
         # fetches synchronize). Only the sparse batch_update log syncs.
         loss_accs, ssim_accs = [], []
-        for batch_idx, batch in enumerate(train_loader.epoch()):
-            rng, step_key = jax.random.split(rng)
+        for batch_idx, batch in enumerate(train_loader.epoch(epoch)):
+            # keys derived from (seed, epoch, batch) — a resumed run sees the
+            # same augmentation randomness a continuous run would have
+            step_key = jax.random.fold_in(jax.random.fold_in(rng, epoch),
+                                          batch_idx)
             batch = {k: jax.device_put(v, dsh) for k, v in batch.items()}
             state, metrics = train_step(state, batch,
                                         jnp.asarray(scheduler.lr, jnp.float32),
@@ -326,9 +333,12 @@ def train(cfg: TrainConfig,
             final_val_loss, final_val_ssim = val_loss, val_ssim
 
         if profiling:
-            jax.profiler.stop_trace()
+            try:
+                jax.profiler.stop_trace()
+                log_message(f"Wrote profiler trace to {cfg.profile_dir}")
+            except Exception as e:
+                log_message(f"Profiler stop failed: {e}")
             profiling = False
-            log_message(f"Wrote profiler trace to {cfg.profile_dir}")
 
         elapsed = time.time() - epoch_start
         n_seen = len(train_idx)

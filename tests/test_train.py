@@ -200,3 +200,28 @@ def test_checkpoint_discovery_precedence(tmp_path):
     assert ckpt.find_best_checkpoint(d, "unet").endswith("final_model_unet.ckpt")
     open(os.path.join(d, "best_model_unet.ckpt"), "wb").write(b"")
     assert ckpt.find_best_checkpoint(d, "unet").endswith("best_model_unet.ckpt")
+
+
+def test_training_is_deterministic(tmp_path, capsys):
+    """Two identical runs must produce identical losses (donated buffers,
+    counter-based RNG, epoch-derived data order)."""
+    pytest.importorskip("cv2")
+    import json as _json
+    from mri_superresolution_tpu.train.trainer import train
+    from mri_superresolution_tpu.config import AugmentConfig
+
+    hr_dir, lr_dir = _make_dataset(tmp_path, n=8)
+
+    def run(tag):
+        cfg = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=2)
+        cfg.checkpoint_dir = str(tmp_path / f"ckpt_{tag}")
+        cfg.log_dir = str(tmp_path / f"logs_{tag}")
+        cfg.augment = AugmentConfig(enabled=True)
+        train(cfg)
+        out = capsys.readouterr().out
+        return [_json.loads(l)["train_loss"] for l in out.splitlines()
+                if l.startswith("{") and "epoch_summary" in l]
+
+    a = run("a")
+    b = run("b")
+    assert a == b, (a, b)
