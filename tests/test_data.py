@@ -249,3 +249,55 @@ def test_augment_is_jittable(rng):
     fn = jax.jit(lambda h, l, k: augment_pair(h, l, k, cfg))
     hr_a, lr_a = fn(hr, lr, jax.random.key(4))
     assert hr_a.shape == hr.shape and lr_a.shape == lr.shape
+
+
+def test_nifti_big_endian(tmp_path, rng):
+    """Byteswapped (big-endian) NIfTI-1 files must read correctly."""
+    import struct
+    from mri_superresolution_tpu import nifti as nf
+
+    vol = (rng.random((6, 5, 4)) * 100).astype(">f4")  # big-endian floats
+    hdr = bytearray(nf.HDR_SIZE)
+    struct.pack_into(">i", hdr, 0, nf.HDR_SIZE)
+    struct.pack_into(">8h", hdr, 40, 3, 6, 5, 4, 1, 1, 1, 1)
+    struct.pack_into(">2h", hdr, 70, 16, 32)  # float32
+    struct.pack_into(">8f", hdr, 76, 0, 1, 1, 1, 1, 1, 1, 1)
+    struct.pack_into(">3f", hdr, 108, 352.0, 1.0, 0.0)
+    hdr[344:348] = b"n+1\x00"
+    path = tmp_path / "be.nii"
+    with open(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(b"\x00" * 4)
+        f.write(np.asfortranarray(vol).tobytes(order="F"))
+    data, h = nf.load(str(path))
+    np.testing.assert_allclose(data, vol.astype(np.float64))
+
+
+def test_nifti_rejects_garbage(tmp_path):
+    from mri_superresolution_tpu import nifti as nf
+    p = tmp_path / "bad.nii"
+    p.write_bytes(b"x" * 400)
+    with pytest.raises(ValueError):
+        nf.load(str(p))
+    p2 = tmp_path / "short.nii"
+    p2.write_bytes(b"x" * 10)
+    with pytest.raises(ValueError):
+        nf.load(str(p2))
+
+
+def test_batchloader_epoch_idx_determinism(tmp_path):
+    pytest.importorskip("cv2")
+    hr_dir, lr_dir = _write_pairs(tmp_path, n=6)
+    ds = PairedSliceDataset(hr_dir, lr_dir)
+    lr_a, hr_a = ds.load_all()
+    l1 = BatchLoader(lr_a, hr_a, np.arange(6), 2, seed=5)
+    l2 = BatchLoader(lr_a, hr_a, np.arange(6), 2, seed=5)
+    # same epoch index → same order, even after l2 already iterated epoch 0
+    list(l2.epoch(0))
+    a = [b["lr"] for b in l1.epoch(3)]
+    b = [b["lr"] for b in l2.epoch(3)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # different epochs differ
+    c = [b["lr"] for b in l1.epoch(4)]
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
