@@ -78,6 +78,7 @@ class TrainConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 1e-5
     validation_split: float = 0.2
+    split_by_subject: bool = False  # subject-level split (no leakage)
     patience: int = 10
     seed: int = 42
     checkpoint_dir: str = "./checkpoints"

@@ -2,6 +2,7 @@ from mri_superresolution_tpu.data.dataset import (  # noqa: F401
     PairedSliceDataset,
     BatchLoader,
     train_val_split,
+    subject_split,
 )
 from mri_superresolution_tpu.data.extraction import (  # noqa: F401
     extract_slices_3d,

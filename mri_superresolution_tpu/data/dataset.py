@@ -132,6 +132,31 @@ def train_val_split(n: int, validation_split: float,
     return perm[val_size:], perm[:val_size]
 
 
+def subject_split(subjects: Sequence[str], validation_split: float,
+                  seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Split by SUBJECT: all slices of a subject land on the same side, so
+    validation measures generalization to unseen anatomy rather than unseen
+    slices of seen subjects. (Our extension — the reference's random_split
+    leaks subjects across the split.) Subjects are assigned to validation in
+    shuffled order until ≥ validation_split of samples are covered."""
+    subjects = list(subjects)
+    uniq = sorted(set(subjects))
+    order = np.random.default_rng(seed).permutation(len(uniq))
+    target = validation_split * len(subjects)
+    val_subjects = set()
+    count = 0
+    for k in order:
+        if count >= target:
+            break
+        val_subjects.add(uniq[k])
+        count += sum(1 for s in subjects if s == uniq[k])
+    val_idx = np.asarray([i for i, s in enumerate(subjects)
+                          if s in val_subjects], dtype=np.int64)
+    train_idx = np.asarray([i for i, s in enumerate(subjects)
+                            if s not in val_subjects], dtype=np.int64)
+    return train_idx, val_idx
+
+
 class BatchLoader:
     """Shuffled epoch iterator yielding fixed-shape padded batches.
 

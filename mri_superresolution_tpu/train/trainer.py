@@ -35,7 +35,7 @@ from flax import struct
 
 from mri_superresolution_tpu.config import TrainConfig, to_dict
 from mri_superresolution_tpu.data import (BatchLoader, PairedSliceDataset,
-                                          train_val_split)
+                                          subject_split, train_val_split)
 from mri_superresolution_tpu.losses import CombinedLoss
 from mri_superresolution_tpu.models import build_model
 from mri_superresolution_tpu.models import vgg as vgg_mod
@@ -156,8 +156,14 @@ def train(cfg: TrainConfig,
     if len(dataset) == 0:
         raise RuntimeError("No valid HR/LR pairs found")
     lr_arr, hr_arr = dataset.load_all()
-    train_idx, val_idx = train_val_split(len(dataset), cfg.validation_split,
-                                         cfg.seed)
+    if cfg.split_by_subject:
+        train_idx, val_idx = subject_split(dataset.subjects,
+                                           cfg.validation_split, cfg.seed)
+        log_message(f"Subject-level split: {len(train_idx)} train / "
+                    f"{len(val_idx)} val slices")
+    else:
+        train_idx, val_idx = train_val_split(len(dataset),
+                                             cfg.validation_split, cfg.seed)
     # batch must divide evenly across the mesh
     batch_size = int(-(-cfg.batch_size // n_dev) * n_dev)
     if batch_size != cfg.batch_size:

@@ -40,6 +40,9 @@ def parse_args():
                         choices=['l1', 'l2', 'mse'])
     parser.add_argument('--initial_alpha', type=float, default=0.0)
     parser.add_argument('--validation_split', type=float, default=0.2)
+    parser.add_argument('--split_by_subject', action='store_true',
+                        help='Split train/val at the subject level '
+                             '(no subject leakage; our extension)')
     parser.add_argument('--patience', type=int, default=10)
     parser.add_argument('--num_workers', type=int, default=0,
                         help='Accepted for reference compatibility (unused)')
@@ -90,6 +93,7 @@ def main():
         learning_rate=args.learning_rate,
         weight_decay=args.weight_decay,
         validation_split=args.validation_split,
+        split_by_subject=args.split_by_subject,
         patience=args.patience,
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,

@@ -301,3 +301,17 @@ def test_batchloader_epoch_idx_determinism(tmp_path):
     # different epochs differ
     c = [b["lr"] for b in l1.epoch(4)]
     assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+
+
+def test_subject_split_no_leakage():
+    from mri_superresolution_tpu.data import subject_split
+    subjects = (["A"] * 10 + ["B"] * 10 + ["C"] * 10 + ["D"] * 10)
+    tr, va = subject_split(subjects, 0.25, seed=1)
+    assert len(tr) + len(va) == 40
+    tr_subj = {subjects[i] for i in tr}
+    va_subj = {subjects[i] for i in va}
+    assert not (tr_subj & va_subj)       # disjoint subjects
+    assert len(va) >= 10                 # >= 25% of samples
+    # deterministic
+    tr2, va2 = subject_split(subjects, 0.25, seed=1)
+    np.testing.assert_array_equal(tr, tr2)
