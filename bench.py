@@ -48,7 +48,10 @@ def bench_forward(batch_sizes=(96, 112, 128), hw=256, model_type="unet"):
     def chain(p, x, n):
         def body(_, a):
             out = jnp.clip(model.apply({"params": p}, a), 0.0, 1.0)
-            return out[:, ::2, ::2, :]  # feed forward the dependency
+            # carry the dependency without extra memory traffic: the next
+            # input must depend on `out` (so no iteration can be elided) but
+            # an epsilon-scaled scalar keeps the perturbation at zero cost
+            return a + (1e-20 * jnp.mean(out)).astype(a.dtype)
         return jax.lax.fori_loop(0, n, body, x)
 
     def timed(x, n):
