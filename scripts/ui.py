@@ -356,20 +356,31 @@ class MRIUI:
                 self.params[field] = "" if choice == "<none>" else \
                     os.path.join(d, choice)
             return
-        # free-text input
-        curses.echo()
+        # free-text input (hand-rolled so both Enter codes \r and \n finish —
+        # curses getstr only stops on \n, which hangs under cbreak terminals)
         curses.curs_set(1)
         h, w = self.stdscr.getmaxyx()
         prompt = f"New value for {field} (empty = keep): "
         self.stdscr.addstr(h - 2, 0, prompt.ljust(w - 1),
                            curses.color_pair(5))
         self.stdscr.refresh()
-        try:
-            raw = self.stdscr.getstr(h - 2, len(prompt),
-                                     w - len(prompt) - 2).decode()
-        except Exception:
-            raw = ""
-        curses.noecho()
+        buf = []
+        while True:
+            ch = self.stdscr.getch()
+            if ch in (10, 13, curses.KEY_ENTER):
+                break
+            if ch in (27,):  # Esc cancels
+                buf = []
+                break
+            if ch in (curses.KEY_BACKSPACE, 127, 8):
+                if buf:
+                    buf.pop()
+            elif 32 <= ch < 127:
+                buf.append(chr(ch))
+            self.stdscr.addstr(h - 2, len(prompt),
+                               ("".join(buf)).ljust(w - len(prompt) - 2))
+            self.stdscr.refresh()
+        raw = "".join(buf)
         curses.curs_set(0)
         if raw.strip():
             try:
@@ -385,9 +396,12 @@ class MRIUI:
             self.draw()
             ch = self.stdscr.getch()
             opts = self.options()
+            # NOTE: bare ESC is deliberately NOT a back-key — arrow keys
+            # arrive as ESC-prefixed sequences and on slow terminals curses
+            # can deliver the ESC alone first, which would bounce the menu.
             if ch in (ord('q'), ord('Q')) and self.menu == "main":
                 return
-            if ch in (ord('q'), ord('Q'), 27):
+            if ch in (ord('q'), ord('Q')):
                 self.menu, self.idx = "main", 0
                 continue
             if ch in (curses.KEY_UP, ord('k')):

@@ -98,3 +98,86 @@ def test_tui_renders_and_quits():
             os.kill(pid, signal.SIGKILL)
             os.waitpid(pid, 0)
         os.close(fd)
+
+
+def test_tui_extract_flow_end_to_end(tmp_path):
+    """Drive the real TUI: edit params, toggle cpu, launch the extraction
+    subprocess from the menu, verify PNGs land, return, quit."""
+    import pty
+    import select
+    import signal
+    import time
+    import glob
+
+    pytest.importorskip("cv2")
+    import numpy as np
+    from mri_superresolution_tpu import nifti
+
+    anat = tmp_path / "datasets" / "s1" / "sub-01" / "anat"
+    anat.mkdir(parents=True)
+    vol = (np.random.default_rng(0).random((24, 20, 16)) * 300).astype(
+        np.float32)
+    nifti.save(str(anat / "sub-01_T1w.nii"), vol)
+    (tmp_path / "hr").mkdir()
+    (tmp_path / "lr").mkdir()
+
+    pid, fd = pty.fork()
+    if pid == 0:
+        os.environ["TERM"] = "xterm"
+        os.environ["ESCDELAY"] = "200"
+        os.chdir(tmp_path)
+        os.execvp(sys.executable,
+                  [sys.executable,
+                   os.path.join(os.path.dirname(__file__), "..",
+                                "scripts", "ui.py")])
+
+    out = b""
+
+    def drain(t=0.3):
+        nonlocal out
+        while select.select([fd], [], [], t)[0]:
+            try:
+                out += os.read(fd, 65536)
+            except OSError:
+                return
+
+    def send(s, wait=0.4):
+        os.write(fd, s.encode())
+        time.sleep(wait)
+        drain()
+
+    DOWN = "\x1bOB"  # SS3 arrow (curses smkx keypad-transmit mode)
+    try:
+        time.sleep(2)
+        drain()
+        send("\r", 1.0)                          # Extract menu
+        send("\r", 0.4); send("./datasets\r", 0.5)   # datasets_dir
+        send(DOWN); send("\r", 0.4); send("./hr\r", 0.5)
+        send(DOWN); send("\r", 0.4); send("./lr\r", 0.5)
+        send(DOWN); send("\r", 0.4); send("3\r", 0.5)   # n_slices
+        send(DOWN); send("\r", 0.4); send("\r", 0.3)    # lower (keep)
+        # from lower_percent(4) to cpu(9): upper, target, noise, kspace, cpu
+        for _ in range(5):
+            send(DOWN, 0.12)
+        send("\r", 0.4)                          # toggle cpu -> True
+        send(DOWN, 0.2)
+        send("\r", 2.0)                          # Run
+        deadline = time.time() + 240
+        while time.time() < deadline and b"Press Enter" not in out:
+            drain(0.5)
+        send("\r", 0.8)
+        send("q", 0.3)
+        send("q", 0.3)
+        text = out.decode(errors="replace")
+        assert "extract_paired_slices.py" in text
+        assert "completed successfully" in text
+        hr = glob.glob(str(tmp_path / "hr" / "*.png"))
+        lr = glob.glob(str(tmp_path / "lr" / "*.png"))
+        assert len(hr) == 3 and len(lr) == 3
+    finally:
+        try:
+            os.kill(pid, signal.SIGKILL)
+            os.waitpid(pid, 0)
+        except (ProcessLookupError, ChildProcessError):
+            pass
+        os.close(fd)
