@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from mri_superresolution_tpu.config import InferConfig, ModelConfig
 from mri_superresolution_tpu.models import build_model
 from mri_superresolution_tpu.ops.metrics import (mae, match_histograms_np,
-                                                 mse, psnr)
+                                                 mse)
 from mri_superresolution_tpu.ops.resize import Interp, resize
 from mri_superresolution_tpu.ops.ssim import ssim
 from mri_superresolution_tpu.parallel import (data_sharding, make_mesh,

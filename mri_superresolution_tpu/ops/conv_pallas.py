@@ -32,8 +32,6 @@ Forward-only here; `conv3x3_packed` wires a custom VJP through
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

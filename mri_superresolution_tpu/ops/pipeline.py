@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from mri_superresolution_tpu.ops.kspace import simulate_low_field_mri
 from mri_superresolution_tpu.ops.normalize import (apply_windowing, clahe,
-                                                   histogram_equalization,
                                                    minmax_normalize,
                                                    percentile_window)
 from mri_superresolution_tpu.ops.resize import (Interp, center_crop,

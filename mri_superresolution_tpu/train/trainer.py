@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import time
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import numpy as np
 import jax

@@ -1,0 +1,91 @@
+"""Subprocess-level CLI smoke tests (CPU): the actual user-facing commands.
+
+These pin the argparse plumbing end to end — config construction, protocol
+output, artifact creation — by invoking the scripts exactly as a user would.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+SCRIPTS = os.path.join(ROOT, "scripts")
+
+
+def _run(args, cwd, timeout=420):
+    return subprocess.run([sys.executable] + args, cwd=cwd, timeout=timeout,
+                          capture_output=True, text=True)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """Synthetic dataset + extracted pairs, shared across CLI tests."""
+    pytest.importorskip("cv2")
+    from mri_superresolution_tpu import nifti
+
+    ws = tmp_path_factory.mktemp("cli_ws")
+    anat = ws / "datasets" / "s1" / "sub-01" / "anat"
+    anat.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    vol = (rng.random((40, 36, 24)) * 500).astype(np.float32)
+    nifti.save(str(anat / "sub-01_T1w.nii.gz"), vol)
+
+    r = _run([os.path.join(SCRIPTS, "extract_paired_slices.py"),
+              "--datasets_dir", "./datasets", "--hr_output_dir", "./hr",
+              "--lr_output_dir", "./lr", "--n_slices", "8",
+              "--target_size", "64", "64", "--cpu"], cwd=str(ws))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert len(os.listdir(ws / "hr")) == 8
+    return ws
+
+
+def test_train_cli_protocol_and_checkpoints(workspace):
+    r = _run([os.path.join(SCRIPTS, "train.py"),
+              "--full_res_dir", "./hr", "--low_res_dir", "./lr",
+              "--epochs", "1", "--batch_size", "8", "--base_filters", "16",
+              "--seed", "1", "--checkpoint_dir", "./ckpt",
+              "--log_dir", "./logs", "--cpu"], cwd=str(workspace))
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(l) for l in r.stdout.splitlines()
+             if l.startswith("{")]
+    kinds = {l["type"] for l in lines}
+    assert {"params", "epoch_summary"} <= kinds
+    assert (workspace / "ckpt" / "final_model_unet.ckpt").exists()
+    assert (workspace / "ckpt" / "final_model_unet.json").exists()
+
+
+def test_infer_cli(workspace):
+    name = sorted(os.listdir(workspace / "lr"))[0]
+    r = _run([os.path.join(SCRIPTS, "infer.py"),
+              "--input", f"./lr/{name}", "--target", f"./hr/{name}",
+              "--output", "./sr_out.png", "--checkpoint_dir", "./ckpt",
+              "--cpu"], cwd=str(workspace))
+    assert r.returncode == 0, r.stderr[-2000:]
+    import cv2
+    out = cv2.imread(str(workspace / "sr_out.png"), cv2.IMREAD_GRAYSCALE)
+    assert out is not None and out.shape == (64, 64)
+    assert "SSIM" in r.stderr  # metrics logged
+
+
+def test_infer_volume_cli(workspace):
+    from mri_superresolution_tpu import nifti
+    r = _run([os.path.join(SCRIPTS, "infer_volume.py"),
+              "--input", "./datasets/s1/sub-01/anat/sub-01_T1w.nii.gz",
+              "--output", "./sr_vol.nii.gz", "--checkpoint_dir", "./ckpt",
+              "--batch_size", "8", "--cpu"], cwd=str(workspace))
+    assert r.returncode == 0, r.stderr[-2000:]
+    data, hdr = nifti.load(str(workspace / "sr_vol.nii.gz"))
+    assert data.shape == (80, 72, 24)  # 2x in-plane
+    assert hdr.zooms[0] == 0.5
+
+
+def test_infer_cli_bad_checkpoint_dir_exits_nonzero(workspace):
+    r = _run([os.path.join(SCRIPTS, "infer.py"),
+              "--input", "x.png", "--output", "y.png",
+              "--checkpoint_dir", "./definitely_missing", "--cpu"],
+             cwd=str(workspace))
+    assert r.returncode == 1

@@ -1,8 +1,6 @@
 """EDSR model family tests."""
 
 import numpy as np
-import pytest
-
 import jax
 import jax.numpy as jnp
 

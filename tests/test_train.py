@@ -174,8 +174,6 @@ def test_train_resume(tmp_path, capsys):
 
 
 def test_checkpoint_roundtrip(tmp_path):
-    from flax import serialization
-
     params = {"layer": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)}}
     opt = make_optimizer(1e-5)
     opt_state = opt.init(params)
