@@ -45,6 +45,18 @@ def _build_unet(cfg: ModelConfig, dtype=jnp.float32, **kwargs):
     )
 
 
+@register_model("simple")
+def _build_simple(cfg: ModelConfig, dtype=jnp.float32, **kwargs):
+    from mri_superresolution_tpu.models.simple import SimpleSR
+    return SimpleSR(
+        in_channels=cfg.in_channels,
+        out_channels=cfg.out_channels,
+        base_filters=cfg.base_filters,
+        dtype=dtype,
+        **kwargs,
+    )
+
+
 @register_model("edsr")
 def _build_edsr(cfg: ModelConfig, dtype=jnp.float32, **kwargs):
     from mri_superresolution_tpu.models.edsr import EDSR

@@ -94,7 +94,7 @@ def main():
                     "with different SSIM weights")
     parser.add_argument('--weight_dirs', type=str, required=True)
     parser.add_argument('--test_image_dir', type=str, required=True)
-    parser.add_argument('--model_type', type=str, choices=['unet', 'unet_tpu', 'edsr'],
+    parser.add_argument('--model_type', type=str, choices=['unet', 'unet_tpu', 'edsr', 'simple'],
                         default='unet')
     parser.add_argument('--output_dir', type=str,
                         default='./ssim_detailed_comparison')

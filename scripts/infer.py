@@ -25,7 +25,7 @@ def parse_args():
     parser.add_argument('--target', type=str, default=None)
     parser.add_argument('--checkpoint_dir', type=str, default='./checkpoints')
     parser.add_argument('--checkpoint_path', type=str, default=None)
-    parser.add_argument('--model_type', type=str, choices=['unet', 'unet_tpu', 'edsr'],
+    parser.add_argument('--model_type', type=str, choices=['unet', 'unet_tpu', 'edsr', 'simple'],
                         default='unet')
     parser.add_argument('--base_filters', type=int, default=64)
     parser.add_argument('--show_comparison', action='store_true')

@@ -28,7 +28,7 @@ def main():
     parser.add_argument('--checkpoint_dir', type=str, default='./checkpoints')
     parser.add_argument('--checkpoint_path', type=str, default=None)
     parser.add_argument('--model_type', type=str,
-                        choices=['unet', 'unet_tpu', 'edsr'], default='unet')
+                        choices=['unet', 'unet_tpu', 'edsr', 'simple'], default='unet')
     parser.add_argument('--base_filters', type=int, default=32)
     parser.add_argument('--batch_size', type=int, default=64,
                         help='Slices per forward pass')

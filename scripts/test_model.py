@@ -159,7 +159,7 @@ def main():
     parser.add_argument('--output_dir', type=str, default='./test_results')
     parser.add_argument('--checkpoint_dir', type=str, default='./checkpoints')
     parser.add_argument('--checkpoint_path', type=str, default=None)
-    parser.add_argument('--model_type', type=str, choices=['unet', 'unet_tpu', 'edsr'],
+    parser.add_argument('--model_type', type=str, choices=['unet', 'unet_tpu', 'edsr', 'simple'],
                         default='unet')
     parser.add_argument('--base_filters', type=int, default=32)
     parser.add_argument('--n_slices', type=int, default=10)

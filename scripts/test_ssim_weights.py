@@ -87,7 +87,7 @@ def main():
     parser.add_argument('--low_res_dir', type=str, required=True)
     parser.add_argument('--ssim_weights', type=float, nargs='+',
                         default=[0.0, 0.3, 0.5, 0.7, 1.0])
-    parser.add_argument('--model_type', type=str, choices=['unet', 'unet_tpu', 'edsr'],
+    parser.add_argument('--model_type', type=str, choices=['unet', 'unet_tpu', 'edsr', 'simple'],
                         default='unet')
     parser.add_argument('--batch_size', type=int, default=8)
     parser.add_argument('--epochs', type=int, default=20)

@@ -26,7 +26,7 @@ def parse_args():
                         help='Directory containing high-quality MRI slices')
     parser.add_argument('--low_res_dir', type=str, required=True,
                         help='Directory containing low-quality MRI slices')
-    parser.add_argument('--model_type', type=str, choices=['unet', 'unet_tpu', 'edsr'],
+    parser.add_argument('--model_type', type=str, choices=['unet', 'unet_tpu', 'edsr', 'simple'],
                         default='unet')
     parser.add_argument('--base_filters', type=int, default=32)
     parser.add_argument('--batch_size', type=int, default=8)

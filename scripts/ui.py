@@ -28,7 +28,7 @@ BOOLEAN_FLAGS = ("augmentation", "use_tensorboard", "cpu",
 DISCRETE = {
     "perceptual_loss_type": ["l1", "l2", "mse"],
     "vgg_layer_idx": [8, 17, 26, 35],  # relu2_2/3_4/4_4/5_4 in VGG19
-    "model_type": ["unet", "unet_tpu", "edsr"],
+    "model_type": ["unet", "unet_tpu", "edsr", "simple"],
 }
 
 DEFAULT_PARAMS = {

@@ -71,3 +71,18 @@ def test_trains_with_combined_loss(rng):
     for _ in range(10):
         params, opt_state, _ = step(params, opt_state)
     assert float(loss_of(params)) < l_init
+
+
+def test_simple_model_family(tmp_path):
+    import numpy as np
+    model = build_model(ModelConfig(model_type="simple", base_filters=32),
+                        dtype=jnp.float32)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 1)))["params"]
+    x = jnp.asarray(np.random.default_rng(0).random((2, 20, 24, 1),
+                                                    dtype=np.float32))
+    y = model.apply({"params": params}, x)
+    assert y.shape == (2, 40, 48, 1)
+    assert float(y.min()) >= 0 and float(y.max()) <= 1
+    g = jax.grad(lambda p: jnp.mean(model.apply({"params": p}, x)))(params)
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree_util.tree_leaves(g))
