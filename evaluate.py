@@ -103,6 +103,11 @@ def run_benchmarks(test_pairs, engine):
     from mri_superresolution_tpu.ops.metrics import metric_suite
 
     results = []
+    if test_pairs:
+        # warm up the jitted forward so XLA compilation (minutes through the
+        # TPU tunnel) never lands inside the first image's timing window
+        warm = cv2.imread(str(test_pairs[0][0]), cv2.IMREAD_GRAYSCALE)
+        engine.upscale_image(preprocess_image_array(warm.astype(np.float32)))
     for lr_path, hr_path in test_pairs:
         hr_img = preprocess_image_array(
             cv2.imread(str(hr_path), cv2.IMREAD_GRAYSCALE).astype(np.float32))
@@ -212,8 +217,12 @@ def main():
 
     # --- auto-train ablation mode (evaluate.py:149-239) ---
     if args.ablation_train_configs:
+        if not args.hr_dir or not args.lr_dir:
+            parser.error("--hr_dir and --lr_dir are required for "
+                         "--ablation_train_configs")
         with open(args.ablation_train_configs) as f:
             ablation_configs = json.load(f)
+        hw = report_hardware()
         checkpoints_dir = "./ablation_checkpoints"
         os.makedirs(checkpoints_dir, exist_ok=True)
         all_dfs, summary = [], {}
@@ -248,7 +257,6 @@ def main():
             print(f"Evaluating config: {name}")
             eval_dir = os.path.join(args.output_dir, name)
             os.makedirs(eval_dir, exist_ok=True)
-            hw = report_hardware()
             ds = report_dataset_stats(args.hr_dir, args.lr_dir, eval_dir)
             impl = report_implementation_details(best)
             with open(os.path.join(eval_dir, "report.json"), "w") as f:

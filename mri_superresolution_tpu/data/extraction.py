@@ -67,7 +67,10 @@ def select_slice_indices(num_slices: int, lower_percent: float,
     """Linspaced z-indices (parity: utils/extraction_utils.py:112-115)."""
     lower_index = int(lower_percent * num_slices)
     upper_index = int(upper_percent * num_slices)
-    return np.linspace(lower_index, upper_index, n_slices, dtype=int)
+    idx = np.linspace(lower_index, upper_index, n_slices, dtype=int)
+    # upper_percent=1.0 makes upper_index == num_slices, one past the end
+    # (the reference crashes there); clamp into range
+    return np.clip(idx, 0, num_slices - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("target_size",))
@@ -131,7 +134,10 @@ def extract_slices_3d(data: np.ndarray, subject: str, hr_output_dir: str,
     lr = None
     if lr_output_dir is not None and apply_simulation:
         if rng_key is None:
-            rng_key = jax.random.key(abs(hash((subject, timepoint))) % (2 ** 31))
+            # deterministic across processes (Python's hash() is salted)
+            import zlib
+            seed = zlib.crc32(f"{subject}|{timepoint}".encode())
+            rng_key = jax.random.key(seed)
         lr = np.asarray(lr_pipeline(jnp.asarray(stack), rng_key,
                                     tuple(target_size),
                                     kspace_crop_factor, noise_std))

@@ -61,7 +61,7 @@ class InferenceEngine:
     """Holds a model + params and serves padded, bucketed, sharded forwards."""
 
     def __init__(self, model_cfg: ModelConfig, params,
-                 bf16: bool = True, bucket: int = 32,
+                 bf16: bool = True, bucket: int = 1,
                  num_devices: int = 1):
         self.model_cfg = model_cfg
         dtype = jnp.bfloat16 if bf16 else jnp.float32
@@ -84,8 +84,13 @@ class InferenceEngine:
     def upscale_batch(self, batch: np.ndarray) -> np.ndarray:
         """(N, h, w) float [0,1] → (N, 2h, 2w) float [0,1].
 
-        Pads spatially into the shape bucket and to a device-divisible batch,
-        crops both paddings away after the forward.
+        Runs at native spatial size by default (bucket=1): the model is fully
+        convolutional, and spatial zero-padding would shift every GroupNorm's
+        whole-image statistics and measurably change outputs — the reference
+        likewise runs native sizes (scripts/infer.py:119-121). A bucket > 1
+        trades that exactness for fewer recompiles in mixed-size serving
+        (padding distortion grows with the padded fraction). The batch axis
+        is padded to a device-divisible count and cropped after.
         """
         n, h, w = batch.shape
         bh, bw = self._bucket_hw(h, w)

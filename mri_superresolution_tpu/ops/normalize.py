@@ -86,8 +86,9 @@ def clahe(image: jnp.ndarray, clip_limit: float = 2.0,
     interpolation between the four neighboring tile LUTs. Returns float
     in [0,1].
     """
-    x8 = jnp.clip(jnp.round(image.astype(jnp.float32) * 255.0), 0, 255
-                  ).astype(jnp.int32)
+    # truncating uint8 quantization — exactly the reference's conversion
+    # before cv2 (utils/preprocessing.py:182-183 astype(np.uint8))
+    x8 = jnp.clip(image.astype(jnp.float32) * 255.0, 0, 255).astype(jnp.int32)
     h, w = x8.shape
     gh, gw = tile_grid_size[1], tile_grid_size[0]  # cv2: (width, height)
     th = -(-h // gh)

@@ -87,9 +87,15 @@ def find_best_checkpoint(checkpoint_dir: str, model_type: str) -> str:
             return names[key] + ".ckpt"
         if os.path.exists(names[key] + ".pth"):
             return names[key] + ".pth"
+    # substring match like the reference, but never cross model families:
+    # a query for 'unet' must not pick up 'unet_tpu' checkpoints
+    from mri_superresolution_tpu.models import available_models
+    longer = [m for m in available_models()
+              if m != model_type and model_type in m]
     for file in sorted(os.listdir(checkpoint_dir)):
-        if (file.endswith(".ckpt") or file.endswith(".pth")) and \
-                model_type in file:
+        if not (file.endswith(".ckpt") or file.endswith(".pth")):
+            continue
+        if model_type in file and not any(m in file for m in longer):
             return os.path.join(checkpoint_dir, file)
     raise FileNotFoundError(
         f"No checkpoint found for {model_type} model in {checkpoint_dir}")

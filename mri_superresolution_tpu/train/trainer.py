@@ -140,9 +140,8 @@ def save_example_images(low_res, high_res, output, epoch: int,
 def train(cfg: TrainConfig,
           progress_cb=None) -> str:
     """Run training; returns the final checkpoint path."""
-    logger = setup_logging(os.path.join(cfg.log_dir
-                                        if os.path.isdir(cfg.log_dir)
-                                        else ".", "training.log"))
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    logger = setup_logging(os.path.join(cfg.log_dir, "training.log"))
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     os.makedirs(os.path.join(cfg.checkpoint_dir, "samples"), exist_ok=True)
 
@@ -274,7 +273,8 @@ def train(cfg: TrainConfig,
 
     epoch = start_epoch - 1
     for epoch in range(start_epoch, cfg.epochs):
-        if cfg.profile_dir and epoch == start_epoch + 1 and not profiling:
+        profile_epoch = min(start_epoch + 1, cfg.epochs - 1)
+        if cfg.profile_dir and epoch == profile_epoch and not profiling:
             try:
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling = True

@@ -90,8 +90,8 @@ MENUS = {
     ],
     "infer": [
         "input_image", "output_image", "target_image", "checkpoint_dir",
-        "checkpoint_file", "model_type", "show_comparison", "show_diff",
-        "cpu",
+        "checkpoint_file", "model_type", "base_filters", "show_comparison",
+        "show_diff", "cpu",
     ],
 }
 
@@ -180,7 +180,8 @@ def build_command(menu, p):
                "--input", p["input_image"],
                "--output", p["output_image"],
                "--checkpoint_dir", p["checkpoint_dir"],
-               "--model_type", p["model_type"]]
+               "--model_type", p["model_type"],
+               "--base_filters", str(p["base_filters"])]
         if p["target_image"]:
             cmd += ["--target", p["target_image"]]
         if p["checkpoint_file"]:

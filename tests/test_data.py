@@ -315,3 +315,33 @@ def test_subject_split_no_leakage():
     # deterministic
     tr2, va2 = subject_split(subjects, 0.25, seed=1)
     np.testing.assert_array_equal(tr, tr2)
+
+
+def test_upper_percent_one_does_not_crash(tmp_path, rng):
+    pytest.importorskip("cv2")
+    idx = select_slice_indices(30, 0.0, 1.0, 5)
+    assert idx.max() == 29  # clamped in range (reference crashes here)
+    vol = _synthetic_volume(rng, (24, 20, 16))
+    hr = tmp_path / "hr"; lr = tmp_path / "lr"
+    hr.mkdir(); lr.mkdir()
+    written = extract_slices_3d(np.asarray(vol, np.float64), "sub-Z", str(hr),
+                                str(lr), n_slices=3, lower_percent=0.5,
+                                upper_percent=1.0, target_size=(32, 32),
+                                verbose=False)
+    assert len(written) == 3
+
+
+def test_default_extraction_key_is_process_stable(tmp_path, rng):
+    """Without an explicit rng_key the LR noise must still be deterministic
+    across runs (crc32 seeding, not Python's salted hash)."""
+    pytest.importorskip("cv2")
+    import cv2
+    vol = np.asarray(_synthetic_volume(rng, (24, 20, 16)), np.float64)
+    outs = []
+    for tag in ("a", "b"):
+        hr = tmp_path / f"hr{tag}"; lr = tmp_path / f"lr{tag}"
+        hr.mkdir(); lr.mkdir()
+        files = extract_slices_3d(vol, "sub-K", str(hr), str(lr), n_slices=2,
+                                  target_size=(32, 32), verbose=False)
+        outs.append(cv2.imread(str(lr / files[0]), cv2.IMREAD_GRAYSCALE))
+    np.testing.assert_array_equal(outs[0], outs[1])

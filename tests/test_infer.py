@@ -124,3 +124,17 @@ def test_baseline_upscales(rng, method):
         flag = cv2.INTER_LINEAR if method == "bilinear" else cv2.INTER_CUBIC
         want = cv2.resize(img, (40, 32), interpolation=flag)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_native_size_forward_no_padding_distortion(rng):
+    """Default engine (bucket=1) must produce the same result as a direct
+    native-shape forward — zero padding into shape buckets would corrupt
+    GroupNorm's whole-image statistics."""
+    import jax.numpy as jnp
+    eng = _engine()
+    img = rng.random((40, 40)).astype(np.float32)
+    got = eng.upscale_image(img)
+    direct = np.asarray(jnp.clip(eng.model.apply(
+        {"params": eng.params}, jnp.asarray(img)[None, :, :, None]),
+        0.0, 1.0))[0, :, :, 0]
+    np.testing.assert_allclose(got, direct, atol=1e-4)

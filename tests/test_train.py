@@ -223,3 +223,12 @@ def test_training_is_deterministic(tmp_path, capsys):
     a = run("a")
     b = run("b")
     assert a == b, (a, b)
+
+
+def test_checkpoint_discovery_does_not_cross_model_families(tmp_path):
+    d = str(tmp_path)
+    open(os.path.join(d, "best_model_unet_tpu.ckpt"), "wb").write(b"")
+    with pytest.raises(FileNotFoundError):
+        ckpt.find_best_checkpoint(d, "unet")
+    assert ckpt.find_best_checkpoint(d, "unet_tpu").endswith(
+        "best_model_unet_tpu.ckpt")
