@@ -24,6 +24,42 @@ import numpy as np
 
 PER_CHIP_TARGET = 10_000 / 8.0  # north-star divided across a v5e-8
 
+# Container-measured bf16 matmul peak on this chip (BASELINE.md: 8192^3
+# bf16 matmul sustains 175.9 TFLOP/s through the axon tunnel).
+MEASURED_PEAK_FLOPS = 175.9e12
+
+
+def unet_flops_per_slice(hw=256, f=32):
+    """Analytic conv FLOPs (2*H*W*kh*kw*Cin*Cout) of the parity U-Net
+    (reference models/unet_model.py:116-211) per input slice. Counts the
+    architecture's mathematical work — implementation overheads (phase-space
+    rescatter factor 16/9, upsample matmuls) are deliberately excluded so
+    the MFU figure stays comparable across implementations."""
+    n = hw * hw
+
+    def conv(px, k, cin, cout):
+        return 2 * px * k * k * cin * cout
+
+    total = 0
+    # encoder: inc @hw, down1 @hw/2, down2 @hw/4, down3 @hw/8
+    total += conv(n, 3, 1, f) + conv(n, 3, f, f)
+    total += conv(n // 4, 3, f, 2 * f) + conv(n // 4, 3, 2 * f, 2 * f)
+    total += conv(n // 16, 3, 2 * f, 4 * f) + conv(n // 16, 3, 4 * f, 4 * f)
+    total += conv(n // 64, 3, 4 * f, 8 * f) + conv(n // 64, 3, 8 * f, 8 * f)
+    # decoder: up1 @hw/4, up2 @hw/2, up3 @hw (1x1 up_conv + DoubleConv)
+    total += (conv(n // 16, 1, 8 * f, 4 * f)
+              + conv(n // 16, 3, 8 * f, 4 * f) + conv(n // 16, 3, 4 * f, 4 * f))
+    total += (conv(n // 4, 1, 4 * f, 2 * f)
+              + conv(n // 4, 3, 4 * f, 2 * f) + conv(n // 4, 3, 2 * f, 2 * f))
+    total += (conv(n, 1, 2 * f, f)
+              + conv(n, 3, 2 * f, f) + conv(n, 3, f, f))
+    # final 2x stage: up-conv + pixelshuffle conv @hw, convs @2hw
+    total += conv(4 * n, 3, f, f // 2)          # final_up_conv at 2H x 2W
+    total += conv(n, 3, f, 2 * f)               # pixelshuffle conv (f/2 * 4)
+    total += conv(4 * n, 3, f // 2, f // 2)     # final_conv1 at 2H x 2W
+    total += conv(4 * n, 1, f // 2, 1)          # final_conv2 at 2H x 2W
+    return total
+
 
 def bench_forward(batch_sizes=(96, 112, 128), hw=256, model_type="unet"):
     import jax
@@ -88,9 +124,14 @@ def bench_forward(batch_sizes=(96, 112, 128), hw=256, model_type="unet"):
 def main():
     value_total, bs, n_chips = bench_forward(model_type="unet")
     per_chip = value_total / n_chips
+    flops = unet_flops_per_slice()
+    tflops = per_chip * flops / 1e12
     detail = {"total_slices_per_sec": round(value_total, 1),
               "chips": n_chips, "batch": bs,
-              "input": "256x256x1", "model": "unet bf16 bf=32"}
+              "input": "256x256x1", "model": "unet bf16 bf=32",
+              "model_gflops_per_slice": round(flops / 1e9, 2),
+              "tflops_per_sec_per_chip": round(tflops, 2),
+              "mfu": round(tflops * 1e12 / MEASURED_PEAK_FLOPS, 4)}
     if not os.environ.get("BENCH_SKIP_TPU_VARIANT"):
         # the TPU-optimized model family (same capacity, wide-channel final
         # stage); reported alongside, not as the headline parity number

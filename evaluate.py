@@ -104,10 +104,21 @@ def run_benchmarks(test_pairs, engine):
 
     results = []
     if test_pairs:
-        # warm up the jitted forward so XLA compilation (minutes through the
-        # TPU tunnel) never lands inside the first image's timing window
-        warm = cv2.imread(str(test_pairs[0][0]), cv2.IMREAD_GRAYSCALE)
-        engine.upscale_image(preprocess_image_array(warm.astype(np.float32)))
+        # Warm up every (method, shape) pair so XLA compilation (minutes
+        # through the TPU tunnel) never lands inside a timing window — the
+        # classical baselines jit-compile per input shape too.
+        shapes = {}
+        for lr_path, _ in test_pairs:
+            img = cv2.imread(str(lr_path), cv2.IMREAD_GRAYSCALE)
+            shapes.setdefault(img.shape, img)
+        print(f"Warming up {len(shapes)} distinct input shape(s) x "
+              f"{3 + 1} methods (compiles excluded from timings)")
+        for warm in shapes.values():
+            warm01 = jnp.asarray(warm.astype(np.float32) / 255.0)
+            for method in ("bicubic", "bilinear", "sharp_bilinear"):
+                np.asarray(upscale_with_interpolation(warm01, method))
+            engine.upscale_image(preprocess_image_array(
+                warm.astype(np.float32)))
     for lr_path, hr_path in test_pairs:
         hr_img = preprocess_image_array(
             cv2.imread(str(hr_path), cv2.IMREAD_GRAYSCALE).astype(np.float32))

@@ -115,6 +115,12 @@ class InferConfig:
     checkpoint_path: Optional[str] = None
     bf16: bool = True
     batch_size: int = 8          # for batched/full-volume inference
+    # Spatial shape bucket: inputs are zero-padded to a multiple of this
+    # before the jitted forward. 1 = native sizes (GroupNorm-exact, default;
+    # matches the reference); larger values trade slight padding distortion
+    # for far fewer XLA recompiles on heterogeneous-size test sets (each new
+    # shape costs minutes through the TPU tunnel — the engine logs each one).
+    bucket: int = 1
 
 
 def to_dict(cfg) -> dict:

@@ -72,6 +72,7 @@ class InferenceEngine:
         self._dsh = data_sharding(self.mesh)
         self.params = jax.device_put(params, self._rsh)
         self.bucket = bucket
+        self._compiled_shapes: set = set()
         self._forward = jax.jit(
             lambda p, x: jnp.clip(self.model.apply({"params": p}, x), 0.0, 1.0),
             in_shardings=(self._rsh, self._dsh),
@@ -95,6 +96,13 @@ class InferenceEngine:
         n, h, w = batch.shape
         bh, bw = self._bucket_hw(h, w)
         nb = _round_up(max(n, 1), self.n_devices)
+        if (nb, bh, bw) not in self._compiled_shapes:
+            self._compiled_shapes.add((nb, bh, bw))
+            logger.info(
+                f"Compiling forward for padded shape ({nb}, {bh}, {bw}) — "
+                f"{len(self._compiled_shapes)} distinct shape(s) so far. "
+                "Heterogeneous test sets recompile per shape (minutes on the "
+                "TPU tunnel); set bucket > 1 (e.g. --bucket 32) to coalesce.")
         x = np.zeros((nb, bh, bw, 1), np.float32)
         x[:n, :h, :w, 0] = batch
         y = self._forward(self.params, jnp.asarray(x))
@@ -293,4 +301,4 @@ def load_engine(cfg: InferConfig, num_devices: int = 1) -> InferenceEngine:
         logger.info(f"Model hyperparams from checkpoint: "
                     f"base_filters={model_cfg.base_filters}")
     return InferenceEngine(model_cfg, params, bf16=cfg.bf16,
-                           num_devices=num_devices)
+                           bucket=cfg.bucket, num_devices=num_devices)

@@ -25,13 +25,15 @@ expose ``icnr_init=True`` to opt into the (intended) ICNR initialization.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 import flax.linen as nn
 
+from mri_superresolution_tpu.ops import phase as phase_ops
 from mri_superresolution_tpu.ops.resize import upsample_bilinear_align_corners
 
 # Kaiming He normal, mode='fan_out', nonlinearity='leaky_relu' with torch's
@@ -68,6 +70,37 @@ def pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     x = x.reshape(b, h, w, c, r, r)          # channel index = c*r*r + i*r + j
     x = x.transpose(0, 1, 4, 2, 5, 3)        # b, h, i, w, j, c
     return x.reshape(b, h * r, w * r, c)
+
+
+class ConvParams(nn.Module):
+    """Owns an nn.Conv-compatible param subtree ({kernel[, bias]}) without
+    dictating how the conv is computed — lets the phase-space final stage
+    rescatter the same weights, keeping checkpoints interchangeable with the
+    nn.Conv layout (same names, same shapes, same init)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    use_bias: bool = False
+    kernel_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        init = self.kernel_init or kaiming_fan_out()
+        k = self.param("kernel", init,
+                       (*self.kernel_size, in_ch, self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return k, b
+
+
+class NormParams(nn.Module):
+    """nn.GroupNorm-compatible param subtree ({scale, bias}) for manual
+    (phase-space) normalization."""
+
+    @nn.compact
+    def __call__(self, ch: int):
+        return (self.param("scale", nn.initializers.ones, (ch,)),
+                self.param("bias", nn.initializers.zeros, (ch,)))
 
 
 class DoubleConv(nn.Module):
@@ -152,12 +185,20 @@ class PixelShuffleUp(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, phase_out: bool = False):
         init = (icnr_kaiming_fan_in(self.scale) if self.icnr_init
                 else kaiming_fan_out())
         x = nn.Conv(self.out_channels * self.scale ** 2, (3, 3), padding=1,
                     use_bias=True, dtype=self.dtype, kernel_init=init,
                     name="conv")(x)
+        if phase_out:
+            # The conv's channel order (torch PixelShuffle convention) IS
+            # c-major phase space of the shuffled tensor: skip the shuffle,
+            # normalize in phase space (exact same GroupNorm statistics).
+            scale, bias = NormParams(name="norm")(self.out_channels)
+            x = phase_ops.phase_group_norm(x, scale, bias, n_groups=8,
+                                           dtype=self.dtype)
+            return nn.leaky_relu(x, 0.2)
         x = pixel_shuffle(x, self.scale)
         x = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
                          name="norm")(x)
@@ -176,6 +217,19 @@ class UNetSuperRes(nn.Module):
     base_filters: int = 32
     initial_alpha: float = 0.0   # percentage (0-100), normalized to [0,1]
     icnr_init: bool = False
+    # Compute the final 2x stage in phase space (exact space-to-depth
+    # algebra, ops/phase.py). MEASURED NEGATIVE RESULT on v5e (kept as an
+    # opt-in experiment, default off): the hypothesis was that the stage's
+    # Cout<=16 convs at 512^2 starve the MXU's 128 output lanes, but XLA's
+    # own conv lowering already sustains ~29 TFLOP/s there (past the naive
+    # 16/128-lane bound), so the rescattered 2x2 convs (16/9 the MACs at
+    # better lane use) win only ~0.7 ms each — while the required layout ops
+    # cost far more (tools/bench_phase_probe2.py, B=128: phase upsample
+    # +6.5 ms vs dense; align_phase 8-13 ms; strided-channel GN stat views
+    # 30 ms). Net: 1290 -> 905 slices/s/chip. The math is exact either way
+    # (tests/test_phase.py) and the param tree is identical, so checkpoints
+    # are interchangeable across the flag.
+    phase_final: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -189,17 +243,32 @@ class UNetSuperRes(nn.Module):
         self.up2 = Up(f * 2, dtype=dt)
         self.up3 = Up(f, dtype=dt)
 
-        self.final_up_conv = nn.Conv(f // 2, (3, 3), padding=1, use_bias=False,
-                                     dtype=dt, kernel_init=kaiming_fan_out())
-        self.final_up_norm = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=dt)
+        # Both final-stage variants share one param layout (ConvParams /
+        # NormParams subtrees are name- and shape-identical to nn.Conv /
+        # nn.GroupNorm), so phase_final can be flipped on any checkpoint.
+        if self.phase_final:
+            self.final_up_conv = ConvParams(f // 2, (3, 3))
+            self.final_up_norm = NormParams()
+            self.final_conv1 = ConvParams(f // 2, (3, 3))
+            self.final_norm = NormParams()
+            self.final_conv2 = ConvParams(self.out_channels, (1, 1),
+                                          use_bias=True)
+        else:
+            self.final_up_conv = nn.Conv(
+                f // 2, (3, 3), padding=1, use_bias=False, dtype=dt,
+                kernel_init=kaiming_fan_out())
+            self.final_up_norm = nn.GroupNorm(num_groups=8, epsilon=1e-5,
+                                              dtype=dt)
+            self.final_conv1 = nn.Conv(
+                f // 2, (3, 3), padding=1, use_bias=False, dtype=dt,
+                kernel_init=kaiming_fan_out())
+            self.final_norm = nn.GroupNorm(num_groups=8, epsilon=1e-5,
+                                           dtype=dt)
+            self.final_conv2 = nn.Conv(self.out_channels, (1, 1),
+                                       use_bias=True, dtype=dt,
+                                       kernel_init=kaiming_fan_out())
         self.final_up_pixelshuffle = PixelShuffleUp(
             f // 2, icnr_init=self.icnr_init, dtype=dt)
-
-        self.final_conv1 = nn.Conv(f // 2, (3, 3), padding=1, use_bias=False,
-                                   dtype=dt, kernel_init=kaiming_fan_out())
-        self.final_norm = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=dt)
-        self.final_conv2 = nn.Conv(self.out_channels, (1, 1), use_bias=True,
-                                   dtype=dt, kernel_init=kaiming_fan_out())
         # Learned fusion weight (reference models/unet_model.py:160-163):
         # initial_alpha is a percentage, normalized to [0, 1].
         self.alpha = self.param(
@@ -220,6 +289,9 @@ class UNetSuperRes(nn.Module):
         y = self.up2(y, x2)
         y = self.up3(y, x1)
 
+        if self.phase_final:
+            return self._final_stage_phase(y)
+
         # Dual-branch final 2x upsample
         yb = upsample_bilinear_align_corners(y, 2)
         yb = nn.leaky_relu(self.final_up_norm(self.final_up_conv(yb)), 0.2)
@@ -231,6 +303,50 @@ class UNetSuperRes(nn.Module):
         y = nn.leaky_relu(self.final_norm(self.final_conv1(y)), 0.2)
         y = self.final_conv2(y)
         return jax.nn.sigmoid(y.astype(jnp.float32))
+
+    def _final_stage_phase(self, y):
+        """The dual-branch final 2x stage, computed entirely at y's
+        resolution in c-major phase space (ops/phase.py). Mathematically
+        identical to the module path above; ~2x less MXU time because the
+        Cout=16 convs at 2Hx2W become Cout=64 convs at HxW."""
+        dt = self.dtype
+        f = self.base_filters
+
+        # Bilinear branch: phase-space upsample, rescattered 2x2 conv,
+        # GroupNorm on the re-aligned grid.
+        t_up = phase_ops.upsample_bilinear_phases(y)          # (B,H,W,4f)
+        k_up, _ = self.final_up_conv(f)
+        z_up = phase_ops.phase_conv_2x2(
+            t_up, phase_ops.phase_kernel_2x2(k_up).astype(dt))
+        yb = phase_ops.align_phase(z_up)                      # (B,H,W,2f)
+        s_up, b_up = self.final_up_norm(f // 2)
+        yb = nn.leaky_relu(
+            phase_ops.phase_group_norm(yb, s_up, b_up, n_groups=8, dtype=dt),
+            0.2)
+
+        # PixelShuffle branch: the conv's output already IS phase space.
+        yp = self.final_up_pixelshuffle(y, phase_out=True)    # (B,H,W,2f)
+
+        w = jax.nn.sigmoid(self.alpha).astype(dt)
+        t = w * yb + (1.0 - w) * yp
+
+        # final_conv1 stays misaligned through the per-pixel tail; the
+        # offsets are absorbed by depth_to_space_rev_crop at the end.
+        k1, _ = self.final_conv1(f // 2)
+        z1 = phase_ops.phase_conv_2x2(
+            t, phase_ops.phase_kernel_2x2(k1).astype(dt))     # (B,H+1,W+1,2f)
+        s1, b1 = self.final_norm(f // 2)
+        z1 = nn.leaky_relu(
+            phase_ops.phase_group_norm_misaligned(z1, s1, b1, n_groups=8,
+                                                  dtype=dt), 0.2)
+
+        k2, b2 = self.final_conv2(f // 2)
+        z2 = lax.conv_general_dilated(
+            z1, phase_ops.phase_kernel_1x1(k2).astype(dt), (1, 1),
+            ((0, 0), (0, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        z2 = z2 + jnp.repeat(b2, 4).astype(dt)
+        return phase_ops.depth_to_space_rev_crop(
+            jax.nn.sigmoid(z2.astype(jnp.float32)))
 
 
 def init_params(model: UNetSuperRes, rng: jax.Array,

@@ -190,8 +190,17 @@ def train(cfg: TrainConfig,
             vgg_params = vgg_mod.load_params_npz(cfg.vgg_weights)
             log_message(f"Loaded VGG19 weights from {cfg.vgg_weights}")
         else:
-            log_message("perceptual_weight > 0 but no --vgg_weights given; "
-                        "using random VGG features (structural prior only)")
+            # Semantics-changing substitution — the reference uses ImageNet
+            # VGG19 (utils/losses.py:90); a random CNN is only a structural
+            # prior. Warn loudly so nobody mistakes this for parity.
+            log_message(
+                "WARNING: perceptual_weight > 0 but no --vgg_weights given. "
+                "Falling back to RANDOM VGG features (a structural prior, "
+                "NOT the reference's ImageNet-pretrained perceptual loss). "
+                "Convert real weights with tools/fetch_vgg_weights.py on a "
+                "networked machine and pass --vgg_weights, or set "
+                "perceptual_weight=0 for exact reference-loss semantics.",
+                message_type="warning")
             vgg_params = vgg_mod.random_params(jax.random.key(0),
                                                cfg.loss.vgg_layer_idx)
     loss_fn = CombinedLoss(cfg.loss, vgg_params=vgg_params)
@@ -259,6 +268,15 @@ def train(cfg: TrainConfig,
         "bf16": cfg.bf16,
         "seed": cfg.seed,
     }, "params")
+
+    if len(val_idx) == 0:
+        log_message(
+            "WARNING: validation_split leaves 0 validation slices — the LR "
+            "scheduler, early stopping, and best-model checkpointing are all "
+            "validation-driven and will be DISABLED this run (only the final "
+            "checkpoint is written). The reference degrades the same way; "
+            "set --validation_split > 0 to restore them.",
+            message_type="warning")
 
     vis_frequency = max(1, cfg.epochs // 20)
     n_train_batches = len(train_loader)

@@ -70,4 +70,7 @@ def log_message(message: Union[dict, str], message_type: str = "info") -> None:
                                    if k != "type")
             _logger.info(f"Training Parameters: {params_str}")
     else:
-        _logger.info(str(message))
+        if message_type == "warning":
+            _logger.warning(str(message))
+        else:
+            _logger.info(str(message))

@@ -37,6 +37,10 @@ def parse_args():
     parser.add_argument('--use_amp', action='store_true',
                         help='Reference-compat alias: bf16 is the default')
     parser.add_argument('--no_bf16', action='store_true')
+    parser.add_argument('--bucket', type=int, default=1,
+                        help='Pad inputs to a multiple of this before the '
+                             'jitted forward (1 = native size, GroupNorm-'
+                             'exact; >1 coalesces XLA recompiles)')
     return parser.parse_args()
 
 
@@ -55,7 +59,7 @@ def main():
                               base_filters=args.base_filters),
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_path=args.checkpoint_path,
-            bf16=not args.no_bf16)
+            bf16=not args.no_bf16, bucket=args.bucket)
         engine = load_engine(cfg)
         fig_path = args.save_figure
         if (args.show_comparison or args.show_diff) and not fig_path:

@@ -40,6 +40,9 @@ def main():
                         help='Optionally also dump per-slice PNGs here')
     parser.add_argument('--cpu', action='store_true')
     parser.add_argument('--no_bf16', action='store_true')
+    parser.add_argument('--bucket', type=int, default=1,
+                        help='Pad slices to a multiple of this before the '
+                             'jitted forward (1 = native size)')
     args = parser.parse_args()
     force_cpu_if_requested()
 
@@ -69,7 +72,7 @@ def main():
                                       base_filters=args.base_filters),
                     checkpoint_dir=args.checkpoint_dir,
                     checkpoint_path=args.checkpoint_path,
-                    bf16=not args.no_bf16),
+                    bf16=not args.no_bf16, bucket=args.bucket),
         num_devices=args.num_devices)
 
     # per-slice percentile window + minmax, batched on device

@@ -164,6 +164,9 @@ def main():
     parser.add_argument('--base_filters', type=int, default=32)
     parser.add_argument('--n_slices', type=int, default=10)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--bucket', type=int, default=1,
+                        help='Pad inputs to a multiple of this to coalesce '
+                             'XLA recompiles on mixed-size test sets')
     parser.add_argument('--cpu', action='store_true')
     parser.add_argument('--use_amp', action='store_true',
                         help='Reference-compat alias (bf16 default)')
@@ -193,7 +196,7 @@ def main():
             model=ModelConfig(model_type=args.model_type,
                               base_filters=args.base_filters),
             checkpoint_dir=args.checkpoint_dir,
-            checkpoint_path=args.checkpoint_path))
+            checkpoint_path=args.checkpoint_path, bucket=args.bucket))
 
         results = []
         for i, (lr_file, hr_file) in enumerate(paired):

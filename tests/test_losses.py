@@ -89,7 +89,9 @@ def test_vgg_features_match_torch_golden(rng):
     torch.manual_seed(0)
     feats = tnn.Sequential(*layers[:layer_idx + 1]).eval()
 
-    sd = {f"{i}.{k}": v.detach().numpy()
+    # torchvision checkpoints use "features.{i}.*" keys; bare "{i}.*" is the
+    # plain-Sequential form — the converter must accept both
+    sd = {f"features.{i}.{k}" if i % 2 == 0 else f"{i}.{k}": v.detach().numpy()
           for i, m in enumerate(feats) for k, v in m.state_dict().items()}
     params = vgg_mod.params_from_torch_state_dict(sd, layer_idx)
 

@@ -124,6 +124,92 @@ def _tiny_config(tmp_path, hr_dir, lr_dir, **overrides):
     return cfg
 
 
+def test_train_step_mesh_equivalence():
+    """One optimizer step on an 8-device sharded mesh must equal the same
+    step on 1 device (same data, same key) — the strongest GSPMD training
+    correctness check available without hardware (mirrors the inference
+    equivalence test at test_infer.py)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mri_superresolution_tpu.losses import CombinedLoss
+    from mri_superresolution_tpu.models import build_model
+    from mri_superresolution_tpu.train.trainer import (TrainState,
+                                                       build_train_step)
+
+    model = build_model(ModelConfig(base_filters=16), dtype=jnp.float32)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, 16, 16, 1)))["params"]
+    optimizer = make_optimizer(1e-5)
+    loss_fn = CombinedLoss(LossConfig(ssim_weight=0.3))
+    step_fn = build_train_step(model, loss_fn, optimizer,
+                               AugmentConfig(enabled=True),
+                               LossConfig(ssim_weight=0.3))
+
+    rng = np.random.default_rng(7)
+    batch = {
+        "lr": rng.random((16, 16, 16, 1), dtype=np.float32),
+        "hr": rng.random((16, 32, 32, 1), dtype=np.float32),
+        "weight": np.ones((16,), np.float32),
+    }
+    lr_val = jnp.asarray(2e-3, jnp.float32)
+    key = jax.random.key(3)
+
+    from mri_superresolution_tpu.ops.augment import augment_pair
+
+    def loss_of(p, data, k):
+        hr, lo = augment_pair(data["hr"], data["lr"], k,
+                              AugmentConfig(enabled=True))
+        out = model.apply({"params": p}, lo)
+        total, _ = loss_fn(out, hr, sample_weights=data["weight"])
+        return total
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
+        rsh, dsh = NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+        state = jax.device_put(
+            TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=optimizer.init(params)), rsh)
+        dev_batch = {k: jax.device_put(jnp.asarray(v), dsh)
+                     for k, v in batch.items()}
+        jitted = jax.jit(step_fn, in_shardings=(rsh, dsh, None, None),
+                         out_shardings=(rsh, rsh))
+        new_state, metrics = jitted(state, dev_batch, lr_val, key)
+        grads = jax.jit(jax.grad(loss_of),
+                        in_shardings=(rsh, dsh, None))(
+            jax.device_put(params, rsh), dev_batch, key)
+        results[n_dev] = (jax.device_get(new_state.params),
+                          float(metrics["loss"]), jax.device_get(grads))
+
+    p1, loss1, g1 = results[1]
+    p8, loss8, g8 = results[8]
+    # The sharded loss and the data-parallel mean gradient must match the
+    # single-device run closely — this is the real GSPMD correctness check.
+    # fp32 reduction order differs between mesh sizes (per-device partial
+    # means + psum vs one flat mean), observed up to ~0.8% relative on small
+    # gradient elements; a wrong psum/mean would be off by O(n_devices)=8x.
+    np.testing.assert_allclose(loss1, loss8, rtol=1e-5)
+    gflat8 = dict(jax.tree_util.tree_leaves_with_path(g8))
+    for path, v1 in jax.tree_util.tree_leaves_with_path(g1):
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(gflat8[path]), rtol=1e-2, atol=5e-5,
+            err_msg="grad " + jax.tree_util.keystr(path))
+    # Post-Adam params: where a gradient element is ~0, fp32 reduction-order
+    # noise can flip its sign and Adam's m/sqrt(v) turns that into a full
+    # +-lr update — so isolated elements may differ by up to ~2*lr. Require
+    # near-total agreement plus that bound (a real bug shifts whole tensors).
+    flat1 = jax.tree_util.tree_leaves_with_path(p1)
+    flat8 = dict(jax.tree_util.tree_leaves_with_path(p8))
+    assert flat1
+    lr_f = float(lr_val)
+    for path, v1 in flat1:
+        diff = np.abs(np.asarray(v1) - np.asarray(flat8[path]))
+        frac_off = float(np.mean(diff > 1e-4))
+        assert frac_off < 2e-3, (jax.tree_util.keystr(path), frac_off)
+        assert float(diff.max()) <= 2.5 * lr_f, (
+            jax.tree_util.keystr(path), float(diff.max()))
+
+
 def test_train_end_to_end_8dev_mesh(tmp_path, capsys):
     """Full training over the virtual 8-device mesh: loss decreases,
     checkpoints + protocol messages written."""
