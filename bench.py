@@ -61,7 +61,7 @@ def unet_flops_per_slice(hw=256, f=32):
     return total
 
 
-def bench_forward(batch_sizes=(96, 112, 128), hw=256, model_type="unet"):
+def bench_forward(batch_sizes=(112, 120, 128), hw=256, model_type="unet"):
     import jax
     import jax.numpy as jnp
 

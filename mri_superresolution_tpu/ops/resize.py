@@ -171,6 +171,11 @@ def upsample_bilinear_align_corners(x: jnp.ndarray, factor: int = 2) -> jnp.ndar
     Matches torch ``nn.Upsample(scale_factor=f, mode='bilinear',
     align_corners=True)`` (reference: models/unet_model.py:71,151), expressed
     as two matmuls over the spatial axes.
+
+    A zero-matmul factor-2 shift-and-lerp form (even/odd rows have
+    closed-form 2-tap weights) was TRIED and measured 1428 -> 963
+    slices/s on v5e: the stack-interleaves and shift concats cost far more
+    than the dense matmuls at ~59% MXU utilization. Keep the matmuls.
     """
     b, h, w, c = x.shape
     th, tw = h * factor, w * factor
@@ -179,6 +184,8 @@ def upsample_bilinear_align_corners(x: jnp.ndarray, factor: int = 2) -> jnp.ndar
     x = jnp.einsum("oh,bhwc->bowc", wr, x)
     x = jnp.einsum("pw,bowc->bopc", wc, x)
     return x
+
+
 
 
 @functools.lru_cache(maxsize=128)

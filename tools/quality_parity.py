@@ -223,9 +223,18 @@ def main():
             continue
         ref = summarize(torch_infer_metrics(ref_ckpt, pairs))
         ours = summarize(ours_infer_metrics(our_ckpt, pairs))
-        rows[which] = {"reference_torch": ref, "ours_jax": ours,
-                       "delta_psnr_db": ours["psnr"] - ref["psnr"],
-                       "delta_ssim": ours["ssim"] - ref["ssim"]}
+        # The sharp implementation-parity claim: the SAME torch-trained
+        # weights served by our engine (`.pth` accepted via torch_compat)
+        # must reproduce native-torch quality — this isolates framework
+        # numerics from SGD/run-to-run training noise.
+        xfw = summarize(ours_infer_metrics(ref_ckpt, pairs))
+        rows[which] = {
+            "reference_torch": ref, "ours_jax": ours,
+            "torch_weights_in_our_engine": xfw,
+            "same_weights_delta_psnr_db": xfw["psnr"] - ref["psnr"],
+            "same_weights_delta_ssim": xfw["ssim"] - ref["ssim"],
+            "trained_delta_psnr_db": ours["psnr"] - ref["psnr"],
+            "trained_delta_ssim": ours["ssim"] - ref["ssim"]}
 
     out = {"config": vars(args), "n_test_pairs": len(pairs), "results": rows}
     report = os.path.join(wd, "quality_parity.json")
@@ -235,11 +244,18 @@ def main():
     print("\n| ckpt | model | SSIM | PSNR (dB) | dSSIM | dPSNR (dB) |")
     print("|---|---|---|---|---|---|")
     for which, r in rows.items():
-        print(f"| {which} | reference (torch) | {r['reference_torch']['ssim']:.4f} "
+        print(f"| {which} | reference (torch-trained, torch eval) "
+              f"| {r['reference_torch']['ssim']:.4f} "
               f"| {r['reference_torch']['psnr']:.2f} | | |")
-        print(f"| {which} | ours (JAX/TPU) | {r['ours_jax']['ssim']:.4f} "
-              f"| {r['ours_jax']['psnr']:.2f} | {r['delta_ssim']:+.4f} "
-              f"| {r['delta_psnr_db']:+.3f} |")
+        print(f"| {which} | same torch weights, OUR engine "
+              f"| {r['torch_weights_in_our_engine']['ssim']:.4f} "
+              f"| {r['torch_weights_in_our_engine']['psnr']:.2f} "
+              f"| {r['same_weights_delta_ssim']:+.4f} "
+              f"| {r['same_weights_delta_psnr_db']:+.3f} |")
+        print(f"| {which} | ours (JAX-trained, our eval) "
+              f"| {r['ours_jax']['ssim']:.4f} "
+              f"| {r['ours_jax']['psnr']:.2f} | {r['trained_delta_ssim']:+.4f} "
+              f"| {r['trained_delta_psnr_db']:+.3f} |")
     print(f"\nReport: {report}")
 
 
