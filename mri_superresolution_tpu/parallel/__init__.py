@@ -4,3 +4,7 @@ from mri_superresolution_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from mri_superresolution_tpu.parallel.spatial import (  # noqa: F401
+    build_spatial_forward,
+    make_spatial_mesh,
+)

@@ -1,0 +1,260 @@
+"""Spatially-sharded (sequence-parallel analogue) U-Net forward.
+
+The reference is single-device and simply warns when a slice is large
+(scripts/infer.py:119-121). This framework already scales large slices two
+ways: batched full-volume DP and halo-tiled inference (infer/engine.py).
+This module adds the third, fully TPU-native axis: the slice's ROW axis is
+sharded over a ``space`` mesh axis and the exact forward runs under
+``shard_map`` with explicit collectives —
+
+- 3x3 convolutions exchange 1-row halos with mesh neighbors via
+  ``lax.ppermute`` (unpaired edge devices receive zeros, which is exactly
+  the zero padding the dense conv uses),
+- GroupNorm statistics are whole-image by definition
+  (models/unet.py DoubleConv), so local fp32 sums are combined with
+  ``lax.psum`` over the ``space`` axis,
+- the align_corners bilinear 2x row-upsample is position-dependent, so each
+  device applies its own slice of the global upsample matrix (selected by
+  ``lax.axis_index``) against a 1-row-haloed block — same matmul form as
+  ops/resize.py, just restricted to the device's output rows,
+- max-pool, pixel-shuffle, blending and the column-axis work are local.
+
+The result is numerically equivalent to ``UNetSuperRes.apply`` on the
+gathered input (tests/test_spatial.py asserts this on a (data, space) CPU
+mesh) while activations, conv FLOPs and GroupNorm sums all scale 1/n_space
+per device. For many small slices, batch DP remains the better axis (no
+halo traffic); spatial sharding is the scaling story for slices too large
+for one chip's HBM — the honest analogue of sequence parallelism for this
+workload (SURVEY.md §2.2).
+
+Constraints: global H must be divisible by 8 * n_space (three pool levels
+stay shard-local), W by 8. Weights come from the SAME param tree as the
+dense model, so any checkpoint (including converted torch ones) works.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from mri_superresolution_tpu.ops.resize import _align_corners_matrix
+
+DATA_AXIS = "data"
+SPACE_AXIS = "space"
+_EPS = 1e-5
+
+
+def make_spatial_mesh(n_data: int, n_space: int, devices=None) -> Mesh:
+    """2-D (data, space) mesh over the first n_data*n_space devices."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_data * n_space])
+    return Mesh(devices.reshape(n_data, n_space), (DATA_AXIS, SPACE_AXIS))
+
+
+# ------------------------------------------------------------- collectives
+
+def _halo_exchange(x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
+    """Extend the local (B, h, W, C) row block with ``up`` rows from the
+    previous device and ``down`` rows from the next one along SPACE_AXIS.
+    Edge devices receive zeros (the dense conv's zero padding)."""
+    n = lax.axis_size(SPACE_AXIS)
+    parts = []
+    if up:
+        parts.append(lax.ppermute(x[:, -up:], SPACE_AXIS,
+                                  [(i, i + 1) for i in range(n - 1)]))
+    parts.append(x)
+    if down:
+        parts.append(lax.ppermute(x[:, :down], SPACE_AXIS,
+                                  [(i + 1, i) for i in range(n - 1)]))
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
+
+
+def _conv3x3(x, kernel, dilation: int = 1):
+    """3x3 conv over a row-sharded block: halo rows replace row padding."""
+    d = dilation
+    x = _halo_exchange(x, d, d)
+    return lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), ((0, 0), (d, d)),
+        rhs_dilation=(d, d), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _conv1x1(x, kernel, bias=None):
+    y = lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def _group_norm(x, scale, bias, n_groups: int = 8):
+    """GroupNorm(8) with whole-image statistics: local fp32 sums psum'd
+    over the space axis (exactly the dense op's value set, reordered)."""
+    b, h, w, c = x.shape
+    cg = c // n_groups
+    xf = x.astype(jnp.float32).reshape(b, -1, n_groups, cg)
+    s = lax.psum(jnp.sum(xf, axis=(1, 3)), SPACE_AXIS)
+    sq = lax.psum(jnp.sum(jnp.square(xf), axis=(1, 3)), SPACE_AXIS)
+    n_elems = h * w * cg * lax.axis_size(SPACE_AXIS)
+    mean = s / n_elems
+    var = sq / n_elems - jnp.square(mean)
+    mul = lax.rsqrt(var + _EPS)
+    mean_c = jnp.repeat(mean, cg, -1).reshape(b, 1, 1, c)
+    mul_c = jnp.repeat(mul, cg, -1).reshape(b, 1, 1, c)
+    y = (x.astype(jnp.float32) - mean_c) * mul_c
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _upsample_rows_matrices(h_global: int, n_space: int) -> np.ndarray:
+    """Per-device slices of the align_corners 2x row-upsample matrix.
+
+    Device d emits output rows [2*d*hl, 2*(d+1)*hl) from input rows
+    [d*hl - 1, (d+1)*hl + 1) (a 1-row halo each side; align_corners taps
+    never reach further). Returns (n_space, 2*hl, hl + 2)."""
+    hl = h_global // n_space
+    a = _align_corners_matrix(h_global, 2 * h_global)     # (2H, H)
+    a = np.pad(np.asarray(a), ((0, 0), (1, 1)))           # zero halo columns
+    return np.stack([a[2 * d * hl: 2 * (d + 1) * hl,
+                       d * hl: (d + 1) * hl + 2] for d in range(n_space)])
+
+
+def _upsample2x(x, row_mats: jnp.ndarray, w_mat: jnp.ndarray):
+    """2x align_corners bilinear on a row-sharded block: device-specific
+    row matmul (1-row halos) + full column matmul."""
+    a_rows = jnp.take(row_mats, lax.axis_index(SPACE_AXIS), axis=0)
+    x = _halo_exchange(x, 1, 1)
+    y = jnp.einsum("oh,bhwc->bowc", a_rows.astype(x.dtype), x)
+    return jnp.einsum("pw,bowc->bopc", w_mat.astype(x.dtype), y)
+
+
+# ------------------------------------------------------------ model blocks
+
+def _double_conv(p, x, dilation: int = 1):
+    in_ch = x.shape[-1]
+    y = _conv3x3(x, p["conv1"]["kernel"])
+    y = jax.nn.leaky_relu(
+        _group_norm(y, p["norm1"]["scale"], p["norm1"]["bias"]), 0.2)
+    y = _conv3x3(y, p["conv2"]["kernel"], dilation)
+    y = jax.nn.leaky_relu(
+        _group_norm(y, p["norm2"]["scale"], p["norm2"]["bias"]), 0.2)
+    if in_ch == y.shape[-1]:
+        y = y + x
+    return y
+
+
+def _max_pool2(x):
+    return lax.reduce_window(x, -jnp.inf, lax.max, (1, 2, 2, 1),
+                             (1, 2, 2, 1), "VALID")
+
+
+def _pixel_shuffle(x, r: int = 2):
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * r, w * r, c)
+
+
+def _up_block(p, x1, x2, row_mats, w_mat):
+    """Up: 1x1 up_conv BEFORE the 2x upsample (models/unet.py Up), GN,
+    lrelu, concat with the skip, DoubleConv."""
+    y = _conv1x1(x1, p["up_conv"]["kernel"])
+    y = _upsample2x(y, row_mats, w_mat)
+    y = jax.nn.leaky_relu(
+        _group_norm(y, p["up_norm"]["scale"], p["up_norm"]["bias"]), 0.2)
+    assert y.shape[1:3] == x2.shape[1:3], (
+        "spatial forward requires H % (8*n_space) == 0 and W % 8 == 0 so "
+        "Up blocks never pad-to-match")
+    return _double_conv(p["conv"], jnp.concatenate([x2, y], axis=-1))
+
+
+def _local_forward(params, x, row_mats_by_h, w_mats_by_w, dtype):
+    """The full UNetSuperRes forward on one (B, h_local, W, 1) row block.
+    Mirrors models/unet.py UNetSuperRes.__call__ exactly."""
+    x = x.astype(dtype)
+
+    x1 = _double_conv(params["inc"], x)
+    x2 = _double_conv(params["down1"]["conv"], _max_pool2(x1))
+    x3 = _double_conv(params["down2"]["conv"], _max_pool2(x2))
+    x4 = _double_conv(params["down3"]["conv"], _max_pool2(x3))
+
+    h8, h4, h2, h1 = (x4.shape[1], x3.shape[1], x2.shape[1], x1.shape[1])
+    w8, w4, w2, w1 = (x4.shape[2], x3.shape[2], x2.shape[2], x1.shape[2])
+    y = _up_block(params["up1"], x4, x3, row_mats_by_h[h8], w_mats_by_w[w8])
+    y = _up_block(params["up2"], y, x2, row_mats_by_h[h4], w_mats_by_w[w4])
+    y = _up_block(params["up3"], y, x1, row_mats_by_h[h2], w_mats_by_w[w2])
+
+    # dual-branch final 2x stage
+    yb = _upsample2x(y, row_mats_by_h[h1], w_mats_by_w[w1])
+    yb = _conv3x3(yb, params["final_up_conv"]["kernel"])
+    yb = jax.nn.leaky_relu(
+        _group_norm(yb, params["final_up_norm"]["scale"],
+                    params["final_up_norm"]["bias"]), 0.2)
+
+    ps = params["final_up_pixelshuffle"]
+    yp = _conv3x3(y, ps["conv"]["kernel"]) + ps["conv"]["bias"].astype(dtype)
+    yp = _pixel_shuffle(yp)
+    yp = jax.nn.leaky_relu(
+        _group_norm(yp, ps["norm"]["scale"], ps["norm"]["bias"]), 0.2)
+
+    w_mix = jax.nn.sigmoid(params["alpha"]).astype(dtype)
+    y = w_mix * yb + (1.0 - w_mix) * yp
+
+    y = _conv3x3(y, params["final_conv1"]["kernel"])
+    y = jax.nn.leaky_relu(
+        _group_norm(y, params["final_norm"]["scale"],
+                    params["final_norm"]["bias"]), 0.2)
+    y = _conv1x1(y, params["final_conv2"]["kernel"],
+                 params["final_conv2"]["bias"])
+    return jax.nn.sigmoid(y.astype(jnp.float32))
+
+
+# ------------------------------------------------------------- public API
+
+def build_spatial_forward(mesh: Mesh, input_hw, dtype: Any = jnp.bfloat16):
+    """Compile a row-sharded U-Net forward over a (data, space) mesh.
+
+    Returns ``fn(params, x)`` with x: (B, H, W, 1) fp32 global, B divisible
+    by the data axis, H by 8*n_space, W by 8. The output is the (B, 2H, 2W,
+    1) fp32 super-resolved batch, identical (to float tolerance) to
+    ``UNetSuperRes.apply`` with the same params.
+    """
+    h, w = input_hw
+    n_space = mesh.shape[SPACE_AXIS]
+    if h % (8 * n_space) != 0:
+        raise ValueError(f"H={h} must be divisible by 8*n_space={8 * n_space}")
+    if w % 8 != 0:
+        raise ValueError(f"W={w} must be divisible by 8")
+
+    # Static per-resolution upsample operators (keyed by LOCAL row count /
+    # global column count): decoder stages at H/8, H/4, H/2 and the final
+    # stage at H; all built once at trace time.
+    row_mats_by_h = {}
+    w_mats_by_w = {}
+    for s in (8, 4, 2, 1):
+        hl = h // s // n_space
+        row_mats_by_h[hl] = jnp.asarray(
+            _upsample_rows_matrices(h // s, n_space), jnp.float32)
+        w_mats_by_w[w // s] = jnp.asarray(
+            np.asarray(_align_corners_matrix(w // s, 2 * (w // s))),
+            jnp.float32)
+
+    fwd = partial(_local_forward, row_mats_by_h=row_mats_by_h,
+                  w_mats_by_w=w_mats_by_w, dtype=dtype)
+    sharded = shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, SPACE_AXIS, None, None)),
+        out_specs=P(DATA_AXIS, SPACE_AXIS, None, None))
+
+    x_sh = NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS, None, None))
+    p_sh = NamedSharding(mesh, P())
+    return jax.jit(sharded, in_shardings=(p_sh, x_sh), out_shardings=x_sh)
