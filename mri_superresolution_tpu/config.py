@@ -121,6 +121,12 @@ class InferConfig:
     # for far fewer XLA recompiles on heterogeneous-size test sets (each new
     # shape costs minutes through the TPU tunnel — the engine logs each one).
     bucket: int = 1
+    # Shard each slice's ROW axis over this many mesh devices
+    # (parallel/spatial.py: ppermute halos + psum GroupNorm stats) instead
+    # of replicating the whole slice per device. 1 = batch DP only. Use for
+    # slices too large for one chip; requires model_type 'unet' and
+    # spatial_shards | visible devices.
+    spatial_shards: int = 1
 
 
 def to_dict(cfg) -> dict:

@@ -62,12 +62,31 @@ class InferenceEngine:
 
     def __init__(self, model_cfg: ModelConfig, params,
                  bf16: bool = True, bucket: int = 1,
-                 num_devices: int = 1):
+                 num_devices: int = 1, spatial_shards: int = 1):
         self.model_cfg = model_cfg
-        dtype = jnp.bfloat16 if bf16 else jnp.float32
-        self.model = build_model(model_cfg, dtype=dtype)
-        self.mesh = make_mesh(num_devices)
-        self.n_devices = self.mesh.devices.size
+        self._dtype = jnp.bfloat16 if bf16 else jnp.float32
+        self.model = build_model(model_cfg, dtype=self._dtype)
+        self.spatial_shards = spatial_shards
+        if spatial_shards > 1:
+            # Row-sharded forwards (parallel/spatial.py): each slice is
+            # split over `spatial_shards` devices with ppermute halos; the
+            # remaining devices form the batch axis.
+            from mri_superresolution_tpu.parallel import make_spatial_mesh
+            if model_cfg.model_type != "unet":
+                raise ValueError("spatial_shards > 1 supports the parity "
+                                 "'unet' topology only")
+            n_vis = (num_devices if num_devices and num_devices > 0
+                     else len(jax.devices()))
+            if n_vis % spatial_shards != 0:
+                raise ValueError(f"spatial_shards={spatial_shards} must "
+                                 f"divide the {n_vis} mesh devices")
+            self.mesh = make_spatial_mesh(n_vis // spatial_shards,
+                                          spatial_shards)
+            self.n_devices = n_vis // spatial_shards  # batch-axis width
+            self._spatial_fwd_cache: dict = {}
+        else:
+            self.mesh = make_mesh(num_devices)
+            self.n_devices = self.mesh.devices.size
         self._rsh = replicated_sharding(self.mesh)
         self._dsh = data_sharding(self.mesh)
         self.params = jax.device_put(params, self._rsh)
@@ -79,8 +98,25 @@ class InferenceEngine:
             out_shardings=self._dsh)
 
     def _bucket_hw(self, h: int, w: int) -> Tuple[int, int]:
-        return (_round_up(max(h, 8), self.bucket),
-                _round_up(max(w, 8), self.bucket))
+        bh = _round_up(max(h, 8), self.bucket)
+        bw = _round_up(max(w, 8), self.bucket)
+        if self.spatial_shards > 1:
+            # row-sharded path needs H | 8*shards, W | 8 (spatial.py); like
+            # bucket > 1 this trades GroupNorm-exactness at non-conforming
+            # sizes for shard-local pooling
+            bh = _round_up(bh, 8 * self.spatial_shards)
+            bw = _round_up(bw, 8)
+        return bh, bw
+
+    def _spatial_forward(self, bh: int, bw: int):
+        from mri_superresolution_tpu.parallel import build_spatial_forward
+        key = (bh, bw)
+        if key not in self._spatial_fwd_cache:
+            fwd = build_spatial_forward(self.mesh, (bh, bw),
+                                        dtype=self._dtype)
+            self._spatial_fwd_cache[key] = jax.jit(
+                lambda p, x: jnp.clip(fwd(p, x), 0.0, 1.0))
+        return self._spatial_fwd_cache[key]
 
     def upscale_batch(self, batch: np.ndarray) -> np.ndarray:
         """(N, h, w) float [0,1] → (N, 2h, 2w) float [0,1].
@@ -105,7 +141,10 @@ class InferenceEngine:
                 "TPU tunnel); set bucket > 1 (e.g. --bucket 32) to coalesce.")
         x = np.zeros((nb, bh, bw, 1), np.float32)
         x[:n, :h, :w, 0] = batch
-        y = self._forward(self.params, jnp.asarray(x))
+        if self.spatial_shards > 1:
+            y = self._spatial_forward(bh, bw)(self.params, jnp.asarray(x))
+        else:
+            y = self._forward(self.params, jnp.asarray(x))
         y = np.asarray(y[:n, :2 * h, :2 * w, 0])
         return y
 
@@ -301,4 +340,5 @@ def load_engine(cfg: InferConfig, num_devices: int = 1) -> InferenceEngine:
         logger.info(f"Model hyperparams from checkpoint: "
                     f"base_filters={model_cfg.base_filters}")
     return InferenceEngine(model_cfg, params, bf16=cfg.bf16,
-                           bucket=cfg.bucket, num_devices=num_devices)
+                           bucket=cfg.bucket, num_devices=num_devices,
+                           spatial_shards=cfg.spatial_shards)

@@ -43,6 +43,11 @@ def main():
     parser.add_argument('--bucket', type=int, default=1,
                         help='Pad slices to a multiple of this before the '
                              'jitted forward (1 = native size)')
+    parser.add_argument('--spatial_shards', type=int, default=1,
+                        help='Shard each slice\'s row axis over this many '
+                             'mesh devices (halo-exchange spatial '
+                             'parallelism) for slices too large per chip; '
+                             'must divide the visible device count')
     args = parser.parse_args()
     force_cpu_if_requested()
 
@@ -72,7 +77,8 @@ def main():
                                       base_filters=args.base_filters),
                     checkpoint_dir=args.checkpoint_dir,
                     checkpoint_path=args.checkpoint_path,
-                    bf16=not args.no_bf16, bucket=args.bucket),
+                    bf16=not args.no_bf16, bucket=args.bucket,
+                    spatial_shards=args.spatial_shards),
         num_devices=args.num_devices)
 
     # per-slice percentile window + minmax, batched on device

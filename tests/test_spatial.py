@@ -72,6 +72,36 @@ def test_shape_validation():
         build_spatial_forward(mesh, (64, 60))
 
 
+def test_engine_spatial_path_matches_dense(dense_and_params):
+    """InferenceEngine(spatial_shards=4) serves the same outputs as the
+    default batch-DP engine on conforming sizes (H | 8*shards)."""
+    from mri_superresolution_tpu.config import ModelConfig
+    from mri_superresolution_tpu.infer.engine import InferenceEngine
+
+    _, params = dense_and_params
+    cfg = ModelConfig(model_type="unet", base_filters=16)
+    dense_eng = InferenceEngine(cfg, params, bf16=False, num_devices=8)
+    sp_eng = InferenceEngine(cfg, params, bf16=False, num_devices=8,
+                             spatial_shards=4)
+    batch = _rand_batch(4, 64, 64, seed=3)[..., 0]
+    np.testing.assert_allclose(sp_eng.upscale_batch(batch),
+                               dense_eng.upscale_batch(batch),
+                               rtol=1e-4, atol=3e-5)
+
+
+def test_engine_spatial_rejects_bad_config(dense_and_params):
+    from mri_superresolution_tpu.config import ModelConfig
+    from mri_superresolution_tpu.infer.engine import InferenceEngine
+
+    _, params = dense_and_params
+    with pytest.raises(ValueError, match="must divide"):
+        InferenceEngine(ModelConfig(model_type="unet", base_filters=16),
+                        params, num_devices=8, spatial_shards=3)
+    with pytest.raises(ValueError, match="'unet' topology"):
+        InferenceEngine(ModelConfig(model_type="unet_tpu", base_filters=16),
+                        params, num_devices=8, spatial_shards=4)
+
+
 def test_torch_checkpoint_params_work(dense_and_params):
     """The spatial forward consumes the SAME param tree as the dense model,
     so converted reference checkpoints run unmodified — pin the tree
