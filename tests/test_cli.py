@@ -83,6 +83,21 @@ def test_infer_volume_cli(workspace):
     assert hdr.zooms[0] == 0.5
 
 
+def test_infer_volume_cli_spatial_shards(workspace):
+    """Row-sharded serving path end to end: 8 virtual CPU devices as a
+    (2 data, 4 space) mesh via --spatial_shards 4."""
+    from mri_superresolution_tpu import nifti
+    r = _run([os.path.join(SCRIPTS, "infer_volume.py"),
+              "--input", "./datasets/s1/sub-01/anat/sub-01_T1w.nii.gz",
+              "--output", "./sr_vol_sp.nii.gz", "--checkpoint_dir", "./ckpt",
+              "--batch_size", "8", "--spatial_shards", "4", "--cpu"],
+             cwd=str(workspace))
+    assert r.returncode == 0, r.stderr[-2000:]
+    data, _ = nifti.load(str(workspace / "sr_vol_sp.nii.gz"))
+    assert data.shape == (80, 72, 24)
+    assert np.isfinite(data).all()
+
+
 def test_infer_cli_bad_checkpoint_dir_exits_nonzero(workspace):
     r = _run([os.path.join(SCRIPTS, "infer.py"),
               "--input", "x.png", "--output", "y.png",
