@@ -127,6 +127,12 @@ class InferConfig:
     # slices too large for one chip; requires model_type 'unet' and
     # spatial_shards | visible devices.
     spatial_shards: int = 1
+    # "int8" enables post-training-quantized serving (ops/quant.py): conv
+    # weights per-output-channel int8, activations per-tensor int8 with
+    # static scales self-calibrated on the first served batch. Measured
+    # 1.78-2.02x per conv on v5e (tools/bench_int8_probe.py); quality delta
+    # vs bf16 documented in RESULTS.md. "none" = bf16 serving (default).
+    quant: str = "none"
 
 
 def to_dict(cfg) -> dict:

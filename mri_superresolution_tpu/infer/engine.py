@@ -62,11 +62,24 @@ class InferenceEngine:
 
     def __init__(self, model_cfg: ModelConfig, params,
                  bf16: bool = True, bucket: int = 1,
-                 num_devices: int = 1, spatial_shards: int = 1):
+                 num_devices: int = 1, spatial_shards: int = 1,
+                 quant: str = "none"):
         self.model_cfg = model_cfg
         self._dtype = jnp.bfloat16 if bf16 else jnp.float32
         self.model = build_model(model_cfg, dtype=self._dtype)
         self.spatial_shards = spatial_shards
+        if quant not in ("none", "int8"):
+            raise ValueError(f"unknown quant mode {quant!r}")
+        if quant == "int8":
+            from mri_superresolution_tpu.models import quant_forward
+            if not quant_forward.supported(model_cfg.model_type):
+                raise ValueError("--quant int8 supports model types "
+                                 "'unet'/'unet_tpu' only")
+            if spatial_shards > 1:
+                raise ValueError("--quant int8 is incompatible with "
+                                 "spatial_shards > 1")
+        self.quant = quant
+        self._quant_fwd = None   # built after first-batch calibration
         if spatial_shards > 1:
             # Row-sharded forwards (parallel/spatial.py): each slice is
             # split over `spatial_shards` devices with ppermute halos; the
@@ -108,6 +121,28 @@ class InferenceEngine:
             bw = _round_up(bw, 8)
         return bh, bw
 
+    def _int8_forward(self, first_batch: np.ndarray):
+        """Build (once) the int8 PTQ forward, self-calibrating activation
+        scales on the first served batch (models/quant_forward.py). Static
+        scales keep every quantize a fusable elementwise op; the scales are
+        shape-independent, so one calibration serves all later shapes."""
+        if self._quant_fwd is None:
+            from mri_superresolution_tpu.models import quant_forward
+            host_params = jax.device_get(self.params)
+            scales = quant_forward.calibrate(
+                host_params, [first_batch], self.model_cfg.model_type,
+                dtype=self._dtype)
+            logger.info(f"int8 PTQ: calibrated {len(scales)} conv sites on "
+                        f"the first batch {tuple(first_batch.shape)}")
+            fn = quant_forward.build_int8_forward(
+                host_params, scales, self.model_cfg.model_type,
+                dtype=self._dtype)
+            self._quant_fwd = jax.jit(
+                lambda p, x: jnp.clip(fn(p, x), 0.0, 1.0),
+                in_shardings=(self._rsh, self._dsh),
+                out_shardings=self._dsh)
+        return self._quant_fwd
+
     def _spatial_forward(self, bh: int, bw: int):
         from mri_superresolution_tpu.parallel import build_spatial_forward
         key = (bh, bw)
@@ -143,6 +178,8 @@ class InferenceEngine:
         x[:n, :h, :w, 0] = batch
         if self.spatial_shards > 1:
             y = self._spatial_forward(bh, bw)(self.params, jnp.asarray(x))
+        elif self.quant == "int8":
+            y = self._int8_forward(x)(self.params, jnp.asarray(x))
         else:
             y = self._forward(self.params, jnp.asarray(x))
         y = np.asarray(y[:n, :2 * h, :2 * w, 0])
@@ -341,4 +378,5 @@ def load_engine(cfg: InferConfig, num_devices: int = 1) -> InferenceEngine:
                     f"base_filters={model_cfg.base_filters}")
     return InferenceEngine(model_cfg, params, bf16=cfg.bf16,
                            bucket=cfg.bucket, num_devices=num_devices,
-                           spatial_shards=cfg.spatial_shards)
+                           spatial_shards=cfg.spatial_shards,
+                           quant=cfg.quant)

@@ -1,0 +1,267 @@
+"""Functional U-Net forwards with int8 post-training quantization.
+
+Serving-side companion to models/unet.py and models/unet_tpu.py: consumes
+the SAME parameter tree as ``model.apply`` (any checkpoint works, including
+converted torch ones) but expresses the forward as plain functions so every
+conv site can run in one of three modes sharing one code path:
+
+- ``ref``   — bf16, numerically identical to ``model.apply`` (asserted by
+              tests/test_quant.py), the correctness anchor;
+- ``calib`` — ref compute + record each conv input's |x| max, producing the
+              static per-tensor activation scales;
+- ``int8``  — s8 x s8 -> s32 convs (ops/quant.py) with per-output-channel
+              weight scales and the calibrated static activation scales.
+
+The final 1x1 output conv (``final_conv2`` / ``head_out``) stays bf16: it
+feeds the sigmoid output directly, costs <1% of the FLOPs, and keeping it
+full-precision removes the largest quality term for free. GroupNorm,
+LeakyReLU, bilinear upsampling and pixel-shuffle stay bf16 (bandwidth-bound,
+no MXU benefit) — but their writes fuse with the following site's static
+quantize, so activations still cross HBM as int8 where it matters.
+
+The reference has no quantized inference (fp16 CUDA autocast only,
+scripts/infer.py:26-31); this is a TPU-native extension measured at
+1.78-2.02x per conv (tools/bench_int8_probe.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mri_superresolution_tpu.ops.quant import (int8_conv, quantize_tensor,
+                                               weight_qparams)
+from mri_superresolution_tpu.ops.resize import upsample_bilinear_align_corners
+
+_EPS = 1e-5
+
+
+class _Ctx:
+    """Per-trace context: mode + scale tables + calib-amax accumulator."""
+
+    def __init__(self, mode: str = "ref",
+                 scales: Optional[Dict[str, float]] = None,
+                 qweights: Optional[Dict[str, Tuple]] = None):
+        assert mode in ("ref", "calib", "int8")
+        self.mode = mode
+        self.scales = scales or {}
+        self.qweights = qweights or {}
+        self.amax: Dict[str, jnp.ndarray] = {}
+
+
+def _conv(ctx: _Ctx, site: str, kernel, x, *, padding: int = 1,
+          bias=None) -> jnp.ndarray:
+    if ctx.mode == "int8" and site in ctx.qweights:
+        qk, sk = ctx.qweights[site]
+        s = ctx.scales[site]
+        return int8_conv(quantize_tensor(x, s), s, qk, sk, bias=bias,
+                         padding=padding, out_dtype=x.dtype)
+    if ctx.mode == "calib":
+        ctx.amax[site] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    y = lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1),
+        ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def _group_norm(x, scale, bias, n_groups: int = 8):
+    """flax.linen.GroupNorm numerics (fp32 stats, E[x^2]-E[x]^2 variance) —
+    the same formula parallel/spatial.py uses, validated against flax by
+    tests/test_spatial.py."""
+    b, h, w, c = x.shape
+    cg = c // n_groups
+    xf = x.astype(jnp.float32).reshape(b, h, w, n_groups, cg)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=(1, 2, 4), keepdims=True) \
+        - jnp.square(mean)
+    y = (xf - mean) * lax.rsqrt(var + _EPS)
+    y = y.reshape(b, h, w, c)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _gn_leaky(x, p):
+    return jax.nn.leaky_relu(_group_norm(x, p["scale"], p["bias"]), 0.2)
+
+
+def _double_conv(ctx, prefix, p, x):
+    in_ch = x.shape[-1]
+    y = _gn_leaky(_conv(ctx, f"{prefix}.conv1", p["conv1"]["kernel"], x),
+                  p["norm1"])
+    y = _gn_leaky(_conv(ctx, f"{prefix}.conv2", p["conv2"]["kernel"], y),
+                  p["norm2"])
+    if in_ch == y.shape[-1]:
+        y = y + x
+    return y
+
+
+def _max_pool2(x):
+    return lax.reduce_window(x, -jnp.inf, lax.max, (1, 2, 2, 1),
+                             (1, 2, 2, 1), "VALID")
+
+
+def _pixel_shuffle(x, r: int = 2):
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * r, w * r, c)
+
+
+def _up_block(ctx, prefix, p, x1, x2):
+    """models/unet.py Up: 1x1 up_conv BEFORE the 2x upsample, GN+leaky,
+    pad-to-match, skip concat, DoubleConv."""
+    y = _conv(ctx, f"{prefix}.up_conv", p["up_conv"]["kernel"], x1, padding=0)
+    y = upsample_bilinear_align_corners(y, 2)
+    y = _gn_leaky(y, p["up_norm"])
+    dy = x2.shape[1] - y.shape[1]
+    dx = x2.shape[2] - y.shape[2]
+    if dy != 0 or dx != 0:
+        y = jnp.pad(y, ((0, 0), (dy // 2, dy - dy // 2),
+                        (dx // 2, dx - dx // 2), (0, 0)))
+    return _double_conv(ctx, f"{prefix}.conv", p["conv"],
+                        jnp.concatenate([x2, y], axis=-1))
+
+
+def _backbone(ctx, params, x):
+    x1 = _double_conv(ctx, "inc", params["inc"], x)
+    x2 = _double_conv(ctx, "down1", params["down1"]["conv"], _max_pool2(x1))
+    x3 = _double_conv(ctx, "down2", params["down2"]["conv"], _max_pool2(x2))
+    x4 = _double_conv(ctx, "down3", params["down3"]["conv"], _max_pool2(x3))
+    y = _up_block(ctx, "up1", params["up1"], x4, x3)
+    y = _up_block(ctx, "up2", params["up2"], y, x2)
+    y = _up_block(ctx, "up3", params["up3"], y, x1)
+    return y
+
+
+def _forward_unet(ctx, params, x, dtype):
+    """Mirrors UNetSuperRes.__call__ (models/unet.py, dense path)."""
+    y = _backbone(ctx, params, x.astype(dtype))
+
+    yb = upsample_bilinear_align_corners(y, 2)
+    yb = _conv(ctx, "final_up_conv", params["final_up_conv"]["kernel"], yb)
+    yb = _gn_leaky(yb, params["final_up_norm"])
+
+    ps = params["final_up_pixelshuffle"]
+    yp = _conv(ctx, "final_up_pixelshuffle.conv", ps["conv"]["kernel"], y,
+               bias=ps["conv"]["bias"])
+    yp = _pixel_shuffle(yp, 2)
+    yp = _gn_leaky(yp, ps["norm"])
+
+    w = jax.nn.sigmoid(params["alpha"]).astype(dtype)
+    y = w * yb + (1.0 - w) * yp
+
+    y = _conv(ctx, "final_conv1", params["final_conv1"]["kernel"], y)
+    y = _gn_leaky(y, params["final_norm"])
+    # output head stays bf16 (never quantized): <1% of FLOPs, feeds sigmoid
+    y = _conv(ctx, "__out__", params["final_conv2"]["kernel"], y, padding=0,
+              bias=params["final_conv2"]["bias"])
+    return jax.nn.sigmoid(y.astype(jnp.float32))
+
+
+def _forward_unet_tpu(ctx, params, x, dtype):
+    """Mirrors UNetSuperResTPU.__call__ (models/unet_tpu.py)."""
+    y = _backbone(ctx, params, x.astype(dtype))
+
+    a = _gn_leaky(_conv(ctx, "branch_a_conv",
+                        params["branch_a_conv"]["kernel"], y),
+                  params["branch_a_norm"])
+    b = _gn_leaky(_conv(ctx, "branch_b_conv",
+                        params["branch_b_conv"]["kernel"], y,
+                        bias=params["branch_b_conv"]["bias"]),
+                  params["branch_b_norm"])
+    w = jax.nn.sigmoid(params["alpha"]).astype(dtype)
+    y = w * a + (1.0 - w) * b
+
+    y = _gn_leaky(_conv(ctx, "head_conv", params["head_conv"]["kernel"], y),
+                  params["head_norm"])
+    y = _conv(ctx, "__out__", params["head_out"]["kernel"], y, padding=0,
+              bias=params["head_out"]["bias"])
+    y = _pixel_shuffle(y, 2)
+    return jax.nn.sigmoid(y.astype(jnp.float32))
+
+
+_FORWARDS = {"unet": _forward_unet, "unet_tpu": _forward_unet_tpu}
+
+
+def supported(model_type: str) -> bool:
+    return model_type in _FORWARDS
+
+
+def reference_forward(params, x, model_type: str = "unet",
+                      dtype: Any = jnp.bfloat16):
+    """bf16 functional forward, numerically identical to model.apply."""
+    return _FORWARDS[model_type](_Ctx("ref"), params, x, dtype)
+
+
+def calibrate(params, batches: Sequence[np.ndarray], model_type: str = "unet",
+              dtype: Any = jnp.bfloat16) -> Dict[str, float]:
+    """Run calibration batches in bf16, return per-site static activation
+    scales {site: amax/127}. Batches: (B, H, W, C) float arrays in [0,1]."""
+    fwd = _FORWARDS[model_type]
+
+    @jax.jit
+    def one(p, x):
+        ctx = _Ctx("calib")
+        fwd(ctx, p, x, dtype)
+        return ctx.amax
+
+    amax: Dict[str, float] = {}
+    for b in batches:
+        out = jax.device_get(one(params, jnp.asarray(b)))
+        for k, v in out.items():
+            amax[k] = max(amax.get(k, 0.0), float(v))
+    return {k: (v / 127.0 if v > 0 else 1.0) for k, v in amax.items()
+            if k != "__out__"}
+
+
+def build_int8_forward(params, scales: Dict[str, float],
+                       model_type: str = "unet",
+                       dtype: Any = jnp.bfloat16):
+    """Returns ``fn(params, x) -> y`` running every calibrated conv site in
+    int8 (weights per-channel, activations per-tensor static). ``params``
+    is accepted per-call so the engine's sharding plumbing stays uniform;
+    the int8 weights are precomputed here once."""
+    fwd = _FORWARDS[model_type]
+    qweights = {}
+    sites = []
+
+    def dc(prefix, p):
+        sites.append((f"{prefix}.conv1", p["conv1"]["kernel"]))
+        sites.append((f"{prefix}.conv2", p["conv2"]["kernel"]))
+
+    dc("inc", params["inc"])
+    for i in (1, 2, 3):
+        dc(f"down{i}", params[f"down{i}"]["conv"])
+    for i in (1, 2, 3):
+        up = params[f"up{i}"]
+        sites.append((f"up{i}.up_conv", up["up_conv"]["kernel"]))
+        dc(f"up{i}.conv", up["conv"])
+    if model_type == "unet":
+        sites.append(("final_up_conv", params["final_up_conv"]["kernel"]))
+        sites.append(("final_up_pixelshuffle.conv",
+                      params["final_up_pixelshuffle"]["conv"]["kernel"]))
+        sites.append(("final_conv1", params["final_conv1"]["kernel"]))
+    else:
+        sites.append(("branch_a_conv", params["branch_a_conv"]["kernel"]))
+        sites.append(("branch_b_conv", params["branch_b_conv"]["kernel"]))
+        sites.append(("head_conv", params["head_conv"]["kernel"]))
+    for site, kp in sites:
+        qweights[site] = tuple(weight_qparams(kp))
+
+    missing = [s for s, _ in sites if s not in scales]
+    if missing:
+        raise ValueError(f"calibration scales missing for sites: {missing}")
+
+    def run(p, x):
+        ctx = _Ctx("int8", scales=scales, qweights=qweights)
+        return fwd(ctx, p, x, dtype)
+
+    return run

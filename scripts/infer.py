@@ -41,6 +41,11 @@ def parse_args():
                         help='Pad inputs to a multiple of this before the '
                              'jitted forward (1 = native size, GroupNorm-'
                              'exact; >1 coalesces XLA recompiles)')
+    parser.add_argument('--quant', type=str, choices=['none', 'int8'],
+                        default='none',
+                        help='int8 post-training-quantized serving (self-'
+                             'calibrates on the first batch; ~1.9x conv '
+                             'speedup on TPU)')
     return parser.parse_args()
 
 
@@ -59,7 +64,8 @@ def main():
                               base_filters=args.base_filters),
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_path=args.checkpoint_path,
-            bf16=not args.no_bf16, bucket=args.bucket)
+            bf16=not args.no_bf16, bucket=args.bucket,
+            quant=args.quant)
         engine = load_engine(cfg)
         fig_path = args.save_figure
         if (args.show_comparison or args.show_diff) and not fig_path:

@@ -43,6 +43,11 @@ def main():
     parser.add_argument('--bucket', type=int, default=1,
                         help='Pad slices to a multiple of this before the '
                              'jitted forward (1 = native size)')
+    parser.add_argument('--quant', type=str, choices=['none', 'int8'],
+                        default='none',
+                        help='int8 post-training-quantized serving (self-'
+                             'calibrates on the first batch; ~1.9x conv '
+                             'speedup on TPU)')
     parser.add_argument('--spatial_shards', type=int, default=1,
                         help='Shard each slice\'s row axis over this many '
                              'mesh devices (halo-exchange spatial '
@@ -78,7 +83,7 @@ def main():
                     checkpoint_dir=args.checkpoint_dir,
                     checkpoint_path=args.checkpoint_path,
                     bf16=not args.no_bf16, bucket=args.bucket,
-                    spatial_shards=args.spatial_shards),
+                    spatial_shards=args.spatial_shards, quant=args.quant),
         num_devices=args.num_devices)
 
     # per-slice percentile window + minmax, batched on device

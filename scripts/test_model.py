@@ -167,6 +167,10 @@ def main():
     parser.add_argument('--bucket', type=int, default=1,
                         help='Pad inputs to a multiple of this to coalesce '
                              'XLA recompiles on mixed-size test sets')
+    parser.add_argument('--quant', type=str, choices=['none', 'int8'],
+                        default='none',
+                        help='int8 post-training-quantized serving (self-'
+                             'calibrates on the first batch)')
     parser.add_argument('--cpu', action='store_true')
     parser.add_argument('--use_amp', action='store_true',
                         help='Reference-compat alias (bf16 default)')
@@ -196,7 +200,8 @@ def main():
             model=ModelConfig(model_type=args.model_type,
                               base_filters=args.base_filters),
             checkpoint_dir=args.checkpoint_dir,
-            checkpoint_path=args.checkpoint_path, bucket=args.bucket))
+            checkpoint_path=args.checkpoint_path, bucket=args.bucket,
+            quant=args.quant))
 
         results = []
         for i, (lr_file, hr_file) in enumerate(paired):

@@ -1,0 +1,145 @@
+"""int8 PTQ serving path (ops/quant.py + models/quant_forward.py).
+
+The functional `ref` mode is the correctness anchor: asserted bit-identical
+to model.apply for both supported families, so calib/int8 modes (same code
+path, different conv sites) inherit the structure. int8 closeness bounds
+here are loose because random-init nets amplify quantization noise through
+GroupNorm; the trained-model quality delta is measured in RESULTS.md.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mri_superresolution_tpu.config import ModelConfig
+from mri_superresolution_tpu.models import build_model
+from mri_superresolution_tpu.models import quant_forward as qf
+from mri_superresolution_tpu.ops.quant import (int8_conv, quantize_tensor,
+                                               weight_qparams)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def _model_and_params(model_type, base_filters=16):
+    model = build_model(ModelConfig(model_type=model_type,
+                                    base_filters=base_filters),
+                        dtype=jnp.bfloat16)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    return model, params
+
+
+def test_weight_qparams_roundtrip(rng):
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32))
+    qk, sk = weight_qparams(k)
+    assert qk.dtype == jnp.int8 and sk.shape == (16,)
+    deq = qk.astype(jnp.float32) * sk
+    # symmetric per-channel: error bounded by scale/2 per element
+    assert float(jnp.max(jnp.abs(deq - k) / sk)) <= 0.5 + 1e-6
+
+
+def test_weight_qparams_zero_channel():
+    k = jnp.zeros((3, 3, 4, 2))
+    qk, sk = weight_qparams(k)
+    assert bool(jnp.all(qk == 0)) and bool(jnp.all(sk == 1.0))
+
+
+def test_int8_conv_exact_vs_int32():
+    r = np.random.default_rng(0)
+    qx = jnp.asarray(r.integers(-127, 128, (2, 9, 9, 8)), jnp.int8)
+    qk = jnp.asarray(r.integers(-127, 128, (3, 3, 8, 4)), jnp.int8)
+    sk = jnp.asarray(r.random(4, np.float32) + 0.5)
+    got = int8_conv(qx, 0.25, qk, sk, padding=1, out_dtype=jnp.float32)
+    from jax import lax
+    want = lax.conv_general_dilated(
+        qx.astype(jnp.int32), qk.astype(jnp.int32), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(np.float32)
+    want = want * (0.25 * sk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_quantize_tensor_saturates():
+    x = jnp.asarray([-10.0, -1.0, 0.0, 0.4, 10.0])
+    q = quantize_tensor(x, 0.01)
+    np.testing.assert_array_equal(np.asarray(q), [-127, -100, 0, 40, 127])
+
+
+@pytest.mark.parametrize("model_type", ["unet", "unet_tpu"])
+def test_ref_forward_bit_identical_to_model_apply(model_type, rng):
+    model, params = _model_and_params(model_type)
+    x = jnp.asarray(rng.random((2, 40, 48, 1), np.float32))
+    want = model.apply({"params": params}, x)
+    got = qf.reference_forward(params, x, model_type)
+    assert bool(jnp.all(want == got))
+
+
+@pytest.mark.parametrize("model_type", ["unet", "unet_tpu"])
+def test_calibrate_covers_all_sites(model_type, rng):
+    _, params = _model_and_params(model_type)
+    x = rng.random((2, 32, 32, 1), np.float32)
+    scales = qf.calibrate(params, [x], model_type)
+    # 2 (inc) + 6 (downs) + 9 (ups) + 3 family-specific quantized convs
+    assert len(scales) == 20
+    assert all(s > 0 for s in scales.values())
+    assert "__out__" not in scales
+    fn = qf.build_int8_forward(params, scales, model_type)
+    y = jax.jit(fn)(params, jnp.asarray(x))
+    assert y.shape == (2, 64, 64, 1)
+
+
+@pytest.mark.parametrize("model_type", ["unet", "unet_tpu"])
+def test_int8_forward_close_and_bounded(model_type, rng):
+    model, params = _model_and_params(model_type)
+    x = jnp.asarray(rng.random((2, 40, 40, 1), np.float32))
+    want = np.asarray(model.apply({"params": params}, x))
+    scales = qf.calibrate(params, [np.asarray(x)], model_type)
+    got = np.asarray(jax.jit(qf.build_int8_forward(
+        params, scales, model_type))(params, x))
+    assert got.shape == want.shape
+    assert np.isfinite(got).all()
+    assert got.min() >= 0.0 and got.max() <= 1.0       # sigmoid output
+    assert np.mean(np.abs(got - want)) < 0.05          # random-weights bound
+
+
+def test_missing_scales_raise(rng):
+    _, params = _model_and_params("unet")
+    with pytest.raises(ValueError, match="missing"):
+        qf.build_int8_forward(params, {"inc.conv1": 0.1}, "unet")
+
+
+def test_engine_int8_serving_close_to_bf16(rng):
+    from mri_superresolution_tpu.infer.engine import InferenceEngine
+
+    cfg = ModelConfig(model_type="unet", base_filters=16)
+    _, params = _model_and_params("unet")
+    batch = rng.random((3, 40, 40), np.float32)
+    base = InferenceEngine(cfg, params).upscale_batch(batch)
+    quant = InferenceEngine(cfg, params, quant="int8").upscale_batch(batch)
+    assert quant.shape == base.shape == (3, 80, 80)
+    assert np.isfinite(quant).all()
+    assert quant.min() >= 0.0 and quant.max() <= 1.0
+    assert np.mean(np.abs(quant - base)) < 0.05
+
+
+def test_engine_quant_validation(rng):
+    from mri_superresolution_tpu.infer.engine import InferenceEngine
+
+    _, params = _model_and_params("unet")
+    with pytest.raises(ValueError, match="unknown quant"):
+        InferenceEngine(ModelConfig(model_type="unet", base_filters=16),
+                        params, quant="fp8")
+    with pytest.raises(ValueError, match="unet"):
+        InferenceEngine(ModelConfig(model_type="edsr", base_filters=16),
+                        params, quant="int8")
+
+
+def test_calibrate_multiple_batches_takes_max(rng):
+    _, params = _model_and_params("unet")
+    small = rng.random((1, 32, 32, 1), np.float32) * 0.1
+    big = rng.random((1, 32, 32, 1), np.float32)
+    s_small = qf.calibrate(params, [small], "unet")
+    s_both = qf.calibrate(params, [small, big], "unet")
+    assert s_both["inc.conv1"] >= s_small["inc.conv1"]
