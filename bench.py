@@ -61,7 +61,8 @@ def unet_flops_per_slice(hw=256, f=32):
     return total
 
 
-def bench_forward(batch_sizes=(112, 120, 128), hw=256, model_type="unet"):
+def bench_forward(batch_sizes=(112, 120, 128), hw=256, model_type="unet",
+                  quant=False):
     import jax
     import jax.numpy as jnp
 
@@ -78,12 +79,26 @@ def bench_forward(batch_sizes=(112, 120, 128), hw=256, model_type="unet"):
                         dtype=jnp.bfloat16)
     params = jax.jit(lambda r: model.init(
         r, jnp.zeros((1, 64, 64, 1)))["params"])(jax.random.key(0))
+
+    if quant:
+        # int8 PTQ serving path (models/quant_forward.py): calibrate the
+        # static activation scales on one random batch, then chain the
+        # quantized forward exactly like the bf16 one.
+        from mri_superresolution_tpu.models import quant_forward
+        host_params = jax.device_get(params)
+        calib = np.random.default_rng(0).random((8, hw, hw, 1),
+                                                dtype=np.float32)
+        scales = quant_forward.calibrate(host_params, [calib], model_type)
+        apply_fn = quant_forward.build_int8_forward(host_params, scales,
+                                                    model_type)
+    else:
+        apply_fn = lambda p, x: model.apply({"params": p}, x)
     params = jax.device_put(params, rsh)
 
     @jax.jit
     def chain(p, x, n):
         def body(_, a):
-            out = jnp.clip(model.apply({"params": p}, a), 0.0, 1.0)
+            out = jnp.clip(apply_fn(p, a), 0.0, 1.0)
             # carry the dependency without extra memory traffic: the next
             # input must depend on `out` (so no iteration can be elided) but
             # an epsilon-scaled scalar keeps the perturbation at zero cost
@@ -137,6 +152,14 @@ def main():
         # stage); reported alongside, not as the headline parity number
         v2, bs2, _ = bench_forward(batch_sizes=(128,), model_type="unet_tpu")
         detail["unet_tpu_slices_per_sec_per_chip"] = round(v2 / n_chips, 1)
+    if not os.environ.get("BENCH_SKIP_INT8"):
+        # opt-in int8 PTQ serving (--quant int8, RESULTS.md quality delta);
+        # reported alongside, the headline stays bf16 for parity honesty
+        for mt, key in (("unet", "unet_int8_slices_per_sec_per_chip"),
+                        ("unet_tpu", "unet_tpu_int8_slices_per_sec_per_chip")):
+            vq, _, _ = bench_forward(batch_sizes=(128,), model_type=mt,
+                                     quant=True)
+            detail[key] = round(vq / n_chips, 1)
     print(json.dumps({
         "metric": "unet256_inference_throughput",
         "value": round(per_chip, 1),
