@@ -133,6 +133,16 @@ class InferConfig:
     # 1.78-2.02x per conv on v5e (tools/bench_int8_probe.py); quality delta
     # vs bf16 documented in RESULTS.md. "none" = bf16 serving (default).
     quant: str = "none"
+    # Streaming self-calibration length: the first N served batches run at
+    # full bf16 precision while per-site activation statistics accumulate;
+    # int8 serving starts at batch N+1. More batches = tighter scales.
+    quant_calib_batches: int = 8
+    # Quality guardrail: batches whose mean foreground fraction (pixels with
+    # |x| > 0.05) falls below this route to the exact bf16 path instead of
+    # int8. Near-empty slices are where the int8 noise floor (~26 dB PSNR,
+    # measured) dominates — and they are also the cheapest to serve at full
+    # precision. 0 disables routing.
+    quant_min_foreground: float = 0.05
 
 
 def to_dict(cfg) -> dict:

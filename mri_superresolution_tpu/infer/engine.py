@@ -63,7 +63,8 @@ class InferenceEngine:
     def __init__(self, model_cfg: ModelConfig, params,
                  bf16: bool = True, bucket: int = 1,
                  num_devices: int = 1, spatial_shards: int = 1,
-                 quant: str = "none"):
+                 quant: str = "none", quant_calib_batches: int = 8,
+                 quant_min_foreground: float = 0.05):
         self.model_cfg = model_cfg
         self._dtype = jnp.bfloat16 if bf16 else jnp.float32
         self.model = build_model(model_cfg, dtype=self._dtype)
@@ -79,7 +80,12 @@ class InferenceEngine:
                 raise ValueError("--quant int8 is incompatible with "
                                  "spatial_shards > 1")
         self.quant = quant
-        self._quant_fwd = None   # built after first-batch calibration
+        self.quant_calib_batches = quant_calib_batches
+        self.quant_min_foreground = quant_min_foreground
+        self._quant_fwd = None       # built once calibration completes
+        self._calib_fwd = None       # bf16 forward that also records amax
+        self._calib_amax: dict = {}
+        self._calib_seen = 0
         if spatial_shards > 1:
             # Row-sharded forwards (parallel/spatial.py): each slice is
             # split over `spatial_shards` devices with ppermute halos; the
@@ -121,27 +127,51 @@ class InferenceEngine:
             bw = _round_up(bw, 8)
         return bh, bw
 
-    def _int8_forward(self, first_batch: np.ndarray):
-        """Build (once) the int8 PTQ forward, self-calibrating activation
-        scales on the first served batch (models/quant_forward.py). Static
-        scales keep every quantize a fusable elementwise op; the scales are
+    def _quant_upscale(self, x: np.ndarray):
+        """int8 PTQ serving with streaming self-calibration
+        (models/quant_forward.py): the first ``quant_calib_batches`` batches
+        are served at full bf16 precision by a forward that simultaneously
+        records each conv site's per-input-channel |x| range; once enough
+        batches are seen, the static scales freeze (folded into the int8
+        weights) and later batches run int8.
+        Static scales keep every quantize a fusable elementwise op and are
         shape-independent, so one calibration serves all later shapes."""
-        if self._quant_fwd is None:
-            from mri_superresolution_tpu.models import quant_forward
-            host_params = jax.device_get(self.params)
-            scales = quant_forward.calibrate(
-                host_params, [first_batch], self.model_cfg.model_type,
-                dtype=self._dtype)
-            logger.info(f"int8 PTQ: calibrated {len(scales)} conv sites on "
-                        f"the first batch {tuple(first_batch.shape)}")
+        from mri_superresolution_tpu.models import quant_forward
+
+        if self._quant_fwd is not None:
+            # Content-aware routing (quality guardrail): static int8 scales
+            # add a roughly constant absolute noise floor (~26 dB PSNR,
+            # tools/quant_quality.py). On content-rich slices the model's
+            # own error dominates (measured ~-0.2 dB median); on near-empty
+            # slices bf16 is far more accurate than the floor, so those
+            # batches serve on the exact bf16 path instead.
+            fg = float((np.abs(x) > 0.05).mean())
+            if fg < self.quant_min_foreground:
+                return self._forward(self.params, jnp.asarray(x))
+            return self._quant_fwd(self.params, jnp.asarray(x))
+
+        if self._calib_fwd is None:
+            self._calib_fwd = quant_forward.build_calib_forward(
+                self.model_cfg.model_type, dtype=self._dtype)
+        y, amax = self._calib_fwd(self.params, jnp.asarray(x))
+        for k, v in jax.device_get(amax).items():
+            v = np.asarray(v, np.float32)
+            self._calib_amax[k] = (np.maximum(self._calib_amax[k], v)
+                                   if k in self._calib_amax else v)
+        self._calib_seen += 1
+        if self._calib_seen >= self.quant_calib_batches:
+            scales = quant_forward.scales_from_amax(self._calib_amax)
+            logger.info(f"int8 PTQ: froze {len(scales)} activation scales "
+                        f"after {self._calib_seen} calibration batch(es); "
+                        "serving int8 from the next batch")
             fn = quant_forward.build_int8_forward(
-                host_params, scales, self.model_cfg.model_type,
-                dtype=self._dtype)
+                jax.device_get(self.params), scales,
+                self.model_cfg.model_type, dtype=self._dtype)
             self._quant_fwd = jax.jit(
-                lambda p, x: jnp.clip(fn(p, x), 0.0, 1.0),
+                lambda p, a: jnp.clip(fn(p, a), 0.0, 1.0),
                 in_shardings=(self._rsh, self._dsh),
                 out_shardings=self._dsh)
-        return self._quant_fwd
+        return jnp.clip(y, 0.0, 1.0)
 
     def _spatial_forward(self, bh: int, bw: int):
         from mri_superresolution_tpu.parallel import build_spatial_forward
@@ -179,7 +209,7 @@ class InferenceEngine:
         if self.spatial_shards > 1:
             y = self._spatial_forward(bh, bw)(self.params, jnp.asarray(x))
         elif self.quant == "int8":
-            y = self._int8_forward(x)(self.params, jnp.asarray(x))
+            y = self._quant_upscale(x)
         else:
             y = self._forward(self.params, jnp.asarray(x))
         y = np.asarray(y[:n, :2 * h, :2 * w, 0])
@@ -379,4 +409,6 @@ def load_engine(cfg: InferConfig, num_devices: int = 1) -> InferenceEngine:
     return InferenceEngine(model_cfg, params, bf16=cfg.bf16,
                            bucket=cfg.bucket, num_devices=num_devices,
                            spatial_shards=cfg.spatial_shards,
-                           quant=cfg.quant)
+                           quant=cfg.quant,
+                           quant_calib_batches=cfg.quant_calib_batches,
+                           quant_min_foreground=cfg.quant_min_foreground)

@@ -7,10 +7,11 @@ conv site can run in one of three modes sharing one code path:
 
 - ``ref``   — bf16, numerically identical to ``model.apply`` (asserted by
               tests/test_quant.py), the correctness anchor;
-- ``calib`` — ref compute + record each conv input's |x| max, producing the
-              static per-tensor activation scales;
+- ``calib`` — ref compute + record each conv input's per-channel
+              percentile-clipped |x|, producing static activation scales;
 - ``int8``  — s8 x s8 -> s32 convs (ops/quant.py) with per-output-channel
-              weight scales and the calibrated static activation scales.
+              weight scales; the per-input-channel activation scales are
+              folded into the weights (zero serving cost).
 
 The final 1x1 output conv (``final_conv2`` / ``head_out``) stays bf16: it
 feeds the sigmoid output directly, costs <1% of the FLOPs, and keeping it
@@ -45,23 +46,34 @@ class _Ctx:
 
     def __init__(self, mode: str = "ref",
                  scales: Optional[Dict[str, float]] = None,
-                 qweights: Optional[Dict[str, Tuple]] = None):
+                 qweights: Optional[Dict[str, Tuple]] = None,
+                 percentile: float = 100.0):
         assert mode in ("ref", "calib", "int8")
         self.mode = mode
         self.scales = scales or {}
         self.qweights = qweights or {}
         self.amax: Dict[str, jnp.ndarray] = {}
+        self.percentile = percentile
 
 
 def _conv(ctx: _Ctx, site: str, kernel, x, *, padding: int = 1,
           bias=None) -> jnp.ndarray:
     if ctx.mode == "int8" and site in ctx.qweights:
         qk, sk = ctx.qweights[site]
-        s = ctx.scales[site]
-        return int8_conv(quantize_tensor(x, s), s, qk, sk, bias=bias,
-                         padding=padding, out_dtype=x.dtype)
+        return int8_conv(quantize_tensor(x, ctx.scales[site]), qk, sk,
+                         bias=bias, padding=padding, out_dtype=x.dtype)
     if ctx.mode == "calib":
-        ctx.amax[site] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        # Per-INPUT-CHANNEL statistics: GroupNorm gives every channel its
+        # own learned scale, so a shared per-tensor range parks narrow
+        # channels in a handful of int8 codes (measured -3 dB on a trained
+        # model; per-channel recovers it to -0.3 dB). The scales are folded
+        # into the weights at build time (ops/quant.py weight_qparams), so
+        # serving cost is identical to per-tensor. With per-channel ranges,
+        # abs-max beats percentile clipping (measured); percentile < 100
+        # remains available for outlier-heavy inputs.
+        a = jnp.abs(x.astype(jnp.float32)).reshape(-1, x.shape[-1])
+        ctx.amax[site] = (jnp.percentile(a, ctx.percentile, axis=0)
+                          if ctx.percentile < 100.0 else jnp.max(a, axis=0))
     y = lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (1, 1),
         ((padding, padding), (padding, padding)),
@@ -201,25 +213,45 @@ def reference_forward(params, x, model_type: str = "unet",
     return _FORWARDS[model_type](_Ctx("ref"), params, x, dtype)
 
 
-def calibrate(params, batches: Sequence[np.ndarray], model_type: str = "unet",
-              dtype: Any = jnp.bfloat16) -> Dict[str, float]:
-    """Run calibration batches in bf16, return per-site static activation
-    scales {site: amax/127}. Batches: (B, H, W, C) float arrays in [0,1]."""
+def build_calib_forward(model_type: str = "unet", dtype: Any = jnp.bfloat16,
+                        percentile: float = 100.0):
+    """Jitted ``fn(params, x) -> (y, amax)``: the exact bf16 forward plus
+    each quantizable site's clipped |x| statistic — lets a server calibrate
+    *while* serving its first batches at full precision."""
     fwd = _FORWARDS[model_type]
 
     @jax.jit
-    def one(p, x):
-        ctx = _Ctx("calib")
-        fwd(ctx, p, x, dtype)
-        return ctx.amax
+    def run(p, x):
+        ctx = _Ctx("calib", percentile=percentile)
+        y = fwd(ctx, p, x, dtype)
+        return y, ctx.amax
 
-    amax: Dict[str, float] = {}
+    return run
+
+
+def scales_from_amax(amax: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Per-site, per-input-channel scales; zero-range channels get 1."""
+    return {k: np.where(np.asarray(v) > 0, np.asarray(v) / 127.0,
+                        1.0).astype(np.float32)
+            for k, v in amax.items() if k != "__out__"}
+
+
+def calibrate(params, batches: Sequence[np.ndarray], model_type: str = "unet",
+              dtype: Any = jnp.bfloat16,
+              percentile: float = 100.0) -> Dict[str, float]:
+    """Run calibration batches in bf16, return per-site static activation
+    scales {site: (Cin,) clip/127} where clip is the max over batches of
+    each site's per-channel ``percentile``-clipped |x|. Batches: (B, H, W,
+    C) floats."""
+    fn = build_calib_forward(model_type, dtype, percentile)
+    amax: Dict[str, np.ndarray] = {}
     for b in batches:
-        out = jax.device_get(one(params, jnp.asarray(b)))
+        _, out = fn(params, jnp.asarray(b))
+        out = jax.device_get(out)
         for k, v in out.items():
-            amax[k] = max(amax.get(k, 0.0), float(v))
-    return {k: (v / 127.0 if v > 0 else 1.0) for k, v in amax.items()
-            if k != "__out__"}
+            v = np.asarray(v, np.float32)
+            amax[k] = np.maximum(amax[k], v) if k in amax else v
+    return scales_from_amax(amax)
 
 
 # Measured guidance for which sites to quantize (v5e, B=128, bf=32):
@@ -277,7 +309,8 @@ def build_int8_forward(params, scales: Dict[str, float],
         sites.append(("head_conv", params["head_conv"]["kernel"]))
     sites = [(s, kp) for s, kp in sites if s not in exclude]
     for site, kp in sites:
-        qweights[site] = tuple(weight_qparams(kp))
+        if site in scales:
+            qweights[site] = tuple(weight_qparams(kp, act_scale=scales[site]))
 
     missing = [s for s, _ in sites if s not in scales]
     if missing:

@@ -28,41 +28,56 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def quantize_tensor(x: jnp.ndarray, scale: float) -> jnp.ndarray:
-    """Symmetric per-tensor int8 quantization with a static scale."""
-    q = jnp.round(x.astype(jnp.float32) * (1.0 / scale))
+def quantize_tensor(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """Symmetric int8 quantization with a static scale — a scalar
+    (per-tensor) or a (C,)-vector broadcast over the trailing channel axis
+    (per-channel). Either way a pure elementwise op XLA can fuse into the
+    producer's output write."""
+    q = jnp.round(x.astype(jnp.float32) / jnp.asarray(scale, jnp.float32))
     return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
 
 
-def weight_qparams(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def weight_qparams(kernel: jnp.ndarray,
+                   act_scale=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-output-channel symmetric int8 quantization of an HWIO kernel.
+
+    ``act_scale`` (scalar or (Cin,)) folds the activation quantization into
+    the weights: with q_x = x / s_a and w' = w * s_a (per input channel),
+    sum(q_x * w') == sum(x * w) / s_w — so the conv's dequant needs only
+    the returned per-Cout weight scale, and activation quantization can be
+    per-INPUT-channel at zero serving cost (GroupNorm gives each channel
+    its own learned scale, so per-channel ranges differ widely).
 
     Returns (q_kernel int8 HWIO, scale float32 (Cout,)). All-zero channels
     get scale 1 (their quantized weights are 0 either way).
     """
-    amax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=(0, 1, 2))
+    k = kernel.astype(jnp.float32)
+    if act_scale is not None:
+        k = k * jnp.asarray(act_scale, jnp.float32).reshape(1, 1, -1, 1)
+    amax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.round(kernel.astype(jnp.float32) / scale)
+    q = jnp.round(k / scale)
     return jnp.clip(q, -127.0, 127.0).astype(jnp.int8), scale
 
 
-def int8_conv(qx: jnp.ndarray, x_scale: float,
+def int8_conv(qx: jnp.ndarray,
               qk: jnp.ndarray, k_scale: jnp.ndarray,
               bias: Optional[jnp.ndarray] = None,
               padding: int = 0, dilation: int = 1,
               out_dtype=jnp.bfloat16) -> jnp.ndarray:
     """s8 x s8 -> s32 NHWC conv, dequantized to ``out_dtype``.
 
-    qx: (B,H,W,Cin) int8; qk: (kh,kw,Cin,Cout) int8; x_scale static float;
-    k_scale (Cout,) float32. Accumulates exactly in int32 (no precision
-    loss inside the conv), then y = s32 * (x_scale * k_scale) [+ bias].
+    qx: (B,H,W,Cin) int8; qk: (kh,kw,Cin,Cout) int8 with the activation
+    scale already folded in (weight_qparams(act_scale=...)); k_scale
+    (Cout,) float32. Accumulates exactly in int32 (no precision loss inside
+    the conv), then y = s32 * k_scale [+ bias].
     """
     d = dilation
     acc = lax.conv_general_dilated(
         qx, qk, (1, 1), ((padding, padding), (padding, padding)),
         rhs_dilation=(d, d), dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * (x_scale * k_scale)
+    y = acc.astype(jnp.float32) * k_scale
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(out_dtype)

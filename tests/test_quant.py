@@ -52,13 +52,31 @@ def test_int8_conv_exact_vs_int32():
     qx = jnp.asarray(r.integers(-127, 128, (2, 9, 9, 8)), jnp.int8)
     qk = jnp.asarray(r.integers(-127, 128, (3, 3, 8, 4)), jnp.int8)
     sk = jnp.asarray(r.random(4, np.float32) + 0.5)
-    got = int8_conv(qx, 0.25, qk, sk, padding=1, out_dtype=jnp.float32)
+    got = int8_conv(qx, qk, sk, padding=1, out_dtype=jnp.float32)
     from jax import lax
     want = lax.conv_general_dilated(
         qx.astype(jnp.int32), qk.astype(jnp.int32), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(np.float32)
-    want = want * (0.25 * sk)
+    want = want * sk
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_weight_qparams_act_scale_folding():
+    """Per-input-channel activation-scale folding: q_x @ w_folded dequants
+    with the weight scale alone."""
+    r = np.random.default_rng(3)
+    x = jnp.asarray(r.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    k = jnp.asarray(r.normal(size=(3, 3, 6, 4)).astype(np.float32))
+    s_act = jnp.asarray(np.abs(x).max(axis=(0, 1, 2)) / 127.0)
+    qk, sk = weight_qparams(k, act_scale=s_act)
+    got = int8_conv(quantize_tensor(x, s_act), qk, sk, padding=1,
+                    out_dtype=jnp.float32)
+    from jax import lax
+    want = lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    err = float(jnp.max(jnp.abs(got - want))) / float(jnp.max(jnp.abs(want)))
+    assert err < 0.05
 
 
 def test_quantize_tensor_saturates():
@@ -83,7 +101,7 @@ def test_calibrate_covers_all_sites(model_type, rng):
     scales = qf.calibrate(params, [x], model_type)
     # 2 (inc) + 6 (downs) + 9 (ups) + 3 family-specific quantized convs
     assert len(scales) == 20
-    assert all(s > 0 for s in scales.values())
+    assert all(np.all(np.asarray(s) > 0) for s in scales.values())
     assert "__out__" not in scales
     fn = qf.build_int8_forward(params, scales, model_type)
     y = jax.jit(fn)(params, jnp.asarray(x))
@@ -117,11 +135,38 @@ def test_engine_int8_serving_close_to_bf16(rng):
     _, params = _model_and_params("unet")
     batch = rng.random((3, 40, 40), np.float32)
     base = InferenceEngine(cfg, params).upscale_batch(batch)
-    quant = InferenceEngine(cfg, params, quant="int8").upscale_batch(batch)
+    qeng = InferenceEngine(cfg, params, quant="int8", quant_calib_batches=1)
+    calib = qeng.upscale_batch(batch)   # streamed calibration batch: bf16
+    # calib mode is the same bf16 math but its extra stat ops change XLA
+    # fusion (hence bf16 rounding points) — close, not bit-equal
+    assert np.mean(np.abs(calib - base)) < 0.02
+    quant = qeng.upscale_batch(batch)   # scales frozen: int8 from here on
+    assert qeng._quant_fwd is not None
     assert quant.shape == base.shape == (3, 80, 80)
     assert np.isfinite(quant).all()
     assert quant.min() >= 0.0 and quant.max() <= 1.0
     assert np.mean(np.abs(quant - base)) < 0.05
+
+
+def test_engine_routes_near_empty_batches_to_bf16(rng):
+    """Content-aware quality guardrail: once scales are frozen, a batch
+    below the foreground threshold serves on the exact bf16 engine path."""
+    from mri_superresolution_tpu.infer.engine import InferenceEngine
+
+    cfg = ModelConfig(model_type="unet", base_filters=16)
+    _, params = _model_and_params("unet")
+    rich = rng.random((2, 40, 40), np.float32)
+    empty = np.zeros((2, 40, 40), np.float32)
+    empty[:, 18:20, 18:20] = 1.0      # 0.25% foreground
+
+    base = InferenceEngine(cfg, params)
+    qeng = InferenceEngine(cfg, params, quant="int8", quant_calib_batches=1)
+    qeng.upscale_batch(rich)                   # calibrate + freeze
+    assert qeng._quant_fwd is not None
+    routed = qeng.upscale_batch(empty)         # routed to bf16: identical
+    np.testing.assert_array_equal(routed, base.upscale_batch(empty))
+    quant = qeng.upscale_batch(rich)           # rich batch stays int8
+    assert np.abs(quant - base.upscale_batch(rich)).mean() > 0.0
 
 
 def test_engine_quant_validation(rng):
@@ -142,4 +187,5 @@ def test_calibrate_multiple_batches_takes_max(rng):
     big = rng.random((1, 32, 32, 1), np.float32)
     s_small = qf.calibrate(params, [small], "unet")
     s_both = qf.calibrate(params, [small, big], "unet")
-    assert s_both["inc.conv1"] >= s_small["inc.conv1"]
+    assert np.all(s_both["inc.conv1"] >= s_small["inc.conv1"])
+    assert s_both["inc.conv2"].shape == (16,)   # per-input-channel

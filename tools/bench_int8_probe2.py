@@ -75,13 +75,13 @@ def main():
         t_q = timed("int8 site: leaky -> q -> conv -> dq",
                     lambda a: int8_conv(
                         quantize_tensor(jax.nn.leaky_relu(a, 0.2), s),
-                        s, qk, sk, padding=1), x)
+                        qk, sk, padding=1), x)
         t_quant_only = timed("quantize alone (leaky -> q)",
                              lambda a: quantize_tensor(
                                  jax.nn.leaky_relu(a, 0.2), s), x)
         xq = quantize_tensor(x, s)
         t_conv_only = timed("int8 conv alone (pre-quantized in)",
-                            lambda a: int8_conv(a, s, qk, sk, padding=1), xq)
+                            lambda a: int8_conv(a, qk, sk, padding=1), xq)
         print(f"  overhead: site-total {t_q * 1e3:.2f} vs "
               f"quant {t_quant_only * 1e3:.2f} + conv {t_conv_only * 1e3:.2f}",
               flush=True)

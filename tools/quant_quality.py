@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")
 from quality_parity import REPO, run, summarize, synthesize  # noqa: E402
 
 
-def engine_metrics(ckpt_path, model_type, pairs, quant):
+def engine_metrics(ckpt_path, model_type, pairs, quant, calib_lrs=()):
     import numpy as np
     import cv2
     import jax.numpy as jnp
@@ -34,7 +34,13 @@ def engine_metrics(ckpt_path, model_type, pairs, quant):
     engine = load_engine(InferConfig(
         model=ModelConfig(model_type=model_type, base_filters=32),
         checkpoint_dir=os.path.dirname(ckpt_path),
-        checkpoint_path=ckpt_path, quant=quant))
+        checkpoint_path=ckpt_path, quant=quant,
+        quant_calib_batches=max(1, len(calib_lrs))))
+    # self-calibrate on TRAIN-split slices so every held-out eval pair is
+    # served by the frozen int8 path (no bf16 warm-up leaking into metrics)
+    for lr_p in calib_lrs:
+        lr = cv2.imread(lr_p, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
+        engine.upscale_image(lr)
     per = []
     for lr_p, hr_p in pairs:
         lr = cv2.imread(lr_p, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
@@ -95,11 +101,14 @@ def main():
              if os.path.exists(os.path.join(p["hr_test"], f))]
     print(f"[quant_quality] {len(pairs)} held-out pairs", flush=True)
 
+    calib_lrs = [os.path.join(p["lr_train"], f)
+                 for f in sorted(os.listdir(p["lr_train"]))[:8]]
     rows = {}
     for mt in args.models:
         ckpt = os.path.join(p["ckpt"], f"best_model_{mt}.ckpt")
         for quant in ("none", "int8"):
-            m = engine_metrics(ckpt, mt, pairs, quant)
+            m = engine_metrics(ckpt, mt, pairs, quant,
+                               calib_lrs=calib_lrs if quant != "none" else ())
             rows[f"{mt}/{quant}"] = m
             print(f"{mt:<10} {quant:<5} ssim={m['ssim']:.4f} "
                   f"psnr={m['psnr']:.3f} rmse={m['rmse']:.5f}", flush=True)
