@@ -107,10 +107,22 @@ def run_benchmarks(test_pairs, engine):
         # Warm up every (method, shape) pair so XLA compilation (minutes
         # through the TPU tunnel) never lands inside a timing window — the
         # classical baselines jit-compile per input shape too.
+        # discover distinct shapes from the PNG IHDR headers (26 bytes each)
+        # instead of decoding every image twice on the single-core host
+        def _png_hw(path):
+            with open(path, "rb") as f:
+                head = f.read(26)
+            if head[:8] != b"\x89PNG\r\n\x1a\n" or head[12:16] != b"IHDR":
+                img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+                return img.shape
+            return (int.from_bytes(head[20:24], "big"),
+                    int.from_bytes(head[16:20], "big"))
+
         shapes = {}
         for lr_path, _ in test_pairs:
-            img = cv2.imread(str(lr_path), cv2.IMREAD_GRAYSCALE)
-            shapes.setdefault(img.shape, img)
+            hw = _png_hw(lr_path)
+            if hw not in shapes:
+                shapes[hw] = cv2.imread(str(lr_path), cv2.IMREAD_GRAYSCALE)
         print(f"Warming up {len(shapes)} distinct input shape(s) x "
               f"{3 + 1} methods (compiles excluded from timings)")
         for warm in shapes.values():

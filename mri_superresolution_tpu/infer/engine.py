@@ -127,43 +127,37 @@ class InferenceEngine:
             bw = _round_up(bw, 8)
         return bh, bw
 
-    def _quant_upscale(self, x: np.ndarray):
+    def _quant_upscale(self, x: np.ndarray, foreground_frac: float):
         """int8 PTQ serving with streaming self-calibration
         (models/quant_forward.py): the first ``quant_calib_batches`` batches
-        are served at full bf16 precision by a forward that simultaneously
-        records each conv site's per-input-channel |x| range; once enough
-        batches are seen, the static scales freeze (folded into the int8
-        weights) and later batches run int8.
-        Static scales keep every quantize a fusable elementwise op and are
-        shape-independent, so one calibration serves all later shapes."""
+        run a full-bf16 forward that simultaneously records each conv
+        site's per-input-channel |x| range; the batch that completes
+        calibration (and every later one) is served int8. Static scales
+        keep every quantize a fusable elementwise op and are
+        shape-independent, so one calibration serves all later shapes.
+
+        ``foreground_frac`` is measured on the REAL pixels (before batch /
+        bucket zero-padding, which would dilute it)."""
         from mri_superresolution_tpu.models import quant_forward
 
-        if self._quant_fwd is not None:
-            # Content-aware routing (quality guardrail): static int8 scales
-            # add a roughly constant absolute noise floor (~26 dB PSNR,
-            # tools/quant_quality.py). On content-rich slices the model's
-            # own error dominates (measured ~-0.2 dB median); on near-empty
-            # slices bf16 is far more accurate than the floor, so those
-            # batches serve on the exact bf16 path instead.
-            fg = float((np.abs(x) > 0.05).mean())
-            if fg < self.quant_min_foreground:
-                return self._forward(self.params, jnp.asarray(x))
-            return self._quant_fwd(self.params, jnp.asarray(x))
-
-        if self._calib_fwd is None:
-            self._calib_fwd = quant_forward.build_calib_forward(
-                self.model_cfg.model_type, dtype=self._dtype)
-        y, amax = self._calib_fwd(self.params, jnp.asarray(x))
-        for k, v in jax.device_get(amax).items():
-            v = np.asarray(v, np.float32)
-            self._calib_amax[k] = (np.maximum(self._calib_amax[k], v)
-                                   if k in self._calib_amax else v)
-        self._calib_seen += 1
-        if self._calib_seen >= self.quant_calib_batches:
+        if self._quant_fwd is None:
+            if self._calib_fwd is None:
+                self._calib_fwd = quant_forward.build_calib_forward(
+                    self.model_cfg.model_type, dtype=self._dtype)
+            y, amax = self._calib_fwd(self.params, jnp.asarray(x))
+            for k, v in jax.device_get(amax).items():
+                v = np.asarray(v, np.float32)
+                self._calib_amax[k] = (np.maximum(self._calib_amax[k], v)
+                                       if k in self._calib_amax else v)
+            self._calib_seen += 1
+            if self._calib_seen < self.quant_calib_batches:
+                # still calibrating: serve the calib forward's own bf16
+                # output (no second forward)
+                return jnp.clip(y, 0.0, 1.0)
             scales = quant_forward.scales_from_amax(self._calib_amax)
             logger.info(f"int8 PTQ: froze {len(scales)} activation scales "
                         f"after {self._calib_seen} calibration batch(es); "
-                        "serving int8 from the next batch")
+                        "serving int8 from this batch on")
             fn = quant_forward.build_int8_forward(
                 jax.device_get(self.params), scales,
                 self.model_cfg.model_type, dtype=self._dtype)
@@ -171,7 +165,16 @@ class InferenceEngine:
                 lambda p, a: jnp.clip(fn(p, a), 0.0, 1.0),
                 in_shardings=(self._rsh, self._dsh),
                 out_shardings=self._dsh)
-        return jnp.clip(y, 0.0, 1.0)
+
+        # Content-aware routing (quality guardrail): static int8 scales add
+        # a roughly constant absolute noise floor (~26 dB PSNR,
+        # tools/quant_quality.py). On content-rich slices the model's own
+        # error dominates (measured ~-0.2 dB median); on near-empty slices
+        # bf16 is far more accurate than the floor, so those batches serve
+        # on the exact bf16 path instead.
+        if foreground_frac < self.quant_min_foreground:
+            return self._forward(self.params, jnp.asarray(x))
+        return self._quant_fwd(self.params, jnp.asarray(x))
 
     def _spatial_forward(self, bh: int, bw: int):
         from mri_superresolution_tpu.parallel import build_spatial_forward
@@ -209,7 +212,7 @@ class InferenceEngine:
         if self.spatial_shards > 1:
             y = self._spatial_forward(bh, bw)(self.params, jnp.asarray(x))
         elif self.quant == "int8":
-            y = self._quant_upscale(x)
+            y = self._quant_upscale(x, float((np.abs(batch) > 0.05).mean()))
         else:
             y = self._forward(self.params, jnp.asarray(x))
         y = np.asarray(y[:n, :2 * h, :2 * w, 0])

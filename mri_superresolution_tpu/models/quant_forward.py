@@ -34,11 +34,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from mri_superresolution_tpu.ops.functional import (group_norm_leaky_ref,
+                                                    max_pool2, pixel_shuffle)
 from mri_superresolution_tpu.ops.quant import (int8_conv, quantize_tensor,
                                                weight_qparams)
 from mri_superresolution_tpu.ops.resize import upsample_bilinear_align_corners
-
-_EPS = 1e-5
 
 
 class _Ctx:
@@ -83,24 +83,7 @@ def _conv(ctx: _Ctx, site: str, kernel, x, *, padding: int = 1,
     return y
 
 
-def _group_norm(x, scale, bias, n_groups: int = 8):
-    """flax.linen.GroupNorm numerics (fp32 stats, E[x^2]-E[x]^2 variance) —
-    the same formula parallel/spatial.py uses, validated against flax by
-    tests/test_spatial.py."""
-    b, h, w, c = x.shape
-    cg = c // n_groups
-    xf = x.astype(jnp.float32).reshape(b, h, w, n_groups, cg)
-    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
-    var = jnp.mean(jnp.square(xf), axis=(1, 2, 4), keepdims=True) \
-        - jnp.square(mean)
-    y = (xf - mean) * lax.rsqrt(var + _EPS)
-    y = y.reshape(b, h, w, c)
-    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return y.astype(x.dtype)
-
-
-def _gn_leaky(x, p):
-    return jax.nn.leaky_relu(_group_norm(x, p["scale"], p["bias"]), 0.2)
+_gn_leaky = group_norm_leaky_ref     # flax GroupNorm numerics + LeakyReLU
 
 
 def _double_conv(ctx, prefix, p, x):
@@ -114,17 +97,6 @@ def _double_conv(ctx, prefix, p, x):
     return y
 
 
-def _max_pool2(x):
-    return lax.reduce_window(x, -jnp.inf, lax.max, (1, 2, 2, 1),
-                             (1, 2, 2, 1), "VALID")
-
-
-def _pixel_shuffle(x, r: int = 2):
-    b, h, w, crr = x.shape
-    c = crr // (r * r)
-    x = x.reshape(b, h, w, c, r, r)
-    x = x.transpose(0, 1, 4, 2, 5, 3)
-    return x.reshape(b, h * r, w * r, c)
 
 
 def _up_block(ctx, prefix, p, x1, x2):
@@ -144,9 +116,9 @@ def _up_block(ctx, prefix, p, x1, x2):
 
 def _backbone(ctx, params, x):
     x1 = _double_conv(ctx, "inc", params["inc"], x)
-    x2 = _double_conv(ctx, "down1", params["down1"]["conv"], _max_pool2(x1))
-    x3 = _double_conv(ctx, "down2", params["down2"]["conv"], _max_pool2(x2))
-    x4 = _double_conv(ctx, "down3", params["down3"]["conv"], _max_pool2(x3))
+    x2 = _double_conv(ctx, "down1", params["down1"]["conv"], max_pool2(x1))
+    x3 = _double_conv(ctx, "down2", params["down2"]["conv"], max_pool2(x2))
+    x4 = _double_conv(ctx, "down3", params["down3"]["conv"], max_pool2(x3))
     y = _up_block(ctx, "up1", params["up1"], x4, x3)
     y = _up_block(ctx, "up2", params["up2"], y, x2)
     y = _up_block(ctx, "up3", params["up3"], y, x1)
@@ -164,7 +136,7 @@ def _forward_unet(ctx, params, x, dtype):
     ps = params["final_up_pixelshuffle"]
     yp = _conv(ctx, "final_up_pixelshuffle.conv", ps["conv"]["kernel"], y,
                bias=ps["conv"]["bias"])
-    yp = _pixel_shuffle(yp, 2)
+    yp = pixel_shuffle(yp, 2)
     yp = _gn_leaky(yp, ps["norm"])
 
     w = jax.nn.sigmoid(params["alpha"]).astype(dtype)
@@ -196,7 +168,7 @@ def _forward_unet_tpu(ctx, params, x, dtype):
                   params["head_norm"])
     y = _conv(ctx, "__out__", params["head_out"]["kernel"], y, padding=0,
               bias=params["head_out"]["bias"])
-    y = _pixel_shuffle(y, 2)
+    y = pixel_shuffle(y, 2)
     return jax.nn.sigmoid(y.astype(jnp.float32))
 
 

@@ -63,13 +63,8 @@ def icnr_kaiming_fan_in(scale: int = 2):
     return init
 
 
-def pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
-    """NHWC pixel shuffle with torch nn.PixelShuffle channel ordering."""
-    b, h, w, crr = x.shape
-    c = crr // (r * r)
-    x = x.reshape(b, h, w, c, r, r)          # channel index = c*r*r + i*r + j
-    x = x.transpose(0, 1, 4, 2, 5, 3)        # b, h, i, w, j, c
-    return x.reshape(b, h * r, w * r, c)
+# canonical definition shared with the functional forwards
+from mri_superresolution_tpu.ops.functional import pixel_shuffle  # noqa: E402,F401
 
 
 class ConvParams(nn.Module):

@@ -247,9 +247,15 @@ def pallas_supported(x_shape, x_dtype, n_groups: int) -> bool:
     if jnp.dtype(x_dtype) not in (jnp.dtype(jnp.bfloat16),
                                   jnp.dtype(jnp.float32)):
         return False
-    # whole image must fit in VMEM scratch alongside the stream buffers
-    img_bytes = h * w * c * jnp.dtype(x_dtype).itemsize
-    nc = _pick_chunks(h, w * c * jnp.dtype(x_dtype).itemsize)
+    # whole image must fit in VMEM scratch alongside the stream buffers,
+    # and the per-chunk block must stay near the chunk target — an H whose
+    # power-of-two factor runs out early (e.g. 514 = 2 * 257) would leave
+    # oversized chunks that blow the VMEM budget at compile time
+    row_bytes = w * c * jnp.dtype(x_dtype).itemsize
+    img_bytes = h * row_bytes
+    nc = _pick_chunks(h, row_bytes)
+    if nc > 1 and (h // nc) * row_bytes > 2 * _CHUNK_TARGET_BYTES:
+        return False  # chunking stalled on an odd factor; chunks too big
     if nc == 1 and img_bytes > 2 * _CHUNK_TARGET_BYTES:
         return False  # odd h too large to chunk
     return img_bytes <= 9 * (1 << 20)

@@ -216,15 +216,8 @@ def phase_group_norm_misaligned(z: jnp.ndarray, scale: jnp.ndarray,
     zf = z.astype(jnp.float32)
     views = [zf[:, a:a + h, bb:bb + w, (2 * a + bb)::4]
              for a in (0, 1) for bb in (0, 1)]
-    # each view carries C channels = c4/4; per group that's (c4/n_groups)/4
+    # each view carries C = c4/4 c-major channels, so _group_stats' reshape
+    # contract holds per view
     n_elems = h * w * (c4 // n_groups)
-    # stack views channel-wise keeps groups contiguous per view; sum directly
-    s = 0.0
-    sq = 0.0
-    for v in views:
-        g = v.reshape(b, -1, n_groups, (c4 // 4) // n_groups)
-        s = s + jnp.sum(g, axis=(1, 3))
-        sq = sq + jnp.sum(jnp.square(g), axis=(1, 3))
-    mean = s / n_elems
-    var = sq / n_elems - jnp.square(mean)
+    mean, var = _group_stats(views, n_groups, n_elems)
     return _apply_norm(z, mean, var, scale, bias, n_groups, eps, dtype)

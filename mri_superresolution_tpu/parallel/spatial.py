@@ -44,6 +44,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
+from mri_superresolution_tpu.ops.functional import max_pool2, pixel_shuffle
 from mri_superresolution_tpu.ops.resize import _align_corners_matrix
 
 DATA_AXIS = "data"
@@ -151,19 +152,6 @@ def _double_conv(p, x, dilation: int = 1):
     return y
 
 
-def _max_pool2(x):
-    return lax.reduce_window(x, -jnp.inf, lax.max, (1, 2, 2, 1),
-                             (1, 2, 2, 1), "VALID")
-
-
-def _pixel_shuffle(x, r: int = 2):
-    b, h, w, crr = x.shape
-    c = crr // (r * r)
-    x = x.reshape(b, h, w, c, r, r)
-    x = x.transpose(0, 1, 4, 2, 5, 3)
-    return x.reshape(b, h * r, w * r, c)
-
-
 def _up_block(p, x1, x2, row_mats, w_mat):
     """Up: 1x1 up_conv BEFORE the 2x upsample (models/unet.py Up), GN,
     lrelu, concat with the skip, DoubleConv."""
@@ -183,9 +171,9 @@ def _local_forward(params, x, row_mats_by_h, w_mats_by_w, dtype):
     x = x.astype(dtype)
 
     x1 = _double_conv(params["inc"], x)
-    x2 = _double_conv(params["down1"]["conv"], _max_pool2(x1))
-    x3 = _double_conv(params["down2"]["conv"], _max_pool2(x2))
-    x4 = _double_conv(params["down3"]["conv"], _max_pool2(x3))
+    x2 = _double_conv(params["down1"]["conv"], max_pool2(x1))
+    x3 = _double_conv(params["down2"]["conv"], max_pool2(x2))
+    x4 = _double_conv(params["down3"]["conv"], max_pool2(x3))
 
     h8, h4, h2, h1 = (x4.shape[1], x3.shape[1], x2.shape[1], x1.shape[1])
     w8, w4, w2, w1 = (x4.shape[2], x3.shape[2], x2.shape[2], x1.shape[2])
@@ -202,7 +190,7 @@ def _local_forward(params, x, row_mats_by_h, w_mats_by_w, dtype):
 
     ps = params["final_up_pixelshuffle"]
     yp = _conv3x3(y, ps["conv"]["kernel"]) + ps["conv"]["bias"].astype(dtype)
-    yp = _pixel_shuffle(yp)
+    yp = pixel_shuffle(yp)
     yp = jax.nn.leaky_relu(
         _group_norm(yp, ps["norm"]["scale"], ps["norm"]["bias"]), 0.2)
 

@@ -43,9 +43,13 @@ def parse_args():
                              'exact; >1 coalesces XLA recompiles)')
     parser.add_argument('--quant', type=str, choices=['none', 'int8'],
                         default='none',
-                        help='int8 post-training-quantized serving (self-'
-                             'calibrates on the first batch; ~1.9x conv '
-                             'speedup on TPU)')
+                        help='int8 PTQ serving: per-channel scales self-'
+                             'calibrated on this image, then the int8 '
+                             'forward produces the output')
+    parser.add_argument('--quant_calib_batches', type=int, default=1,
+                        help='batches of streaming calibration before int8 '
+                             'serving starts (single-image default: 1, so '
+                             'the output IS int8-served)')
     return parser.parse_args()
 
 
@@ -65,7 +69,7 @@ def main():
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_path=args.checkpoint_path,
             bf16=not args.no_bf16, bucket=args.bucket,
-            quant=args.quant)
+            quant=args.quant, quant_calib_batches=args.quant_calib_batches)
         engine = load_engine(cfg)
         fig_path = args.save_figure
         if (args.show_comparison or args.show_diff) and not fig_path:

@@ -45,9 +45,12 @@ def main():
                              'jitted forward (1 = native size)')
     parser.add_argument('--quant', type=str, choices=['none', 'int8'],
                         default='none',
-                        help='int8 post-training-quantized serving (self-'
-                             'calibrates on the first batch; ~1.9x conv '
-                             'speedup on TPU)')
+                        help='int8 PTQ serving: streaming self-calibration '
+                             'over the first batches (served bf16), then '
+                             'int8 (see --quant_calib_batches)')
+    parser.add_argument('--quant_calib_batches', type=int, default=8,
+                        help='batches of streaming calibration before int8 '
+                             'serving starts')
     parser.add_argument('--spatial_shards', type=int, default=1,
                         help='Shard each slice\'s row axis over this many '
                              'mesh devices (halo-exchange spatial '
@@ -83,7 +86,8 @@ def main():
                     checkpoint_dir=args.checkpoint_dir,
                     checkpoint_path=args.checkpoint_path,
                     bf16=not args.no_bf16, bucket=args.bucket,
-                    spatial_shards=args.spatial_shards, quant=args.quant),
+                    spatial_shards=args.spatial_shards, quant=args.quant,
+                    quant_calib_batches=args.quant_calib_batches),
         num_devices=args.num_devices)
 
     # per-slice percentile window + minmax, batched on device

@@ -169,8 +169,13 @@ def main():
                              'XLA recompiles on mixed-size test sets')
     parser.add_argument('--quant', type=str, choices=['none', 'int8'],
                         default='none',
-                        help='int8 post-training-quantized serving (self-'
-                             'calibrates on the first batch)')
+                        help='int8 PTQ serving: streaming self-calibration '
+                             'over the first slices (served bf16), then '
+                             'int8 (see --quant_calib_batches)')
+    parser.add_argument('--quant_calib_batches', type=int, default=2,
+                        help='slices of streaming calibration before int8 '
+                             'serving starts (kept small so most reported '
+                             'metrics are int8-served)')
     parser.add_argument('--cpu', action='store_true')
     parser.add_argument('--use_amp', action='store_true',
                         help='Reference-compat alias (bf16 default)')
@@ -201,7 +206,8 @@ def main():
                               base_filters=args.base_filters),
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_path=args.checkpoint_path, bucket=args.bucket,
-            quant=args.quant))
+            quant=args.quant,
+            quant_calib_batches=args.quant_calib_batches))
 
         results = []
         for i, (lr_file, hr_file) in enumerate(paired):

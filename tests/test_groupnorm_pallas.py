@@ -7,6 +7,22 @@ timing lives in tools/bench_gn_probe.py.
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def test_supported_gate_rejects_oversized_chunks():
+    """H = 514 = 2 * 257 stalls power-of-two chunking at 257-row (4.1 MB)
+    blocks — the gate must reject it so callers fall back to jnp instead of
+    hitting a Mosaic VMEM compile error. (pallas_supported itself is False
+    off-TPU, so assert the chunk arithmetic the TPU gate applies.)"""
+    import jax.numpy as jnp
+    from mri_superresolution_tpu.ops.groupnorm_pallas import (
+        _CHUNK_TARGET_BYTES, _pick_chunks, pallas_supported)
+
+    row_bytes = 512 * 16 * 2                      # (514, 512, 16) bf16 rows
+    nc = _pick_chunks(514, row_bytes)
+    assert nc == 2                                # chunking stalls at 2*257
+    assert (514 // nc) * row_bytes > 2 * _CHUNK_TARGET_BYTES  # gate trips
+    assert not pallas_supported((2, 514, 512, 16), jnp.bfloat16, 8)
 import flax.linen as nn
 import pytest
 

@@ -135,12 +135,13 @@ def test_engine_int8_serving_close_to_bf16(rng):
     _, params = _model_and_params("unet")
     batch = rng.random((3, 40, 40), np.float32)
     base = InferenceEngine(cfg, params).upscale_batch(batch)
-    qeng = InferenceEngine(cfg, params, quant="int8", quant_calib_batches=1)
+    qeng = InferenceEngine(cfg, params, quant="int8", quant_calib_batches=2)
     calib = qeng.upscale_batch(batch)   # streamed calibration batch: bf16
+    assert qeng._quant_fwd is None      # still calibrating after batch 1
     # calib mode is the same bf16 math but its extra stat ops change XLA
     # fusion (hence bf16 rounding points) — close, not bit-equal
     assert np.mean(np.abs(calib - base)) < 0.02
-    quant = qeng.upscale_batch(batch)   # scales frozen: int8 from here on
+    quant = qeng.upscale_batch(batch)   # completes calibration: served int8
     assert qeng._quant_fwd is not None
     assert quant.shape == base.shape == (3, 80, 80)
     assert np.isfinite(quant).all()

@@ -26,12 +26,23 @@ def hflip(img):
     return img.transpose(Image.FLIP_LEFT_RIGHT)
 
 
-def rotate(img, angle, fill=0, **kwargs):
+def rotate(img, angle, interpolation=None, fill=0, **kwargs):
+    """torchvision defaults to InterpolationMode.NEAREST; honor the caller's
+    interpolation (InterpolationMode enum, PIL constant, or None=NEAREST) so
+    reference-parity training runs see genuine torchvision semantics."""
     if isinstance(fill, (list, tuple)):
         fill = tuple(int(f) for f in fill)
     else:
         fill = int(fill)
-    return img.rotate(angle, resample=Image.BILINEAR, fillcolor=fill)
+    resample = Image.NEAREST
+    if interpolation is not None:
+        name = str(getattr(interpolation, "value", interpolation)).upper()
+        resample = {"BILINEAR": Image.BILINEAR, "BICUBIC": Image.BICUBIC,
+                    "NEAREST": Image.NEAREST}.get(
+                        name.rsplit(".", 1)[-1],
+                        interpolation if isinstance(interpolation, int)
+                        else Image.NEAREST)
+    return img.rotate(angle, resample=resample, fillcolor=fill)
 
 
 def adjust_brightness(img, brightness_factor):
