@@ -1,9 +1,17 @@
 #!/usr/bin/env python
 """Decoder segment breakdown at B=128 bf16 (post 1x1-before-upsample).
 
-Times every primitive of each Up level separately plus the composed level,
-so the 27.6 ms decoder total can be attributed (convs vs upsample matmuls
-vs GroupNorm vs concat). Chained fori_loop timing (bench.py pattern).
+Times every primitive of each Up level separately plus the composed level.
+CAVEAT (measured): the multi-argument chain carry (`tuple(x + d ...)`)
+re-materializes EVERY carried tensor each iteration, which adds HBM
+traffic proportional to the carried set — composed-level numbers read
+~1.7x the in-model cost (57.8 ms here vs 27.6 ms in-model from
+tools/bench_ablation.py) and tiny ops can read negative. Use the
+single-op rows qualitatively only; trust in-model segment numbers.
+Findings that DO hold: GN+leaky at 256^2x32 runs ~3.1 ms each (~its
+two-pass floor), the concat-conv and conv2 sit at the known XLA conv
+codegen wall, and the post-commute 1x1/upsample are cheap. Nothing
+actionable remains in the decoder beyond better conv codegen.
 
 Up level l (unet.py:Up): x1 @ (s, s, 2c) -> 1x1 conv -> (s, s, c) ->
 bilinear 2x -> (2s, 2s, c) -> GN+leaky -> concat skip (2s, 2s, c) ->
