@@ -187,19 +187,19 @@ def qualitative_comparison(test_pairs, engine, output_dir):
                           logger)
 
 
-def _load_engine_for(checkpoint, base_filters):
+def _load_engine_for(checkpoint, base_filters, quant="none"):
     from mri_superresolution_tpu.config import InferConfig, ModelConfig
     from mri_superresolution_tpu.infer import load_engine
     return load_engine(InferConfig(
         model=ModelConfig(base_filters=base_filters),
         checkpoint_dir=os.path.dirname(str(checkpoint)) or ".",
-        checkpoint_path=str(checkpoint)))
+        checkpoint_path=str(checkpoint), quant=quant))
 
 
 def _evaluate_checkpoint(ckpt_path, test_pairs, output_dir, base_filters,
-                         label):
+                         label, quant="none"):
     impl = report_implementation_details(ckpt_path)
-    engine = _load_engine_for(ckpt_path, base_filters)
+    engine = _load_engine_for(ckpt_path, base_filters, quant)
     df = run_benchmarks(test_pairs, engine)
     df["checkpoint"] = label
     for key, value in impl.items():
@@ -229,6 +229,11 @@ def main():
                         default="./training_data")
     parser.add_argument("--train_low_res_dir", type=str,
                         default="./training_data_1.5T")
+    parser.add_argument("--quant", type=str, choices=["none", "int8"],
+                        default="none",
+                        help="int8 PTQ serving for the unet column "
+                             "(streaming self-calibration; timings and "
+                             "metrics then reflect quantized serving)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
     force_cpu_if_requested()
@@ -317,7 +322,8 @@ def main():
         print(f"Evaluating single checkpoint: {args.checkpoint}")
         df, _ = _evaluate_checkpoint(args.checkpoint, test_pairs,
                                      args.output_dir, args.base_filters,
-                                     os.path.basename(args.checkpoint))
+                                     os.path.basename(args.checkpoint),
+                                     quant=args.quant)
         path = os.path.join(args.output_dir, "metrics.csv")
         df.to_csv(path, index=False)
         print(f"Saved metrics to {path}")
@@ -336,7 +342,8 @@ def main():
             print(f"\n--- Evaluating Checkpoint: {p.name} ---")
             df, impl = _evaluate_checkpoint(
                 p, test_pairs, args.output_dir, 32,
-                p.name.replace(".ckpt", "").replace(".pth", ""))
+                p.name.replace(".ckpt", "").replace(".pth", ""),
+                quant=args.quant)
             all_dfs.append(df)
             summary[p.name] = impl
         final = pd.concat(all_dfs, ignore_index=True)

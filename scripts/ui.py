@@ -72,6 +72,7 @@ DEFAULT_PARAMS = {
     "target_image": "",
     "show_comparison": True,
     "show_diff": True,
+    "quant_int8": False,
 }
 
 MENUS = {
@@ -91,7 +92,7 @@ MENUS = {
     "infer": [
         "input_image", "output_image", "target_image", "checkpoint_dir",
         "checkpoint_file", "model_type", "base_filters", "show_comparison",
-        "show_diff", "cpu",
+        "show_diff", "quant_int8", "cpu",
     ],
 }
 
@@ -190,6 +191,8 @@ def build_command(menu, p):
             cmd.append("--show_comparison")
         if p["show_diff"]:
             cmd.append("--show_diff")
+        if p["quant_int8"]:
+            cmd += ["--quant", "int8"]
     else:
         raise ValueError(menu)
     if p["cpu"]:

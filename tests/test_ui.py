@@ -50,6 +50,10 @@ def test_build_commands():
     cmd = build_command("infer", p)
     assert cmd[cmd.index("--checkpoint_path") + 1] == "ckpt/best.ckpt"
     assert "--show_comparison" in cmd
+    assert "--quant" not in cmd                  # int8 toggle defaults off
+    p["quant_int8"] = True
+    cmd = build_command("infer", p)
+    assert cmd[cmd.index("--quant") + 1] == "int8"
 
     cmd = build_command("extract_paired", p)
     i = cmd.index("--target_size")
