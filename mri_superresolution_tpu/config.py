@@ -128,15 +128,17 @@ class InferConfig:
     # spatial_shards | visible devices.
     spatial_shards: int = 1
     # "int8" enables post-training-quantized serving (ops/quant.py): conv
-    # weights per-output-channel int8, activations per-tensor int8 with
-    # static scales self-calibrated on the first served batch. Measured
-    # 1.78-2.02x per conv on v5e (tools/bench_int8_probe.py); quality delta
-    # vs bf16 documented in RESULTS.md. "none" = bf16 serving (default).
+    # weights per-output-channel int8 with per-INPUT-channel activation
+    # scales folded in, self-calibrated on the first served slices.
+    # Measured 1.78-2.02x per conv on v5e (tools/bench_int8_probe.py);
+    # end-to-end numbers + quality deltas in RESULTS.md 2b. "none" = bf16.
     quant: str = "none"
-    # Streaming self-calibration length: the first N served batches run at
-    # full bf16 precision while per-site activation statistics accumulate;
-    # int8 serving starts at batch N+1. More batches = tighter scales.
-    quant_calib_batches: int = 8
+    # Streaming self-calibration length in SLICES: content-rich batches
+    # run at full bf16 precision while per-site activation statistics
+    # accumulate, until this many real slices have been seen; int8 serving
+    # starts with the batch that completes calibration. One typical volume
+    # batch (>= 8 slices) completes it immediately.
+    quant_calib_slices: int = 8
     # Quality guardrail: batches whose mean foreground fraction (pixels with
     # |x| > 0.05) falls below this route to the exact bf16 path instead of
     # int8. Near-empty slices are where the int8 noise floor (~26 dB PSNR,

@@ -57,13 +57,19 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+# Per-pixel intensity above which a pixel counts as foreground, for the
+# int8 content guardrail. Distinct from ``quant_min_foreground`` (the
+# FRACTION of such pixels below which a batch routes to bf16).
+FOREGROUND_INTENSITY = 0.05
+
+
 class InferenceEngine:
     """Holds a model + params and serves padded, bucketed, sharded forwards."""
 
     def __init__(self, model_cfg: ModelConfig, params,
                  bf16: bool = True, bucket: int = 1,
                  num_devices: int = 1, spatial_shards: int = 1,
-                 quant: str = "none", quant_calib_batches: int = 8,
+                 quant: str = "none", quant_calib_slices: int = 8,
                  quant_min_foreground: float = 0.05):
         self.model_cfg = model_cfg
         self._dtype = jnp.bfloat16 if bf16 else jnp.float32
@@ -79,13 +85,16 @@ class InferenceEngine:
             if spatial_shards > 1:
                 raise ValueError("--quant int8 is incompatible with "
                                  "spatial_shards > 1")
+            if quant_calib_slices < 1:
+                raise ValueError("quant_calib_slices must be >= 1")
         self.quant = quant
-        self.quant_calib_batches = quant_calib_batches
+        self.quant_calib_slices = quant_calib_slices
         self.quant_min_foreground = quant_min_foreground
         self._quant_fwd = None       # built once calibration completes
         self._calib_fwd = None       # bf16 forward that also records amax
         self._calib_amax: dict = {}
-        self._calib_seen = 0
+        self._calib_seen = 0         # real (un-padded) slices calibrated on
+        self._quant_batches = {"int8": 0, "bf16": 0}
         if spatial_shards > 1:
             # Row-sharded forwards (parallel/spatial.py): each slice is
             # split over `spatial_shards` devices with ppermute halos; the
@@ -127,37 +136,62 @@ class InferenceEngine:
             bw = _round_up(bw, 8)
         return bh, bw
 
-    def _quant_upscale(self, x: np.ndarray, foreground_frac: float):
+    def _route_bf16(self, x) -> jnp.ndarray:
+        self._quant_batches["bf16"] += 1
+        return self._forward(self.params, jnp.asarray(x))
+
+    def _quant_upscale(self, x: np.ndarray, n_real_slices: int,
+                       foreground_frac: float):
         """int8 PTQ serving with streaming self-calibration
-        (models/quant_forward.py): the first ``quant_calib_batches`` batches
-        run a full-bf16 forward that simultaneously records each conv
-        site's per-input-channel |x| range; the batch that completes
-        calibration (and every later one) is served int8. Static scales
-        keep every quantize a fusable elementwise op and are
+        (models/quant_forward.py): content-rich batches run a full-bf16
+        forward that simultaneously records each conv site's
+        per-input-channel |x| range until ``quant_calib_slices`` real
+        slices have been observed; the scales then freeze (folded into the
+        int8 weights) and later batches run int8. A batch that single-
+        handedly completes calibration is itself re-served int8 (so a
+        one-image ``--quant int8`` run produces int8 output). Static
+        scales keep every quantize a fusable elementwise op and are
         shape-independent, so one calibration serves all later shapes.
 
         ``foreground_frac`` is measured on the REAL pixels (before batch /
-        bucket zero-padding, which would dilute it)."""
+        bucket zero-padding, which would dilute it). Near-empty batches
+        (< ``quant_min_foreground`` fraction of pixels above
+        FOREGROUND_INTENSITY) are excluded from calibration — background
+        slices at a volume's edges would freeze scales that hard-clip
+        later anatomy — and are always served on the exact bf16 path,
+        where the int8 noise floor (~26 dB PSNR, tools/quant_quality.py)
+        would otherwise dominate their much-lower bf16 error."""
         from mri_superresolution_tpu.models import quant_forward
+
+        if foreground_frac < self.quant_min_foreground:
+            return self._route_bf16(x)
 
         if self._quant_fwd is None:
             if self._calib_fwd is None:
-                self._calib_fwd = quant_forward.build_calib_forward(
-                    self.model_cfg.model_type, dtype=self._dtype)
+                raw = quant_forward.build_calib_forward(
+                    self.model_cfg.model_type, dtype=self._dtype,
+                    jit_fn=False)
+                # same sharding contract as the serving forwards: batch
+                # data-sharded over the mesh, params replicated
+                self._calib_fwd = jax.jit(
+                    raw, in_shardings=(self._rsh, self._dsh),
+                    out_shardings=(self._dsh, None))
+            first = self._calib_seen == 0
             y, amax = self._calib_fwd(self.params, jnp.asarray(x))
             for k, v in jax.device_get(amax).items():
                 v = np.asarray(v, np.float32)
                 self._calib_amax[k] = (np.maximum(self._calib_amax[k], v)
                                        if k in self._calib_amax else v)
-            self._calib_seen += 1
-            if self._calib_seen < self.quant_calib_batches:
-                # still calibrating: serve the calib forward's own bf16
-                # output (no second forward)
+            self._calib_seen += max(n_real_slices, 1)
+            if self._calib_seen < self.quant_calib_slices:
+                logger.info(f"int8 PTQ: calibrating "
+                            f"({self._calib_seen}/{self.quant_calib_slices} "
+                            "slices seen); serving bf16 meanwhile")
+                self._quant_batches["bf16"] += 1
                 return jnp.clip(y, 0.0, 1.0)
             scales = quant_forward.scales_from_amax(self._calib_amax)
             logger.info(f"int8 PTQ: froze {len(scales)} activation scales "
-                        f"after {self._calib_seen} calibration batch(es); "
-                        "serving int8 from this batch on")
+                        f"after {self._calib_seen} calibration slice(s)")
             fn = quant_forward.build_int8_forward(
                 jax.device_get(self.params), scales,
                 self.model_cfg.model_type, dtype=self._dtype)
@@ -165,16 +199,27 @@ class InferenceEngine:
                 lambda p, a: jnp.clip(fn(p, a), 0.0, 1.0),
                 in_shardings=(self._rsh, self._dsh),
                 out_shardings=self._dsh)
+            if not first:
+                # this batch already has a bf16 result from the calib
+                # forward — serve it (no second forward); int8 starts with
+                # the next batch
+                self._quant_batches["bf16"] += 1
+                return jnp.clip(y, 0.0, 1.0)
+            # single-batch calibration: re-serve this batch int8
 
-        # Content-aware routing (quality guardrail): static int8 scales add
-        # a roughly constant absolute noise floor (~26 dB PSNR,
-        # tools/quant_quality.py). On content-rich slices the model's own
-        # error dominates (measured ~-0.2 dB median); on near-empty slices
-        # bf16 is far more accurate than the floor, so those batches serve
-        # on the exact bf16 path instead.
-        if foreground_frac < self.quant_min_foreground:
-            return self._forward(self.params, jnp.asarray(x))
+        self._quant_batches["int8"] += 1
         return self._quant_fwd(self.params, jnp.asarray(x))
+
+    def quant_summary(self) -> str:
+        """One-line serving account for CLIs to log after a --quant run."""
+        c = self._quant_batches
+        state = ("scales frozen" if self._quant_fwd is not None else
+                 f"calibration INCOMPLETE "
+                 f"({self._calib_seen}/{self.quant_calib_slices} slices — "
+                 "all batches were served bf16; lower --quant_calib_slices "
+                 "or serve more data)")
+        return (f"int8 PTQ summary: {c['int8']} batch(es) served int8, "
+                f"{c['bf16']} bf16 (calibration/near-empty routing); {state}")
 
     def _spatial_forward(self, bh: int, bw: int):
         from mri_superresolution_tpu.parallel import build_spatial_forward
@@ -212,7 +257,9 @@ class InferenceEngine:
         if self.spatial_shards > 1:
             y = self._spatial_forward(bh, bw)(self.params, jnp.asarray(x))
         elif self.quant == "int8":
-            y = self._quant_upscale(x, float((np.abs(batch) > 0.05).mean()))
+            y = self._quant_upscale(
+                x, n,
+                float((np.abs(batch) > FOREGROUND_INTENSITY).mean()))
         else:
             y = self._forward(self.params, jnp.asarray(x))
         y = np.asarray(y[:n, :2 * h, :2 * w, 0])
@@ -413,5 +460,5 @@ def load_engine(cfg: InferConfig, num_devices: int = 1) -> InferenceEngine:
                            bucket=cfg.bucket, num_devices=num_devices,
                            spatial_shards=cfg.spatial_shards,
                            quant=cfg.quant,
-                           quant_calib_batches=cfg.quant_calib_batches,
+                           quant_calib_slices=cfg.quant_calib_slices,
                            quant_min_foreground=cfg.quant_min_foreground)

@@ -186,19 +186,20 @@ def reference_forward(params, x, model_type: str = "unet",
 
 
 def build_calib_forward(model_type: str = "unet", dtype: Any = jnp.bfloat16,
-                        percentile: float = 100.0):
-    """Jitted ``fn(params, x) -> (y, amax)``: the exact bf16 forward plus
-    each quantizable site's clipped |x| statistic — lets a server calibrate
-    *while* serving its first batches at full precision."""
+                        percentile: float = 100.0, jit_fn: bool = True):
+    """``fn(params, x) -> (y, amax)``: the exact bf16 forward plus each
+    quantizable site's per-channel |x| statistic — lets a server calibrate
+    *while* serving its first batches at full precision. ``jit_fn=False``
+    returns the raw traceable function so callers can jit with their own
+    sharding contract (infer/engine.py does)."""
     fwd = _FORWARDS[model_type]
 
-    @jax.jit
     def run(p, x):
         ctx = _Ctx("calib", percentile=percentile)
         y = fwd(ctx, p, x, dtype)
         return y, ctx.amax
 
-    return run
+    return jax.jit(run) if jit_fn else run
 
 
 def scales_from_amax(amax: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -210,7 +211,7 @@ def scales_from_amax(amax: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 def calibrate(params, batches: Sequence[np.ndarray], model_type: str = "unet",
               dtype: Any = jnp.bfloat16,
-              percentile: float = 100.0) -> Dict[str, float]:
+              percentile: float = 100.0) -> Dict[str, np.ndarray]:
     """Run calibration batches in bf16, return per-site static activation
     scales {site: (Cin,) clip/127} where clip is the max over batches of
     each site's per-channel ``percentile``-clipped |x|. Batches: (B, H, W,
@@ -249,7 +250,8 @@ def build_int8_forward(params, scales: Dict[str, float],
                        dtype: Any = jnp.bfloat16,
                        exclude: Optional[frozenset] = None):
     """Returns ``fn(params, x) -> y`` running the calibrated conv sites in
-    int8 (weights per-channel, activations per-tensor static). ``params``
+    int8 (per-Cout weight scales with the per-Cin activation scales folded
+    in). ``params``
     is accepted per-call so the engine's sharding plumbing stays uniform;
     the int8 weights are precomputed here once. ``exclude`` names sites
     kept in bf16 (default: the measured per-family loss list above)."""

@@ -10,14 +10,18 @@ the parity model (10.6 -> 5.6 ms). The reference has no quantized path
 Scheme (standard symmetric PTQ):
 - weights: per-output-channel symmetric int8, scale = amax(|w|)/127 over
   (kh, kw, cin). Quantized once at engine setup, outside jit.
-- activations: per-tensor symmetric int8 with STATIC scales from a
-  calibration pass (models/quant_forward.py). Static scales matter on TPU:
-  the quantize (scale, round, clip, cast) is a pure elementwise op that XLA
-  fuses into the producing op's output write, so activations cross HBM as
-  int8 (half the bytes) with no extra pass; a dynamic amax would insert a
-  reduction barrier per conv.
+- activations: per-INPUT-CHANNEL symmetric int8 with STATIC scales from a
+  calibration pass (models/quant_forward.py), folded into the weights via
+  ``weight_qparams(act_scale=...)`` so dequant needs only the per-Cout
+  weight scale. Static scales matter on TPU: the quantize (scale, round,
+  clip, cast) is a pure elementwise op that XLA fuses into the producing
+  op's output write; a dynamic amax would insert a reduction barrier per
+  conv. Per-channel (not per-tensor) matters for quality: GroupNorm gives
+  each channel its own learned range — a shared range measured -3 dB on a
+  trained model, per-channel -0.3 dB (RESULTS.md 2b).
 - accumulation: int32 on the MXU (preferred_element_type), dequantized as
-  float32 * (s_x * s_w[c]) and cast back to the serving dtype.
+  float32 * s_w[cout] (activation scales pre-folded) and cast back to the
+  serving dtype.
 """
 
 from __future__ import annotations

@@ -46,8 +46,8 @@ def parse_args():
                         help='int8 PTQ serving: per-channel scales self-'
                              'calibrated on this image, then the int8 '
                              'forward produces the output')
-    parser.add_argument('--quant_calib_batches', type=int, default=1,
-                        help='batches of streaming calibration before int8 '
+    parser.add_argument('--quant_calib_slices', type=int, default=1,
+                        help='slices of streaming calibration before int8 '
                              'serving starts (single-image default: 1, so '
                              'the output IS int8-served)')
     return parser.parse_args()
@@ -69,7 +69,7 @@ def main():
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_path=args.checkpoint_path,
             bf16=not args.no_bf16, bucket=args.bucket,
-            quant=args.quant, quant_calib_batches=args.quant_calib_batches)
+            quant=args.quant, quant_calib_slices=args.quant_calib_slices)
         engine = load_engine(cfg)
         fig_path = args.save_figure
         if (args.show_comparison or args.show_diff) and not fig_path:

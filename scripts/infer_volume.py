@@ -47,10 +47,11 @@ def main():
                         default='none',
                         help='int8 PTQ serving: streaming self-calibration '
                              'over the first batches (served bf16), then '
-                             'int8 (see --quant_calib_batches)')
-    parser.add_argument('--quant_calib_batches', type=int, default=8,
-                        help='batches of streaming calibration before int8 '
-                             'serving starts')
+                             'int8 (see --quant_calib_slices)')
+    parser.add_argument('--quant_calib_slices', type=int, default=8,
+                        help='slices of streaming calibration before int8 '
+                             'serving starts (one typical volume batch '
+                             'completes it)')
     parser.add_argument('--spatial_shards', type=int, default=1,
                         help='Shard each slice\'s row axis over this many '
                              'mesh devices (halo-exchange spatial '
@@ -87,7 +88,7 @@ def main():
                     checkpoint_path=args.checkpoint_path,
                     bf16=not args.no_bf16, bucket=args.bucket,
                     spatial_shards=args.spatial_shards, quant=args.quant,
-                    quant_calib_batches=args.quant_calib_batches),
+                    quant_calib_slices=args.quant_calib_slices),
         num_devices=args.num_devices)
 
     # per-slice percentile window + minmax, batched on device
@@ -116,6 +117,8 @@ def main():
     out_zooms = (zooms[0] / 2.0, zooms[1] / 2.0, zooms[2])
     nifti.save(args.output, sr_vol, zooms=out_zooms)
     logger.info(f"Wrote {args.output}: {sr_vol.shape} at spacing {out_zooms}")
+    if args.quant != "none":
+        logger.info(engine.quant_summary())
 
     if args.save_png_dir:
         import cv2

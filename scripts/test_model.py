@@ -171,8 +171,8 @@ def main():
                         default='none',
                         help='int8 PTQ serving: streaming self-calibration '
                              'over the first slices (served bf16), then '
-                             'int8 (see --quant_calib_batches)')
-    parser.add_argument('--quant_calib_batches', type=int, default=2,
+                             'int8 (see --quant_calib_slices)')
+    parser.add_argument('--quant_calib_slices', type=int, default=2,
                         help='slices of streaming calibration before int8 '
                              'serving starts (kept small so most reported '
                              'metrics are int8-served)')
@@ -207,7 +207,7 @@ def main():
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_path=args.checkpoint_path, bucket=args.bucket,
             quant=args.quant,
-            quant_calib_batches=args.quant_calib_batches))
+            quant_calib_slices=args.quant_calib_slices))
 
         results = []
         for i, (lr_file, hr_file) in enumerate(paired):

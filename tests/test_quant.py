@@ -135,18 +135,38 @@ def test_engine_int8_serving_close_to_bf16(rng):
     _, params = _model_and_params("unet")
     batch = rng.random((3, 40, 40), np.float32)
     base = InferenceEngine(cfg, params).upscale_batch(batch)
-    qeng = InferenceEngine(cfg, params, quant="int8", quant_calib_batches=2)
-    calib = qeng.upscale_batch(batch)   # streamed calibration batch: bf16
+    qeng = InferenceEngine(cfg, params, quant="int8", quant_calib_slices=4)
+    calib = qeng.upscale_batch(batch)   # 3 < 4 slices: bf16 calib serve
     assert qeng._quant_fwd is None      # still calibrating after batch 1
     # calib mode is the same bf16 math but its extra stat ops change XLA
     # fusion (hence bf16 rounding points) — close, not bit-equal
     assert np.mean(np.abs(calib - base)) < 0.02
-    quant = qeng.upscale_batch(batch)   # completes calibration: served int8
-    assert qeng._quant_fwd is not None
+    mid = qeng.upscale_batch(batch)     # completes (6 >= 4): bf16 y served,
+    assert qeng._quant_fwd is not None  # int8 starts NEXT batch
+    assert np.mean(np.abs(mid - base)) < 0.02
+    quant = qeng.upscale_batch(batch)   # int8-served
     assert quant.shape == base.shape == (3, 80, 80)
     assert np.isfinite(quant).all()
     assert quant.min() >= 0.0 and quant.max() <= 1.0
     assert np.mean(np.abs(quant - base)) < 0.05
+    assert qeng._quant_batches == {"int8": 1, "bf16": 2}
+
+
+def test_engine_single_batch_calibration_serves_int8(rng):
+    """A batch that single-handedly completes calibration is re-served
+    int8 — the single-image --quant int8 CLI contract."""
+    from mri_superresolution_tpu.infer.engine import InferenceEngine
+
+    cfg = ModelConfig(model_type="unet", base_filters=16)
+    _, params = _model_and_params("unet")
+    batch = rng.random((2, 40, 40), np.float32)
+    base = InferenceEngine(cfg, params).upscale_batch(batch)
+    qeng = InferenceEngine(cfg, params, quant="int8", quant_calib_slices=1)
+    out = qeng.upscale_batch(batch)
+    assert qeng._quant_fwd is not None
+    assert qeng._quant_batches["int8"] == 1
+    assert np.abs(out - base).mean() > 0.0      # int8, not the bf16 output
+    assert "frozen" in qeng.quant_summary()
 
 
 def test_engine_routes_near_empty_batches_to_bf16(rng):
@@ -161,7 +181,7 @@ def test_engine_routes_near_empty_batches_to_bf16(rng):
     empty[:, 18:20, 18:20] = 1.0      # 0.25% foreground
 
     base = InferenceEngine(cfg, params)
-    qeng = InferenceEngine(cfg, params, quant="int8", quant_calib_batches=1)
+    qeng = InferenceEngine(cfg, params, quant="int8", quant_calib_slices=1)
     qeng.upscale_batch(rich)                   # calibrate + freeze
     assert qeng._quant_fwd is not None
     routed = qeng.upscale_batch(empty)         # routed to bf16: identical
@@ -180,6 +200,9 @@ def test_engine_quant_validation(rng):
     with pytest.raises(ValueError, match="unet"):
         InferenceEngine(ModelConfig(model_type="edsr", base_filters=16),
                         params, quant="int8")
+    with pytest.raises(ValueError, match="calib_slices"):
+        InferenceEngine(ModelConfig(model_type="unet", base_filters=16),
+                        params, quant="int8", quant_calib_slices=0)
 
 
 def test_calibrate_multiple_batches_takes_max(rng):

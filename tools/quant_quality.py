@@ -35,7 +35,7 @@ def engine_metrics(ckpt_path, model_type, pairs, quant, calib_lrs=()):
         model=ModelConfig(model_type=model_type, base_filters=32),
         checkpoint_dir=os.path.dirname(ckpt_path),
         checkpoint_path=ckpt_path, quant=quant,
-        quant_calib_batches=max(1, len(calib_lrs))))
+        quant_calib_slices=max(1, len(calib_lrs))))
     # self-calibrate on TRAIN-split slices so every held-out eval pair is
     # served by the frozen int8 path (no bf16 warm-up leaking into metrics)
     for lr_p in calib_lrs:
