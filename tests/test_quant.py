@@ -190,6 +190,41 @@ def test_engine_routes_near_empty_batches_to_bf16(rng):
     assert np.abs(quant - base.upscale_batch(rich)).mean() > 0.0
 
 
+def test_engine_near_empty_batches_do_not_calibrate(rng):
+    """Background-heavy batches are excluded from calibration (their
+    ranges would hard-clip later anatomy) and served bf16."""
+    from mri_superresolution_tpu.infer.engine import InferenceEngine
+
+    cfg = ModelConfig(model_type="unet", base_filters=16)
+    _, params = _model_and_params("unet")
+    empty = np.zeros((2, 40, 40), np.float32)
+    empty[:, 18:20, 18:20] = 1.0               # 0.25% foreground
+    qeng = InferenceEngine(cfg, params, quant="int8", quant_calib_slices=1)
+    out = qeng.upscale_batch(empty)
+    assert qeng._calib_seen == 0               # not used for calibration
+    assert qeng._quant_fwd is None             # scales not frozen
+    assert qeng._quant_batches["bf16"] == 1
+    assert out.shape == (2, 80, 80)
+    assert "INCOMPLETE" in qeng.quant_summary()
+
+
+def test_engine_quant_with_bucket_padding(rng):
+    """bucket > 1 zero-pads spatially; the foreground fraction must come
+    from the real pixels, so a content-rich odd-size batch still serves
+    int8 after calibration."""
+    from mri_superresolution_tpu.infer.engine import InferenceEngine
+
+    cfg = ModelConfig(model_type="unet", base_filters=16)
+    _, params = _model_and_params("unet")
+    batch = rng.random((2, 40, 40), np.float32)     # pads to 64x64: fg/2.6
+    qeng = InferenceEngine(cfg, params, quant="int8", quant_calib_slices=1,
+                           bucket=64)
+    out = qeng.upscale_batch(batch)
+    assert qeng._quant_fwd is not None
+    assert qeng._quant_batches["int8"] == 1         # not diluted-misrouted
+    assert out.shape == (2, 80, 80)
+
+
 def test_engine_quant_validation(rng):
     from mri_superresolution_tpu.infer.engine import InferenceEngine
 
