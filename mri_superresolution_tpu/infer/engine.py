@@ -13,7 +13,11 @@ TPU-first design:
   (the reference merely warns on non-%8 inputs, scripts/infer.py:119-121);
   outputs are cropped back to exactly 2x the original size,
 - batches shard over the data mesh for full-volume throughput,
-- bf16 compute, fp32 in/out.
+- bf16 compute, fp32 in/out,
+- optional row-sharded serving over a (data, space) mesh
+  (``spatial_shards``, parallel/spatial.py) for slices too large per chip,
+- optional int8 PTQ serving (``quant="int8"``, models/quant_forward.py)
+  with streaming self-calibration and a content-aware bf16 guardrail.
 """
 
 from __future__ import annotations
