@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 import flax.linen as nn
 
-from mri_superresolution_tpu.ops import phase as phase_ops
+from mri_superresolution_tpu.experiments import phase as phase_ops
 from mri_superresolution_tpu.ops.resize import upsample_bilinear_align_corners
 
 # Kaiming He normal, mode='fan_out', nonlinearity='leaky_relu' with torch's
@@ -221,7 +221,7 @@ class UNetSuperRes(nn.Module):
     initial_alpha: float = 0.0   # percentage (0-100), normalized to [0,1]
     icnr_init: bool = False
     # Compute the final 2x stage in phase space (exact space-to-depth
-    # algebra, ops/phase.py). MEASURED NEGATIVE RESULT on v5e (kept as an
+    # algebra, experiments/phase.py). MEASURED NEGATIVE RESULT on v5e (kept as an
     # opt-in experiment, default off): the hypothesis was that the stage's
     # Cout<=16 convs at 512^2 starve the MXU's 128 output lanes, but XLA's
     # own conv lowering already sustains ~29 TFLOP/s there (past the naive
@@ -309,7 +309,7 @@ class UNetSuperRes(nn.Module):
 
     def _final_stage_phase(self, y):
         """The dual-branch final 2x stage, computed entirely at y's
-        resolution in c-major phase space (ops/phase.py). Mathematically
+        resolution in c-major phase space (experiments/phase.py). Mathematically
         identical to the module path above; ~2x less MXU time because the
         Cout=16 convs at 2Hx2W become Cout=64 convs at HxW."""
         dt = self.dtype

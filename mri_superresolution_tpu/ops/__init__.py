@@ -23,10 +23,6 @@ from mri_superresolution_tpu.ops.normalize import (  # noqa: F401
 )
 from mri_superresolution_tpu.ops.kspace import simulate_low_field_mri  # noqa: F401
 from mri_superresolution_tpu.ops.ssim import ssim, gaussian_window  # noqa: F401
-from mri_superresolution_tpu.ops.ssim_pallas import (  # noqa: F401
-    ssim_fused,
-    ssim_fused_per_sample,
-)
 from mri_superresolution_tpu.ops.metrics import (  # noqa: F401
     psnr,
     mse,

@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from mri_superresolution_tpu.ops.conv_pallas import (conv3x3_packed,
+from mri_superresolution_tpu.experiments.conv_pallas import (conv3x3_packed,
                                                      conv3x3_packed_fwd,
                                                      pack_weights, _xla_conv)
 

@@ -15,7 +15,7 @@ def test_supported_gate_rejects_oversized_chunks():
     hitting a Mosaic VMEM compile error. (pallas_supported itself is False
     off-TPU, so assert the chunk arithmetic the TPU gate applies.)"""
     import jax.numpy as jnp
-    from mri_superresolution_tpu.ops.groupnorm_pallas import (
+    from mri_superresolution_tpu.experiments.groupnorm_pallas import (
         _CHUNK_TARGET_BYTES, _pick_chunks, pallas_supported)
 
     row_bytes = 512 * 16 * 2                      # (514, 512, 16) bf16 rows
@@ -26,7 +26,7 @@ def test_supported_gate_rejects_oversized_chunks():
 import flax.linen as nn
 import pytest
 
-from mri_superresolution_tpu.ops.groupnorm_pallas import (
+from mri_superresolution_tpu.experiments.groupnorm_pallas import (
     _ref_forward, fused_group_norm_leaky, pallas_supported, _pick_chunks)
 
 
@@ -79,7 +79,7 @@ def test_multi_chunk_path_exact():
     # so shrink via the helper's contract instead: verify _pick_chunks and
     # exercise the nc>1 kernel body with a hand-picked chunk count by
     # monkeypatching the target.
-    import mri_superresolution_tpu.ops.groupnorm_pallas as gnp
+    import mri_superresolution_tpu.experiments.groupnorm_pallas as gnp
     old = gnp._CHUNK_TARGET_BYTES
     gnp._CHUNK_TARGET_BYTES = 4 * 128 * 4  # rows of W*C=128 fp32 -> 4 rows
     try:

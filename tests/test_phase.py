@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from mri_superresolution_tpu.models import UNetSuperRes, init_params
-from mri_superresolution_tpu.ops import phase as phase_ops
+from mri_superresolution_tpu.experiments import phase as phase_ops
 from mri_superresolution_tpu.ops.resize import upsample_bilinear_align_corners
 
 

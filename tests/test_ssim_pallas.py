@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from mri_superresolution_tpu.ops.ssim import ssim
-from mri_superresolution_tpu.ops.ssim_pallas import (ssim_fused,
+from mri_superresolution_tpu.experiments.ssim_pallas import (ssim_fused,
                                                      ssim_fused_per_sample)
 
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 import flax.linen as nn
 
-from mri_superresolution_tpu.ops.groupnorm_pallas import (
+from mri_superresolution_tpu.experiments.groupnorm_pallas import (
     fused_group_norm_leaky, pallas_supported)
 
 B = 128

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from mri_superresolution_tpu.ops import phase as phase_ops
+from mri_superresolution_tpu.experiments import phase as phase_ops
 from mri_superresolution_tpu.ops.resize import (
     _align_corners_matrix, upsample_bilinear_align_corners)
 
