@@ -145,6 +145,11 @@ class InferConfig:
     # measured) dominates — and they are also the cheapest to serve at full
     # precision. 0 disables routing.
     quant_min_foreground: float = 0.05
+    # Path to a JSON sidecar of frozen int8 calibration scales. If the file
+    # exists it is loaded (int8 from batch 0, byte-deterministic across
+    # processes); otherwise the streaming self-calibration runs and saves
+    # its frozen scales here for later runs. None = in-process only.
+    quant_calib_path: Optional[str] = None
 
 
 def to_dict(cfg) -> dict:

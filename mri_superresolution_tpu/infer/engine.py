@@ -74,7 +74,8 @@ class InferenceEngine:
                  bf16: bool = True, bucket: int = 1,
                  num_devices: int = 1, spatial_shards: int = 1,
                  quant: str = "none", quant_calib_slices: int = 8,
-                 quant_min_foreground: float = 0.05):
+                 quant_min_foreground: float = 0.05,
+                 quant_calib_path: Optional[str] = None):
         self.model_cfg = model_cfg
         self._dtype = jnp.bfloat16 if bf16 else jnp.float32
         self.model = build_model(model_cfg, dtype=self._dtype)
@@ -91,7 +92,15 @@ class InferenceEngine:
                                  "spatial_shards > 1")
             if quant_calib_slices < 1:
                 raise ValueError("quant_calib_slices must be >= 1")
+            if model_cfg.model_type == "unet_tpu":
+                logger.warning(
+                    "--quant int8 on model type 'unet_tpu' is MEASURED "
+                    "SLOWER than bf16 end-to-end (2,458 vs 2,558 slices/s/"
+                    "chip, RESULTS.md §2b) — the bf16→int8 quantize pass "
+                    "outweighs the conv wins at its shallow final stage. "
+                    "Prefer plain bf16 unless you need the memory savings.")
         self.quant = quant
+        self.quant_calib_path = quant_calib_path
         self.quant_calib_slices = quant_calib_slices
         self.quant_min_foreground = quant_min_foreground
         self._quant_fwd = None       # built once calibration completes
@@ -126,6 +135,31 @@ class InferenceEngine:
         self._compiled_shapes: set = set()
         self._forward = jax.jit(
             lambda p, x: jnp.clip(self.model.apply({"params": p}, x), 0.0, 1.0),
+            in_shardings=(self._rsh, self._dsh),
+            out_shardings=self._dsh)
+        if (self.quant == "int8" and quant_calib_path
+                and os.path.exists(quant_calib_path)):
+            # deterministic serving: reuse previously frozen scales instead
+            # of re-calibrating on whatever data arrives first
+            from mri_superresolution_tpu.models import quant_forward
+            scales, saved_type = quant_forward.load_scales(quant_calib_path)
+            if saved_type != model_cfg.model_type:
+                raise ValueError(
+                    f"{quant_calib_path} holds scales for model type "
+                    f"{saved_type!r}, not {model_cfg.model_type!r}")
+            self._build_int8(scales)
+            logger.info(f"int8 PTQ: loaded {len(scales)} frozen activation "
+                        f"scales from {quant_calib_path}; serving int8 from "
+                        "the first batch")
+
+    def _build_int8(self, scales) -> None:
+        """Freeze ``scales`` into the jitted int8 serving forward."""
+        from mri_superresolution_tpu.models import quant_forward
+        fn = quant_forward.build_int8_forward(
+            jax.device_get(self.params), scales,
+            self.model_cfg.model_type, dtype=self._dtype)
+        self._quant_fwd = jax.jit(
+            lambda p, a: jnp.clip(fn(p, a), 0.0, 1.0),
             in_shardings=(self._rsh, self._dsh),
             out_shardings=self._dsh)
 
@@ -196,13 +230,13 @@ class InferenceEngine:
             scales = quant_forward.scales_from_amax(self._calib_amax)
             logger.info(f"int8 PTQ: froze {len(scales)} activation scales "
                         f"after {self._calib_seen} calibration slice(s)")
-            fn = quant_forward.build_int8_forward(
-                jax.device_get(self.params), scales,
-                self.model_cfg.model_type, dtype=self._dtype)
-            self._quant_fwd = jax.jit(
-                lambda p, a: jnp.clip(fn(p, a), 0.0, 1.0),
-                in_shardings=(self._rsh, self._dsh),
-                out_shardings=self._dsh)
+            self._build_int8(scales)
+            if self.quant_calib_path:
+                quant_forward.save_scales(self.quant_calib_path, scales,
+                                          self.model_cfg.model_type)
+                logger.info(f"int8 PTQ: saved frozen scales to "
+                            f"{self.quant_calib_path} — later runs will "
+                            "serve int8 deterministically from batch 0")
             if not first:
                 # this batch already has a bf16 result from the calib
                 # forward — serve it (no second forward); int8 starts with
@@ -243,19 +277,36 @@ class InferenceEngine:
         whole-image statistics and measurably change outputs — the reference
         likewise runs native sizes (scripts/infer.py:119-121). A bucket > 1
         trades that exactness for fewer recompiles in mixed-size serving
-        (padding distortion grows with the padded fraction). The batch axis
-        is padded to a device-divisible count and cropped after.
+        (padding distortion grows with the padded fraction). Exception:
+        ``spatial_shards > 1`` additionally pads H to a multiple of
+        8*shards (and W to 8) even at bucket=1, so non-conforming sizes are
+        NOT GroupNorm-exact on the spatial path (a warning is logged with
+        the padded fraction). The batch axis is padded to a
+        device-divisible count and cropped after.
         """
         n, h, w = batch.shape
         bh, bw = self._bucket_hw(h, w)
         nb = _round_up(max(n, 1), self.n_devices)
         if (nb, bh, bw) not in self._compiled_shapes:
             self._compiled_shapes.add((nb, bh, bw))
+            extra = ("" if self.quant != "int8" else
+                     " int8 serving compiles up to twice more per shape "
+                     "(calibration forward + frozen-scale int8 forward).")
             logger.info(
                 f"Compiling forward for padded shape ({nb}, {bh}, {bw}) — "
                 f"{len(self._compiled_shapes)} distinct shape(s) so far. "
                 "Heterogeneous test sets recompile per shape (minutes on the "
-                "TPU tunnel); set bucket > 1 (e.g. --bucket 32) to coalesce.")
+                f"TPU tunnel); set bucket > 1 (e.g. --bucket 32) to coalesce."
+                f"{extra}")
+            if self.spatial_shards > 1 and (bh > h or bw > w):
+                pad_frac = 1.0 - (h * w) / (bh * bw)
+                logger.warning(
+                    f"spatial_shards={self.spatial_shards} pads "
+                    f"{h}x{w} inputs to {bh}x{bw} "
+                    f"({pad_frac:.1%} zero pixels): whole-image GroupNorm "
+                    "statistics now differ from the dense forward. Use "
+                    f"H % {8 * self.spatial_shards} == 0, W % 8 == 0 "
+                    "inputs for exact spatial serving.")
         x = np.zeros((nb, bh, bw, 1), np.float32)
         x[:n, :h, :w, 0] = batch
         if self.spatial_shards > 1:
@@ -465,4 +516,5 @@ def load_engine(cfg: InferConfig, num_devices: int = 1) -> InferenceEngine:
                            spatial_shards=cfg.spatial_shards,
                            quant=cfg.quant,
                            quant_calib_slices=cfg.quant_calib_slices,
-                           quant_min_foreground=cfg.quant_min_foreground)
+                           quant_min_foreground=cfg.quant_min_foreground,
+                           quant_calib_path=cfg.quant_calib_path)

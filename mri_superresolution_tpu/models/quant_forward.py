@@ -209,13 +209,50 @@ def scales_from_amax(amax: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             for k, v in amax.items() if k != "__out__"}
 
 
+def save_scales(path: str, scales: Dict[str, np.ndarray],
+                model_type: str) -> None:
+    """Persist frozen calibration scales as a JSON sidecar (atomic write).
+
+    Makes int8 serving deterministic across processes: a later run loads
+    these instead of re-calibrating on whatever data arrives first, so the
+    same input volume produces byte-identical output bytes every run."""
+    import json
+    import os as _os
+    blob = {"format": "int8-ptq-scales-v1", "model_type": model_type,
+            "scales": {k: np.asarray(v, np.float32).tolist()
+                       for k, v in scales.items()}}
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(blob, f)
+    _os.replace(tmp, path)
+
+
+def load_scales(path: str) -> Tuple[Dict[str, np.ndarray], str]:
+    """Load scales saved by :func:`save_scales` → (scales, model_type)."""
+    import json
+    with open(path) as f:
+        blob = json.load(f)
+    if blob.get("format") != "int8-ptq-scales-v1":
+        raise ValueError(f"{path} is not an int8 PTQ scales file")
+    scales = {k: np.asarray(v, np.float32)
+              for k, v in blob["scales"].items()}
+    return scales, blob.get("model_type", "unet")
+
+
 def calibrate(params, batches: Sequence[np.ndarray], model_type: str = "unet",
               dtype: Any = jnp.bfloat16,
               percentile: float = 100.0) -> Dict[str, np.ndarray]:
     """Run calibration batches in bf16, return per-site static activation
     scales {site: (Cin,) clip/127} where clip is the max over batches of
     each site's per-channel ``percentile``-clipped |x|. Batches: (B, H, W,
-    C) floats."""
+    C) floats.
+
+    Caveat: with ``percentile < 100`` the statistic is computed over ALL
+    pixels of each batch — run it on unpadded inputs, since batch/bucket
+    zero-padding dilutes the percentile toward 0 and would freeze too-small
+    scales that hard-clip real activations (abs-max, the default, is
+    padding-immune). The engine's streaming calibration always uses
+    percentile=100 for this reason."""
     fn = build_calib_forward(model_type, dtype, percentile)
     amax: Dict[str, np.ndarray] = {}
     for b in batches:

@@ -42,7 +42,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 exposes shard_map at the top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from mri_superresolution_tpu.ops.functional import max_pool2, pixel_shuffle
 from mri_superresolution_tpu.ops.resize import _align_corners_matrix

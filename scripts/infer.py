@@ -50,6 +50,11 @@ def parse_args():
                         help='slices of streaming calibration before int8 '
                              'serving starts (single-image default: 1, so '
                              'the output IS int8-served)')
+    parser.add_argument('--quant_calib', type=str, default=None,
+                        metavar='PATH',
+                        help='JSON sidecar of frozen int8 scales: loaded if '
+                             'it exists (deterministic int8 from batch 0), '
+                             'otherwise written after self-calibration')
     return parser.parse_args()
 
 
@@ -69,7 +74,8 @@ def main():
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_path=args.checkpoint_path,
             bf16=not args.no_bf16, bucket=args.bucket,
-            quant=args.quant, quant_calib_slices=args.quant_calib_slices)
+            quant=args.quant, quant_calib_slices=args.quant_calib_slices,
+            quant_calib_path=args.quant_calib)
         engine = load_engine(cfg)
         fig_path = args.save_figure
         if (args.show_comparison or args.show_diff) and not fig_path:

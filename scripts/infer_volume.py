@@ -52,6 +52,11 @@ def main():
                         help='slices of streaming calibration before int8 '
                              'serving starts (one typical volume batch '
                              'completes it)')
+    parser.add_argument('--quant_calib', type=str, default=None,
+                        metavar='PATH',
+                        help='JSON sidecar of frozen int8 scales: loaded if '
+                             'it exists (deterministic int8 from batch 0), '
+                             'otherwise written after self-calibration')
     parser.add_argument('--spatial_shards', type=int, default=1,
                         help='Shard each slice\'s row axis over this many '
                              'mesh devices (halo-exchange spatial '
@@ -88,7 +93,8 @@ def main():
                     checkpoint_path=args.checkpoint_path,
                     bf16=not args.no_bf16, bucket=args.bucket,
                     spatial_shards=args.spatial_shards, quant=args.quant,
-                    quant_calib_slices=args.quant_calib_slices),
+                    quant_calib_slices=args.quant_calib_slices,
+                    quant_calib_path=args.quant_calib),
         num_devices=args.num_devices)
 
     # per-slice percentile window + minmax, batched on device

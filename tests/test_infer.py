@@ -104,6 +104,16 @@ def test_load_engine_from_checkpoint(tmp_path, rng):
     y = eng.upscale_batch(rng.random((1, 16, 16)).astype(np.float32))
     assert y.shape == (1, 32, 32)
 
+    # every quant field must thread through to the engine (a dropped
+    # kwarg here silently disables --quant_calib persistence)
+    calib = os.path.join(d, "calib.json")
+    qeng = load_engine(InferConfig(
+        model=ModelConfig(base_filters=64), checkpoint_dir=d,
+        quant="int8", quant_calib_slices=1, quant_calib_path=calib))
+    assert qeng.quant_calib_path == calib
+    qeng.upscale_batch(rng.random((1, 16, 16)).astype(np.float32))
+    assert os.path.exists(calib)        # frozen scales persisted
+
 
 def test_sharpen_matches_cv2(rng):
     cv2 = pytest.importorskip("cv2")

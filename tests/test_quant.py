@@ -248,3 +248,86 @@ def test_calibrate_multiple_batches_takes_max(rng):
     s_both = qf.calibrate(params, [small, big], "unet")
     assert np.all(s_both["inc.conv1"] >= s_small["inc.conv1"])
     assert s_both["inc.conv2"].shape == (16,)   # per-input-channel
+
+
+def test_scales_save_load_roundtrip(tmp_path, rng):
+    _, params = _model_and_params("unet")
+    scales = qf.calibrate(params, [rng.random((1, 32, 32, 1), np.float32)],
+                          "unet")
+    path = str(tmp_path / "scales.json")
+    qf.save_scales(path, scales, "unet")
+    loaded, mtype = qf.load_scales(path)
+    assert mtype == "unet"
+    assert set(loaded) == set(scales)
+    for k in scales:
+        np.testing.assert_array_equal(loaded[k],
+                                      np.asarray(scales[k], np.float32))
+
+
+def test_load_scales_rejects_foreign_json(tmp_path):
+    path = tmp_path / "not_scales.json"
+    path.write_text('{"hello": 1}')
+    with pytest.raises(ValueError, match="scales file"):
+        qf.load_scales(str(path))
+
+
+def test_engine_quant_calib_path_persistence(tmp_path, rng):
+    """--quant_calib PATH makes int8 serving deterministic across
+    processes: run 1 self-calibrates and saves; runs 2 and 3 load the
+    frozen scales, serve int8 from batch 0, and emit byte-identical
+    outputs (VERDICT r2 item 4)."""
+    from mri_superresolution_tpu.infer.engine import InferenceEngine
+
+    cfg = ModelConfig(model_type="unet", base_filters=16)
+    _, params = _model_and_params("unet")
+    batch = rng.random((2, 40, 40), np.float32)
+    path = str(tmp_path / "calib.json")
+
+    eng1 = InferenceEngine(cfg, params, quant="int8", quant_calib_slices=1,
+                           quant_calib_path=path)
+    assert eng1._quant_fwd is None          # file absent: streaming calib
+    out1 = eng1.upscale_batch(batch)        # calibrates, freezes, saves
+    assert (tmp_path / "calib.json").exists()
+
+    eng2 = InferenceEngine(cfg, params, quant="int8", quant_calib_slices=1,
+                           quant_calib_path=path)
+    assert eng2._quant_fwd is not None      # loaded: int8 from batch 0
+    out2 = eng2.upscale_batch(batch)
+    assert eng2._quant_batches == {"int8": 1, "bf16": 0}
+    np.testing.assert_array_equal(out1, out2)   # same frozen scales
+
+    eng3 = InferenceEngine(cfg, params, quant="int8", quant_calib_slices=1,
+                           quant_calib_path=path)
+    np.testing.assert_array_equal(out2, eng3.upscale_batch(batch))
+
+
+def test_engine_quant_calib_path_model_mismatch(tmp_path, rng):
+    from mri_superresolution_tpu.infer.engine import InferenceEngine
+
+    _, params = _model_and_params("unet")
+    scales = qf.calibrate(params, [rng.random((1, 32, 32, 1), np.float32)],
+                          "unet")
+    path = str(tmp_path / "calib.json")
+    qf.save_scales(path, scales, "unet")
+    _, tparams = _model_and_params("unet_tpu")
+    with pytest.raises(ValueError, match="model type"):
+        InferenceEngine(ModelConfig(model_type="unet_tpu", base_filters=16),
+                        tparams, quant="int8", quant_calib_path=path)
+
+
+def test_engine_unet_tpu_int8_advisory(caplog, rng):
+    """Choosing --quant int8 for unet_tpu logs the measured-slower advisory
+    (RESULTS.md 2b) instead of failing silently-slower."""
+    import logging
+    from mri_superresolution_tpu.infer.engine import InferenceEngine
+
+    _, tparams = _model_and_params("unet_tpu")
+    # the package logger sets propagate=False, so hook its handler directly
+    eng_logger = logging.getLogger("mri_superresolution_tpu.infer")
+    eng_logger.addHandler(caplog.handler)
+    try:
+        InferenceEngine(ModelConfig(model_type="unet_tpu", base_filters=16),
+                        tparams, quant="int8")
+    finally:
+        eng_logger.removeHandler(caplog.handler)
+    assert any("MEASURED SLOWER" in r.message for r in caplog.records)

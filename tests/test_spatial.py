@@ -114,3 +114,37 @@ def test_torch_checkpoint_params_work(dense_and_params):
     dense = model.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
                                rtol=1e-4, atol=3e-5)
+
+
+def test_engine_spatial_padding_warns(caplog, dense_and_params):
+    """Non-conforming sizes under spatial sharding are zero-padded, which
+    perturbs whole-image GroupNorm stats — the engine must say so
+    (VERDICT r2 item 8)."""
+    import logging
+    from mri_superresolution_tpu.config import ModelConfig
+    from mri_superresolution_tpu.infer.engine import InferenceEngine
+
+    _, params = dense_and_params
+    cfg = ModelConfig(model_type="unet", base_filters=16)
+    eng = InferenceEngine(cfg, params, bf16=False, num_devices=8,
+                          spatial_shards=4)
+    eng_logger = logging.getLogger("mri_superresolution_tpu.infer")
+    eng_logger.addHandler(caplog.handler)
+    try:
+        out = eng.upscale_batch(_rand_batch(2, 40, 40, seed=5)[..., 0])
+    finally:
+        eng_logger.removeHandler(caplog.handler)
+    assert out.shape == (2, 80, 80)            # cropped back to 2x input
+    warns = [r.message for r in caplog.records
+             if r.levelno >= logging.WARNING and "GroupNorm" in r.message]
+    assert warns and "40x40" in warns[0] and "64x40" in warns[0]
+
+    # conforming sizes must NOT warn
+    caplog.clear()
+    eng_logger.addHandler(caplog.handler)
+    try:
+        eng.upscale_batch(_rand_batch(2, 64, 64, seed=6)[..., 0])
+    finally:
+        eng_logger.removeHandler(caplog.handler)
+    assert not [r for r in caplog.records
+                if r.levelno >= logging.WARNING and "GroupNorm" in r.message]
