@@ -14,9 +14,28 @@ if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
 
+def enable_compilation_cache_if_configured() -> None:
+    """Opt-in persistent XLA compilation cache (MRI_SR_XLA_CACHE_DIR).
+
+    On a directly-attached TPU this eliminates recompiles across processes
+    (the standard jax_compilation_cache_dir win). It is OFF by default
+    because under the axon TPU tunnel a confirmed cache HIT is ~9x SLOWER
+    than a cold compile (537 s vs 60 s — executable deserialization into
+    the remote server dominates; tools/bench_xla_cache_probe.py), and the
+    tunnel's own server-side cache already dedups repeated compiles.
+    """
+    cache_dir = os.environ.get("MRI_SR_XLA_CACHE_DIR")
+    if not cache_dir:
+        return
+    import jax
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def force_cpu_if_requested(argv=None) -> None:
     argv = argv if argv is not None else sys.argv
     if "--cpu" in argv:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
+    enable_compilation_cache_if_configured()
