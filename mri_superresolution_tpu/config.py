@@ -89,6 +89,15 @@ class TrainConfig:
     resume: bool = False         # resume from latest checkpoint (our extension)
     vgg_weights: Optional[str] = None  # .npz VGG19 weights for perceptual loss
     profile_dir: Optional[str] = None  # write a jax.profiler trace here
+    # Data loading: "off" = decode the whole dataset up front into two
+    # contiguous host arrays (fastest at demo scale), "on" = bounded-RAM
+    # streaming (per-batch threaded decode + background prefetch, matching
+    # the reference DataLoader's lazy semantics, scripts/train.py:215-233),
+    # "auto" = stream only when the decoded dataset would exceed
+    # streaming_threshold_mb.
+    streaming: str = "auto"
+    streaming_prefetch: int = 2        # batches decoded ahead (bounds RAM)
+    streaming_threshold_mb: int = 2048
 
 
 @dataclass

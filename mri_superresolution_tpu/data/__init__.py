@@ -1,6 +1,7 @@
 from mri_superresolution_tpu.data.dataset import (  # noqa: F401
     PairedSliceDataset,
     BatchLoader,
+    StreamingBatchLoader,
     train_val_split,
     subject_split,
 )

@@ -95,6 +95,28 @@ class PairedSliceDataset:
     def get_unique_subjects(self) -> List[str]:
         return sorted(set(self.subjects))
 
+    def item_hw(self) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+        """((lr_h, lr_w), (hr_h, hr_w)) of pair 0 — the extractor guarantees
+        uniform sizes across a dataset. Header-only via the native reader
+        when available; decodes one pair otherwise."""
+        from mri_superresolution_tpu import native
+
+        lr_hw = native.png_size(self.metadata[0]["low_res_path"])
+        hr_hw = native.png_size(self.metadata[0]["full_res_path"])
+        if lr_hw is None or hr_hw is None:
+            lr, hr = self[0]
+            lr_hw, hr_hw = lr.shape, hr.shape
+        return tuple(lr_hw), tuple(hr_hw)
+
+    def estimated_decoded_mb(self) -> float:
+        """Decoded-uint8 size of the whole dataset in MiB (drives the
+        trainer's auto choice between load_all and streaming)."""
+        if len(self) == 0:
+            return 0.0
+        lr_hw, hr_hw = self.item_hw()
+        per_item = lr_hw[0] * lr_hw[1] + hr_hw[0] * hr_hw[1]
+        return len(self) * per_item / 2**20
+
     def load_all(self) -> Tuple[np.ndarray, np.ndarray]:
         """Decode every pair into contiguous (N,h,w) / (N,H,W) uint8 arrays.
         Shapes must agree across the dataset (the extractor guarantees it).
@@ -157,19 +179,18 @@ def subject_split(subjects: Sequence[str], validation_split: float,
     return train_idx, val_idx
 
 
-class BatchLoader:
-    """Shuffled epoch iterator yielding fixed-shape padded batches.
+class _LoaderBase:
+    """Shared epoch-order/padding contract for the two batch loaders.
 
-    Yields dicts with ``lr`` (B,h,w,1) float32 [0,1], ``hr`` (B,H,W,1), and
-    ``weight`` (B,) — zeros mark padding rows of the final partial batch so
-    losses/metrics stay exact while jit shapes stay static.
-    """
+    Both yield dicts with ``lr`` (B,h,w,1) float32 [0,1], ``hr`` (B,H,W,1),
+    and ``weight`` (B,) — zeros mark padding rows of the final partial batch
+    so losses/metrics stay exact while jit shapes stay static. Identical
+    (seed, epoch_idx) produce identical batch orders in both classes, so the
+    trainer's resume determinism is loader-independent (pinned by
+    tests/test_data.py)."""
 
-    def __init__(self, lr_array: np.ndarray, hr_array: np.ndarray,
-                 indices: Sequence[int], batch_size: int,
-                 shuffle: bool = True, seed: int = 0):
-        self.lr = lr_array
-        self.hr = hr_array
+    def __init__(self, indices: Sequence[int], batch_size: int,
+                 shuffle: bool, seed: int):
         self.indices = np.asarray(indices, dtype=np.int64)
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -179,12 +200,12 @@ class BatchLoader:
     def __len__(self) -> int:
         return int(np.ceil(len(self.indices) / self.batch_size))
 
-    def epoch(self, epoch_idx: Optional[int] = None
-              ) -> Iterator[Dict[str, np.ndarray]]:
-        """One shuffled pass. Passing ``epoch_idx`` derives the shuffle from
-        (seed, epoch_idx) so a resumed run reproduces exactly the data order
-        a continuous run would have seen (SURVEY.md §5: deterministic data
-        order for restart)."""
+    def _epoch_index_batches(self, epoch_idx: Optional[int]
+                             ) -> Iterator[Tuple[np.ndarray, int]]:
+        """Yield (padded index row, n_valid) per batch. Passing ``epoch_idx``
+        derives the shuffle from (seed, epoch_idx) so a resumed run
+        reproduces exactly the data order a continuous run would have seen
+        (SURVEY.md §5: deterministic data order for restart)."""
         if epoch_idx is not None:
             rng = np.random.default_rng((self._seed, epoch_idx))
         else:
@@ -197,8 +218,116 @@ class BatchLoader:
             n_valid = len(idx)
             if n_valid < bs:  # pad by repeating the first row; weight 0
                 idx = np.concatenate([idx, np.repeat(idx[:1], bs - n_valid)])
-            lr = self.lr[idx].astype(np.float32)[..., None] / 255.0
-            hr = self.hr[idx].astype(np.float32)[..., None] / 255.0
-            weight = np.zeros((bs,), np.float32)
-            weight[:n_valid] = 1.0
-            yield {"lr": lr, "hr": hr, "weight": weight}
+            yield idx, n_valid
+
+    @staticmethod
+    def _assemble(lr: np.ndarray, hr: np.ndarray,
+                  n_valid: int) -> Dict[str, np.ndarray]:
+        weight = np.zeros((lr.shape[0],), np.float32)
+        weight[:n_valid] = 1.0
+        return {"lr": lr.astype(np.float32)[..., None] / 255.0,
+                "hr": hr.astype(np.float32)[..., None] / 255.0,
+                "weight": weight}
+
+
+class BatchLoader(_LoaderBase):
+    """In-memory epoch iterator over pre-decoded contiguous arrays — the
+    small-dataset fast path (one decode for the whole run)."""
+
+    def __init__(self, lr_array: np.ndarray, hr_array: np.ndarray,
+                 indices: Sequence[int], batch_size: int,
+                 shuffle: bool = True, seed: int = 0):
+        super().__init__(indices, batch_size, shuffle, seed)
+        self.lr = lr_array
+        self.hr = hr_array
+
+    def epoch(self, epoch_idx: Optional[int] = None
+              ) -> Iterator[Dict[str, np.ndarray]]:
+        for idx, n_valid in self._epoch_index_batches(epoch_idx):
+            yield self._assemble(self.lr[idx], self.hr[idx], n_valid)
+
+
+class StreamingBatchLoader(_LoaderBase):
+    """Bounded-RAM epoch iterator: decodes each batch's PNGs on demand.
+
+    Matches the reference DataLoader's lazy per-batch reads + worker
+    parallelism (scripts/train.py:215-233, utils/dataset.py:119-134) the
+    TPU-host way: the native threaded PNG decoder (native/png_loader.cpp)
+    decodes one BATCH per call, and a single background thread keeps a
+    ``prefetch``-deep queue of ready batches ahead of the consumer — so
+    peak host RAM is O((prefetch + 2) * batch) regardless of dataset size,
+    and the accelerator never waits on decode at steady state. Same
+    ``epoch()`` contract and data order as :class:`BatchLoader`.
+    """
+
+    def __init__(self, dataset: PairedSliceDataset, indices: Sequence[int],
+                 batch_size: int, shuffle: bool = True, seed: int = 0,
+                 prefetch: int = 2):
+        super().__init__(indices, batch_size, shuffle, seed)
+        self.dataset = dataset
+        self.prefetch = max(1, prefetch)
+        self.decode_batch_calls = 0     # accounting (tests/telemetry)
+        self._hr_hw: Optional[Tuple[int, int]] = None
+        self._lr_hw: Optional[Tuple[int, int]] = None
+
+    def _decode_one(self, paths: List[str],
+                    hw: Optional[Tuple[int, int]]) -> np.ndarray:
+        from mri_superresolution_tpu import native
+
+        if hw is not None and native.available():
+            out = native.decode_batch(paths, hw)
+            if out is not None:
+                return out
+        return np.stack([_imread_gray(p) for p in paths])
+
+    def _decode(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        meta = [self.dataset.metadata[i] for i in idx]
+        if self._hr_hw is None:
+            from mri_superresolution_tpu import native
+            self._hr_hw = native.png_size(meta[0]["full_res_path"])
+            self._lr_hw = native.png_size(meta[0]["low_res_path"])
+        hr = self._decode_one([m["full_res_path"] for m in meta], self._hr_hw)
+        lr = self._decode_one([m["low_res_path"] for m in meta], self._lr_hw)
+        self.decode_batch_calls += 1
+        return lr, hr
+
+    def epoch(self, epoch_idx: Optional[int] = None
+              ) -> Iterator[Dict[str, np.ndarray]]:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        batches = list(self._epoch_index_batches(epoch_idx))
+
+        def worker():
+            for idx, n_valid in batches:
+                if stop.is_set():
+                    return
+                lr, hr = self._decode(idx)
+                item = self._assemble(lr, hr, n_valid)
+                while not stop.is_set():      # bounded put, abandon-safe
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.1)  # end-of-epoch sentinel
+                    return
+                except queue.Full:
+                    continue
+
+        t = threading.Thread(target=worker, daemon=True,
+                             name="StreamingBatchLoader")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()       # unblocks an in-flight put if abandoned early
+            t.join(timeout=5.0)

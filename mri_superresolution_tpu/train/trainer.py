@@ -35,6 +35,7 @@ from flax import struct
 
 from mri_superresolution_tpu.config import TrainConfig, to_dict
 from mri_superresolution_tpu.data import (BatchLoader, PairedSliceDataset,
+                                          StreamingBatchLoader,
                                           subject_split, train_val_split)
 from mri_superresolution_tpu.losses import CombinedLoss
 from mri_superresolution_tpu.models import build_model
@@ -154,7 +155,6 @@ def train(cfg: TrainConfig,
     dataset = PairedSliceDataset(cfg.full_res_dir, cfg.low_res_dir)
     if len(dataset) == 0:
         raise RuntimeError("No valid HR/LR pairs found")
-    lr_arr, hr_arr = dataset.load_all()
     if cfg.split_by_subject:
         train_idx, val_idx = subject_split(dataset.subjects,
                                            cfg.validation_split, cfg.seed)
@@ -168,17 +168,36 @@ def train(cfg: TrainConfig,
     if batch_size != cfg.batch_size:
         log_message(f"Rounding batch_size {cfg.batch_size} → {batch_size} "
                     f"to divide the {n_dev}-device mesh")
-    train_loader = BatchLoader(lr_arr, hr_arr, train_idx, batch_size,
-                               shuffle=True, seed=cfg.seed)
-    val_loader = BatchLoader(lr_arr, hr_arr, val_idx, batch_size,
-                             shuffle=False, seed=cfg.seed)
+    decoded_mb = dataset.estimated_decoded_mb()
+    use_streaming = cfg.streaming == "on" or (
+        cfg.streaming == "auto" and decoded_mb > cfg.streaming_threshold_mb)
+    if use_streaming:
+        # bounded-RAM path: per-batch threaded decode + background prefetch
+        # (reference DataLoader semantics, scripts/train.py:215-233); peak
+        # host RAM is O(prefetch * batch) instead of the whole dataset
+        log_message(f"Streaming data loading: dataset decodes to "
+                    f"{decoded_mb:.0f} MiB; holding "
+                    f"{cfg.streaming_prefetch} prefetched batch(es) in RAM")
+        train_loader = StreamingBatchLoader(
+            dataset, train_idx, batch_size, shuffle=True, seed=cfg.seed,
+            prefetch=cfg.streaming_prefetch)
+        val_loader = StreamingBatchLoader(
+            dataset, val_idx, batch_size, shuffle=False, seed=cfg.seed,
+            prefetch=cfg.streaming_prefetch)
+        sample_hw = dataset.item_hw()[0]
+    else:
+        lr_arr, hr_arr = dataset.load_all()
+        train_loader = BatchLoader(lr_arr, hr_arr, train_idx, batch_size,
+                                   shuffle=True, seed=cfg.seed)
+        val_loader = BatchLoader(lr_arr, hr_arr, val_idx, batch_size,
+                                 shuffle=False, seed=cfg.seed)
+        sample_hw = lr_arr.shape[1:3]
 
     # --- model / loss / optimizer ---
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
     model = build_model(cfg.model, dtype=dtype)
     rng = jax.random.key(cfg.seed)
     rng, init_rng = jax.random.split(rng)
-    sample_hw = lr_arr.shape[1:3]
     params = jax.jit(
         lambda r: model.init(
             r, jnp.zeros((1, *sample_hw, cfg.model.in_channels)))["params"]

@@ -45,7 +45,19 @@ def parse_args():
                              '(no subject leakage; our extension)')
     parser.add_argument('--patience', type=int, default=10)
     parser.add_argument('--num_workers', type=int, default=0,
-                        help='Accepted for reference compatibility (unused)')
+                        help='Accepted for reference compatibility; the '
+                             'streaming loader sizes its own decode pool')
+    parser.add_argument('--streaming', type=str, default='auto',
+                        choices=['auto', 'on', 'off'],
+                        help='Data loading: off = decode all pairs up front '
+                             '(fastest, small datasets); on = bounded-RAM '
+                             'per-batch decode with prefetch (reference '
+                             'DataLoader semantics); auto = stream when the '
+                             'decoded dataset exceeds --streaming_threshold_mb')
+    parser.add_argument('--streaming_prefetch', type=int, default=2,
+                        help='Batches decoded ahead in streaming mode')
+    parser.add_argument('--streaming_threshold_mb', type=int, default=2048,
+                        help='auto mode streams past this decoded size')
     parser.add_argument('--seed', type=int, default=random.randint(1, 10000))
     parser.add_argument('--augmentation', action='store_true')
     parser.add_argument('--use_tensorboard', action='store_true')
@@ -104,6 +116,9 @@ def main():
         resume=args.resume,
         vgg_weights=args.vgg_weights,
         profile_dir=args.profile_dir,
+        streaming=args.streaming,
+        streaming_prefetch=args.streaming_prefetch,
+        streaming_threshold_mb=args.streaming_threshold_mb,
     )
     train(cfg)
 

@@ -345,3 +345,111 @@ def test_default_extraction_key_is_process_stable(tmp_path, rng):
                                   target_size=(32, 32), verbose=False)
         outs.append(cv2.imread(str(lr / files[0]), cv2.IMREAD_GRAYSCALE))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+# ------------------------------------------------------ streaming loader
+
+def test_streaming_loader_matches_batchloader(tmp_path):
+    """Same (seed, epoch_idx) -> identical batch order AND content as the
+    in-memory BatchLoader, including the padded partial batch — the
+    trainer can switch loaders without changing a trained model."""
+    from mri_superresolution_tpu.data import StreamingBatchLoader
+
+    hr_dir, lr_dir = _write_pairs(tmp_path, n=7)
+    ds = PairedSliceDataset(hr_dir, lr_dir)
+    lr_a, hr_a = ds.load_all()
+    idx = np.arange(7)
+    mem = BatchLoader(lr_a, hr_a, idx, batch_size=3, seed=11)
+    stream = StreamingBatchLoader(ds, idx, batch_size=3, seed=11)
+    assert len(mem) == len(stream) == 3
+    for e in range(2):
+        got = list(stream.epoch(e))
+        want = list(mem.epoch(e))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g["lr"], w["lr"])
+            np.testing.assert_array_equal(g["hr"], w["hr"])
+            np.testing.assert_array_equal(g["weight"], w["weight"])
+
+
+def test_streaming_loader_is_lazy_and_bounded(tmp_path):
+    """Bounded-RAM accounting: nothing decodes at construction; each
+    consumed batch costs exactly one decode call, with at most
+    ``prefetch`` batches decoded ahead of the consumer."""
+    from mri_superresolution_tpu.data import StreamingBatchLoader
+
+    hr_dir, lr_dir = _write_pairs(tmp_path, n=12)
+    ds = PairedSliceDataset(hr_dir, lr_dir)
+    loader = StreamingBatchLoader(ds, np.arange(12), batch_size=2,
+                                  shuffle=False, seed=0, prefetch=1)
+    assert loader.decode_batch_calls == 0          # lazy
+    it = loader.epoch(0)
+    first = next(it)
+    assert first["lr"].shape == (2, 16, 16, 1)
+    # consumer holds batch 0; worker may stage at most prefetch+1 more
+    import time
+    time.sleep(0.3)                                # let the prefetch settle
+    assert loader.decode_batch_calls <= 1 + loader.prefetch + 1
+    # abandoning the iterator mid-epoch must not decode the rest
+    it.close()
+    calls_after_close = loader.decode_batch_calls
+    time.sleep(0.2)
+    assert loader.decode_batch_calls == calls_after_close < 6
+
+
+def test_streaming_loader_early_abandon_and_reuse(tmp_path):
+    """An abandoned epoch leaves the loader reusable (the trainer breaks
+    out of val loops on early stopping)."""
+    from mri_superresolution_tpu.data import StreamingBatchLoader
+
+    hr_dir, lr_dir = _write_pairs(tmp_path, n=6)
+    ds = PairedSliceDataset(hr_dir, lr_dir)
+    loader = StreamingBatchLoader(ds, np.arange(6), batch_size=2,
+                                  shuffle=True, seed=3)
+    it = loader.epoch(0)
+    next(it)
+    it.close()
+    full = list(loader.epoch(1))
+    assert len(full) == 3
+    assert all(b["weight"].sum() == 2 for b in full)
+
+
+def test_estimated_decoded_mb(tmp_path):
+    hr_dir, lr_dir = _write_pairs(tmp_path, n=6, hw=(32, 32))
+    ds = PairedSliceDataset(hr_dir, lr_dir)
+    lr_hw, hr_hw = ds.item_hw()
+    assert lr_hw == (16, 16) and hr_hw == (32, 32)
+    want = 6 * (32 * 32 + 16 * 16) / 2**20
+    assert abs(ds.estimated_decoded_mb() - want) < 1e-9
+
+
+def test_trainer_streaming_mode_trains(tmp_path, capsys):
+    """train(streaming='on') runs end to end and produces the same loss
+    trajectory as the in-memory path (same seed, same data order)."""
+    import json
+    from mri_superresolution_tpu.config import (LossConfig, ModelConfig,
+                                                TrainConfig)
+    from mri_superresolution_tpu.train.trainer import train
+
+    hr_dir, lr_dir = _write_pairs(tmp_path, n=8, hw=(16, 16))
+
+    def run(mode, tag):
+        cfg = TrainConfig(
+            full_res_dir=hr_dir, low_res_dir=lr_dir,
+            model=ModelConfig(model_type="unet", base_filters=16),
+            loss=LossConfig(ssim_weight=0.3),
+            batch_size=4, epochs=1, seed=7, bf16=False,
+            validation_split=0.25, streaming=mode,
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            log_dir=str(tmp_path / f"logs_{tag}"))
+        train(cfg)
+        lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("{")]
+        return [m for m in lines if m.get("type") == "epoch_summary"]
+
+    on = run("on", "on")
+    off = run("off", "off")
+    assert on and off
+    assert on[0]["train_loss"] == pytest.approx(off[0]["train_loss"],
+                                                rel=1e-5)
+    assert on[0]["val_loss"] == pytest.approx(off[0]["val_loss"], rel=1e-5)
