@@ -133,7 +133,7 @@ class InferConfig:
     # Shard each slice's ROW axis over this many mesh devices
     # (parallel/spatial.py: ppermute halos + psum GroupNorm stats) instead
     # of replicating the whole slice per device. 1 = batch DP only. Use for
-    # slices too large for one chip; requires model_type 'unet' and
+    # slices too large for one chip; requires model_type 'unet'/'unet_tpu' and
     # spatial_shards | visible devices.
     spatial_shards: int = 1
     # "int8" enables post-training-quantized serving (ops/quant.py): conv

@@ -113,9 +113,9 @@ class InferenceEngine:
             # split over `spatial_shards` devices with ppermute halos; the
             # remaining devices form the batch axis.
             from mri_superresolution_tpu.parallel import make_spatial_mesh
-            if model_cfg.model_type != "unet":
-                raise ValueError("spatial_shards > 1 supports the parity "
-                                 "'unet' topology only")
+            if model_cfg.model_type not in ("unet", "unet_tpu"):
+                raise ValueError("spatial_shards > 1 supports the "
+                                 "'unet'/'unet_tpu' topologies only")
             n_vis = (num_devices if num_devices and num_devices > 0
                      else len(jax.devices()))
             if n_vis % spatial_shards != 0:
@@ -264,7 +264,8 @@ class InferenceEngine:
         key = (bh, bw)
         if key not in self._spatial_fwd_cache:
             fwd = build_spatial_forward(self.mesh, (bh, bw),
-                                        dtype=self._dtype)
+                                        dtype=self._dtype,
+                                        model_type=self.model_cfg.model_type)
             self._spatial_fwd_cache[key] = jax.jit(
                 lambda p, x: jnp.clip(fwd(p, x), 0.0, 1.0))
         return self._spatial_fwd_cache[key]

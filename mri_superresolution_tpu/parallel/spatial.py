@@ -90,6 +90,10 @@ def _conv3x3(x, kernel, dilation: int = 1):
         rhs_dilation=(d, d), dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def _conv3x3_bias(x, kernel, bias, dilation: int = 1):
+    return _conv3x3(x, kernel, dilation) + bias.astype(x.dtype)
+
+
 def _conv1x1(x, kernel, bias=None):
     y = lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
@@ -168,9 +172,9 @@ def _up_block(p, x1, x2, row_mats, w_mat):
     return _double_conv(p["conv"], jnp.concatenate([x2, y], axis=-1))
 
 
-def _local_forward(params, x, row_mats_by_h, w_mats_by_w, dtype):
-    """The full UNetSuperRes forward on one (B, h_local, W, 1) row block.
-    Mirrors models/unet.py UNetSuperRes.__call__ exactly."""
+def _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype):
+    """Shared encoder/decoder (identical in both model families):
+    returns the (B, h_local, W, f) decoder output before the final stage."""
     x = x.astype(dtype)
 
     x1 = _double_conv(params["inc"], x)
@@ -178,11 +182,20 @@ def _local_forward(params, x, row_mats_by_h, w_mats_by_w, dtype):
     x3 = _double_conv(params["down2"]["conv"], max_pool2(x2))
     x4 = _double_conv(params["down3"]["conv"], max_pool2(x3))
 
-    h8, h4, h2, h1 = (x4.shape[1], x3.shape[1], x2.shape[1], x1.shape[1])
-    w8, w4, w2, w1 = (x4.shape[2], x3.shape[2], x2.shape[2], x1.shape[2])
+    h8, h4, _, _ = (x4.shape[1], x3.shape[1], x2.shape[1], x1.shape[1])
+    w8, w4, _, _ = (x4.shape[2], x3.shape[2], x2.shape[2], x1.shape[2])
     y = _up_block(params["up1"], x4, x3, row_mats_by_h[h8], w_mats_by_w[w8])
     y = _up_block(params["up2"], y, x2, row_mats_by_h[h4], w_mats_by_w[w4])
-    y = _up_block(params["up3"], y, x1, row_mats_by_h[h2], w_mats_by_w[w2])
+    y = _up_block(params["up3"], y, x1, row_mats_by_h[x2.shape[1]],
+                  w_mats_by_w[x2.shape[2]])
+    return y
+
+
+def _local_forward(params, x, row_mats_by_h, w_mats_by_w, dtype):
+    """The full UNetSuperRes forward on one (B, h_local, W, 1) row block.
+    Mirrors models/unet.py UNetSuperRes.__call__ exactly."""
+    y = _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype)
+    h1, w1 = y.shape[1], y.shape[2]
 
     # dual-branch final 2x stage
     yb = _upsample2x(y, row_mats_by_h[h1], w_mats_by_w[w1])
@@ -209,16 +222,53 @@ def _local_forward(params, x, row_mats_by_h, w_mats_by_w, dtype):
     return jax.nn.sigmoid(y.astype(jnp.float32))
 
 
+def _local_forward_tpu(params, x, row_mats_by_h, w_mats_by_w, dtype):
+    """UNetSuperResTPU forward on one row block (models/unet_tpu.py):
+    the final stage is dual 3x3 branches + head at INPUT resolution and a
+    single terminal depth-to-space — all shard-local except the GN psums
+    and the 3x3 halo exchanges, so it shards more easily than the parity
+    model's bilinear branch."""
+    y = _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype)
+
+    a = jax.nn.leaky_relu(
+        _group_norm(_conv3x3(y, params["branch_a_conv"]["kernel"]),
+                    params["branch_a_norm"]["scale"],
+                    params["branch_a_norm"]["bias"]), 0.2)
+    b = jax.nn.leaky_relu(
+        _group_norm(_conv3x3_bias(y, params["branch_b_conv"]["kernel"],
+                                  params["branch_b_conv"]["bias"]),
+                    params["branch_b_norm"]["scale"],
+                    params["branch_b_norm"]["bias"]), 0.2)
+    w_mix = jax.nn.sigmoid(params["alpha"]).astype(y.dtype)
+    y = w_mix * a + (1.0 - w_mix) * b
+
+    y = jax.nn.leaky_relu(
+        _group_norm(_conv3x3(y, params["head_conv"]["kernel"]),
+                    params["head_norm"]["scale"],
+                    params["head_norm"]["bias"]), 0.2)
+    y = _conv1x1(y, params["head_out"]["kernel"], params["head_out"]["bias"])
+    y = pixel_shuffle(y, 2)
+    return jax.nn.sigmoid(y.astype(jnp.float32))
+
+
+_LOCAL_FORWARDS = {"unet": _local_forward, "unet_tpu": _local_forward_tpu}
+
+
 # ------------------------------------------------------------- public API
 
-def build_spatial_forward(mesh: Mesh, input_hw, dtype: Any = jnp.bfloat16):
-    """Compile a row-sharded U-Net forward over a (data, space) mesh.
+def build_spatial_forward(mesh: Mesh, input_hw, dtype: Any = jnp.bfloat16,
+                          model_type: str = "unet"):
+    """Compile a row-sharded forward over a (data, space) mesh.
 
     Returns ``fn(params, x)`` with x: (B, H, W, 1) fp32 global, B divisible
     by the data axis, H by 8*n_space, W by 8. The output is the (B, 2H, 2W,
     1) fp32 super-resolved batch, identical (to float tolerance) to
-    ``UNetSuperRes.apply`` with the same params.
+    ``model.apply`` with the same params. ``model_type`` selects the
+    family: 'unet' (parity topology) or 'unet_tpu' (models/unet_tpu.py).
     """
+    if model_type not in _LOCAL_FORWARDS:
+        raise ValueError(f"spatial sharding supports model types "
+                         f"{sorted(_LOCAL_FORWARDS)}, not {model_type!r}")
     h, w = input_hw
     n_space = mesh.shape[SPACE_AXIS]
     if h % (8 * n_space) != 0:
@@ -239,7 +289,7 @@ def build_spatial_forward(mesh: Mesh, input_hw, dtype: Any = jnp.bfloat16):
             np.asarray(_align_corners_matrix(w // s, 2 * (w // s))),
             jnp.float32)
 
-    fwd = partial(_local_forward, row_mats_by_h=row_mats_by_h,
+    fwd = partial(_LOCAL_FORWARDS[model_type], row_mats_by_h=row_mats_by_h,
                   w_mats_by_w=w_mats_by_w, dtype=dtype)
     sharded = shard_map(
         fwd, mesh=mesh,

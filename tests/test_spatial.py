@@ -7,7 +7,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from mri_superresolution_tpu.models import UNetSuperRes, init_params
+from mri_superresolution_tpu.config import ModelConfig
+from mri_superresolution_tpu.models import (UNetSuperRes, build_model,
+                                            init_params)
 from mri_superresolution_tpu.parallel import (build_spatial_forward,
                                               make_spatial_mesh)
 
@@ -19,20 +21,32 @@ def dense_and_params():
     return model, params
 
 
+@pytest.fixture(scope="module")
+def tpu_dense_and_params():
+    model = build_model(ModelConfig(model_type="unet_tpu", base_filters=16),
+                        dtype=jnp.float32)
+    params = init_params(model, jax.random.key(1), (32, 32))
+    return model, params
+
+
 def _rand_batch(n, h, w, seed=0):
     return np.random.default_rng(seed).random((n, h, w, 1), np.float32)
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8), (4, 2)])
-def test_matches_dense_forward(dense_and_params, mesh_shape):
-    model, params = dense_and_params
+@pytest.mark.parametrize("model_type", ["unet", "unet_tpu"])
+def test_matches_dense_forward(dense_and_params, tpu_dense_and_params,
+                               model_type, mesh_shape):
+    model, params = (dense_and_params if model_type == "unet"
+                     else tpu_dense_and_params)
     n_data, n_space = mesh_shape
     mesh = make_spatial_mesh(n_data, n_space)
     h = 8 * n_space * 2          # two rows per device at the deepest stage
     x = _rand_batch(n_data * 2, h, 64)
 
     dense = jax.jit(lambda p, a: model.apply({"params": p}, a))(params, x)
-    fwd = build_spatial_forward(mesh, (h, 64), dtype=jnp.float32)
+    fwd = build_spatial_forward(mesh, (h, 64), dtype=jnp.float32,
+                                model_type=model_type)
     sharded = fwd(params, x)
 
     assert sharded.shape == (x.shape[0], 2 * h, 128, 1)
@@ -72,14 +86,17 @@ def test_shape_validation():
         build_spatial_forward(mesh, (64, 60))
 
 
-def test_engine_spatial_path_matches_dense(dense_and_params):
+@pytest.mark.parametrize("model_type", ["unet", "unet_tpu"])
+def test_engine_spatial_path_matches_dense(dense_and_params,
+                                           tpu_dense_and_params, model_type):
     """InferenceEngine(spatial_shards=4) serves the same outputs as the
-    default batch-DP engine on conforming sizes (H | 8*shards)."""
-    from mri_superresolution_tpu.config import ModelConfig
+    default batch-DP engine on conforming sizes (H | 8*shards), for both
+    supported families."""
     from mri_superresolution_tpu.infer.engine import InferenceEngine
 
-    _, params = dense_and_params
-    cfg = ModelConfig(model_type="unet", base_filters=16)
+    _, params = (dense_and_params if model_type == "unet"
+                 else tpu_dense_and_params)
+    cfg = ModelConfig(model_type=model_type, base_filters=16)
     dense_eng = InferenceEngine(cfg, params, bf16=False, num_devices=8)
     sp_eng = InferenceEngine(cfg, params, bf16=False, num_devices=8,
                              spatial_shards=4)
@@ -90,15 +107,14 @@ def test_engine_spatial_path_matches_dense(dense_and_params):
 
 
 def test_engine_spatial_rejects_bad_config(dense_and_params):
-    from mri_superresolution_tpu.config import ModelConfig
     from mri_superresolution_tpu.infer.engine import InferenceEngine
 
     _, params = dense_and_params
     with pytest.raises(ValueError, match="must divide"):
         InferenceEngine(ModelConfig(model_type="unet", base_filters=16),
                         params, num_devices=8, spatial_shards=3)
-    with pytest.raises(ValueError, match="'unet' topology"):
-        InferenceEngine(ModelConfig(model_type="unet_tpu", base_filters=16),
+    with pytest.raises(ValueError, match="topologies"):
+        InferenceEngine(ModelConfig(model_type="edsr", base_filters=16),
                         params, num_devices=8, spatial_shards=4)
 
 
