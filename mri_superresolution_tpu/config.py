@@ -98,6 +98,15 @@ class TrainConfig:
     streaming: str = "auto"
     streaming_prefetch: int = 2        # batches decoded ahead (bounds RAM)
     streaming_threshold_mb: int = 2048
+    # Shard each slice's ROW axis over this many mesh devices during
+    # training (parallel/spatial.py build_spatial_loss: forward, loss AND
+    # backward run under shard_map with ppermute halos + psum stats; the
+    # gradient is the exact transpose). Per-device activation / VGG /
+    # grad-tape memory scales 1/spatial_shards — for slices too large to
+    # train on one chip. 1 = batch DP only (default). Requires model_type
+    # 'unet'/'unet_tpu', LR H % (8*spatial_shards) == 0, and
+    # spatial_shards | visible devices.
+    spatial_shards: int = 1
 
 
 @dataclass

@@ -6,5 +6,6 @@ from mri_superresolution_tpu.parallel.mesh import (  # noqa: F401
 )
 from mri_superresolution_tpu.parallel.spatial import (  # noqa: F401
     build_spatial_forward,
+    build_spatial_loss,
     make_spatial_mesh,
 )

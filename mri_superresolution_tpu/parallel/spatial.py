@@ -47,8 +47,10 @@ try:  # jax >= 0.8 exposes shard_map at the top level
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
+from mri_superresolution_tpu.models import vgg as vgg_mod
 from mri_superresolution_tpu.ops.functional import max_pool2, pixel_shuffle
 from mri_superresolution_tpu.ops.resize import _align_corners_matrix
+from mri_superresolution_tpu.ops.ssim import _gaussian_window_np
 
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
@@ -254,18 +256,9 @@ def _local_forward_tpu(params, x, row_mats_by_h, w_mats_by_w, dtype):
 _LOCAL_FORWARDS = {"unet": _local_forward, "unet_tpu": _local_forward_tpu}
 
 
-# ------------------------------------------------------------- public API
-
-def build_spatial_forward(mesh: Mesh, input_hw, dtype: Any = jnp.bfloat16,
-                          model_type: str = "unet"):
-    """Compile a row-sharded forward over a (data, space) mesh.
-
-    Returns ``fn(params, x)`` with x: (B, H, W, 1) fp32 global, B divisible
-    by the data axis, H by 8*n_space, W by 8. The output is the (B, 2H, 2W,
-    1) fp32 super-resolved batch, identical (to float tolerance) to
-    ``model.apply`` with the same params. ``model_type`` selects the
-    family: 'unet' (parity topology) or 'unet_tpu' (models/unet_tpu.py).
-    """
+def _make_local_forward(mesh: Mesh, input_hw, dtype, model_type: str):
+    """Validate shapes and return the per-shard forward closure with its
+    static per-resolution upsample operators baked in."""
     if model_type not in _LOCAL_FORWARDS:
         raise ValueError(f"spatial sharding supports model types "
                          f"{sorted(_LOCAL_FORWARDS)}, not {model_type!r}")
@@ -289,8 +282,23 @@ def build_spatial_forward(mesh: Mesh, input_hw, dtype: Any = jnp.bfloat16,
             np.asarray(_align_corners_matrix(w // s, 2 * (w // s))),
             jnp.float32)
 
-    fwd = partial(_LOCAL_FORWARDS[model_type], row_mats_by_h=row_mats_by_h,
-                  w_mats_by_w=w_mats_by_w, dtype=dtype)
+    return partial(_LOCAL_FORWARDS[model_type], row_mats_by_h=row_mats_by_h,
+                   w_mats_by_w=w_mats_by_w, dtype=dtype)
+
+
+# ------------------------------------------------------------- public API
+
+def build_spatial_forward(mesh: Mesh, input_hw, dtype: Any = jnp.bfloat16,
+                          model_type: str = "unet"):
+    """Compile a row-sharded forward over a (data, space) mesh.
+
+    Returns ``fn(params, x)`` with x: (B, H, W, 1) fp32 global, B divisible
+    by the data axis, H by 8*n_space, W by 8. The output is the (B, 2H, 2W,
+    1) fp32 super-resolved batch, identical (to float tolerance) to
+    ``model.apply`` with the same params. ``model_type`` selects the
+    family: 'unet' (parity topology) or 'unet_tpu' (models/unet_tpu.py).
+    """
+    fwd = _make_local_forward(mesh, input_hw, dtype, model_type)
     sharded = shard_map(
         fwd, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS, SPACE_AXIS, None, None)),
@@ -299,3 +307,182 @@ def build_spatial_forward(mesh: Mesh, input_hw, dtype: Any = jnp.bfloat16,
     x_sh = NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS, None, None))
     p_sh = NamedSharding(mesh, P())
     return jax.jit(sharded, in_shardings=(p_sh, x_sh), out_shardings=x_sh)
+
+
+# ----------------------------------------------- sharded training loss (SP)
+
+def _separable_blur_sharded(x, window_size: int, sigma: float):
+    """Row-sharded version of ops/ssim._separable_blur: the dense op's zero
+    ROW padding is replaced by a (window//2)-row halo exchange (edge devices
+    receive zeros — exactly the dense padding), columns pad locally. fp32
+    HIGHEST precision for metric parity (ops/ssim.py:56-58)."""
+    c = x.shape[-1]
+    g = _gaussian_window_np(window_size, sigma)
+    kh = jnp.tile(jnp.asarray(g.reshape(window_size, 1, 1, 1)), (1, 1, 1, c))
+    kw = jnp.tile(jnp.asarray(g.reshape(1, window_size, 1, 1)), (1, 1, 1, c))
+    pad = window_size // 2
+    xh = _halo_exchange(x, pad, pad)
+    dn = lax.conv_dimension_numbers(xh.shape, kh.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(xh, kh, (1, 1), [(0, 0), (0, 0)],
+                                 dimension_numbers=dn, feature_group_count=c,
+                                 precision=lax.Precision.HIGHEST)
+    return lax.conv_general_dilated(y, kw, (1, 1), [(0, 0), (pad, pad)],
+                                    dimension_numbers=dn,
+                                    feature_group_count=c,
+                                    precision=lax.Precision.HIGHEST)
+
+
+def _mean_hwc_sharded(x):
+    """Per-sample mean over (global rows, W, C) of a row-sharded block:
+    local fp32 sum + psum over the space axis."""
+    s = lax.psum(jnp.sum(x, axis=(1, 2, 3)), SPACE_AXIS)
+    n = x.shape[1] * lax.axis_size(SPACE_AXIS) * x.shape[2] * x.shape[3]
+    return s / n
+
+
+def _ssim_per_sample_sharded(img1, img2, window_size: int, sigma: float,
+                             val_range: float):
+    """Per-sample SSIM of row-sharded NHWC blocks — same math as
+    ops/ssim.ssim_map (five blurs share one separable pass), with halo'd
+    blurs and a psum'd mean. Identical on every space shard."""
+    x1 = img1.astype(jnp.float32)
+    x2 = img2.astype(jnp.float32)
+    c = x1.shape[-1]
+    stacked = jnp.concatenate([x1, x2, x1 * x1, x2 * x2, x1 * x2], axis=-1)
+    blurred = _separable_blur_sharded(stacked, window_size, sigma)
+    mu1 = blurred[..., 0 * c:1 * c]
+    mu2 = blurred[..., 1 * c:2 * c]
+    sigma1_sq = blurred[..., 2 * c:3 * c] - mu1 * mu1
+    sigma2_sq = blurred[..., 3 * c:4 * c] - mu2 * mu2
+    sigma12 = blurred[..., 4 * c:5 * c] - mu1 * mu2
+    c1 = (0.01 * val_range) ** 2
+    c2 = (0.03 * val_range) ** 2
+    smap = ((2 * mu1 * mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1 * mu1 + mu2 * mu2 + c1) * (sigma1_sq + sigma2_sq + c2))
+    return _mean_hwc_sharded(smap)
+
+
+def _weighted_mean_global(per_sample, w):
+    """Weighted mean over the GLOBAL batch (psum over the data axis) —
+    losses/combined.py _weighted_mean, distributed."""
+    num = lax.psum(jnp.sum(per_sample * w.astype(jnp.float32)), DATA_AXIS)
+    den = lax.psum(jnp.sum(w.astype(jnp.float32)), DATA_AXIS)
+    return num / jnp.maximum(den, 1e-12)
+
+
+def _vgg_features_sharded(vgg_params, x, feature_layer_idx: int):
+    """models/vgg.extract_features on a row-sharded block: 3x3 convs take
+    1-row halos, 2x2 maxpools and ReLUs are shard-local. Exact because
+    every VGG op is either pointwise, a padded 3x3 conv (halo = the dense
+    zero padding at global edges), or a stride-2 window pool aligned to the
+    shard boundary (local rows stay even: H % (8*n_space) guarantees 16 |
+    local rows and idx <= 35 crosses at most 4 pools)."""
+    if x.shape[-1] == 1:
+        x = jnp.tile(x, (1, 1, 1, 3))
+    mean = jnp.asarray(vgg_mod.VGG_MEAN, jnp.float32).reshape(1, 1, 1, 3)
+    std = jnp.asarray(vgg_mod.VGG_STD, jnp.float32).reshape(1, 1, 1, 3)
+    x = (x.astype(jnp.float32) - mean) / std
+    ci = 0
+    for i, (kind, _) in enumerate(vgg_mod.layer_table()):
+        if i > feature_layer_idx:
+            break
+        if kind == "conv":
+            kern = vgg_params[f"conv{ci}"]["kernel"].astype(jnp.float32)
+            bias = vgg_params[f"conv{ci}"]["bias"].astype(jnp.float32)
+            xh = _halo_exchange(x, 1, 1)
+            dn = lax.conv_dimension_numbers(xh.shape, kern.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+            x = lax.conv_general_dilated(
+                xh, kern, (1, 1), [(0, 0), (1, 1)],
+                dimension_numbers=dn) + bias
+            ci += 1
+        elif kind == "relu":
+            x = jax.nn.relu(x)
+        else:  # pool
+            assert x.shape[1] % 2 == 0, (
+                "sharded VGG pool needs even local rows; ensure "
+                "H % (8*n_space) == 0")
+            x = lax.reduce_window(
+                x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return x
+
+
+_COMP_KEYS = ("l1_loss", "ssim_loss", "ssim_metric", "perceptual_loss")
+
+
+def build_spatial_loss(mesh: Mesh, input_hw, loss_cfg,
+                       model_type: str = "unet", dtype: Any = jnp.bfloat16,
+                       vgg_params=None):
+    """Row-sharded forward + CombinedLoss over a (data, space) mesh.
+
+    Returns ``loss_fn(params, hr, lr, weights) -> (total, comps, out)`` —
+    a ``shard_map`` whose scalar outputs are fully replicated (psum over
+    both mesh axes), so ``jax.grad`` THROUGH it yields the exact replicated
+    parameter gradient: the transposes of ``ppermute`` (halo exchange),
+    ``psum`` (GroupNorm stats, loss means) and the replicated-params
+    broadcast are inserted by JAX automatically. Semantics match
+    losses/combined.py CombinedLoss (reference utils/losses.py:153-240),
+    including the stop-gradient on target VGG features; ``comps`` always
+    carries all of {l1_loss, ssim_loss, ssim_metric, perceptual_loss}
+    (zeros for disabled terms, so the shard_map output tree is static).
+
+    ``input_hw`` is the LR input size: H % (8*n_space) == 0, W % 8 == 0.
+    The perceptual term runs the VGG stack row-sharded too
+    (_vgg_features_sharded) — per-device VGG activation memory scales
+    1/n_space, same as the model's.
+    """
+    loss_cfg.validate()
+    if loss_cfg.perceptual_weight > 0 and vgg_params is None:
+        raise ValueError("perceptual_weight > 0 requires vgg_params")
+    fwd = _make_local_forward(mesh, input_hw, dtype, model_type)
+    cfg = loss_cfg
+
+    def local(params, hr, lo, w):
+        out = fwd(params, lo)                      # fp32 in [0,1]
+        out32 = out.astype(jnp.float32)
+        tgt32 = hr.astype(jnp.float32)
+        zero = jnp.asarray(0.0, jnp.float32)
+        total = zero
+        comps = {k: zero for k in _COMP_KEYS}
+
+        if cfg.l1_weight > 0:
+            per = _mean_hwc_sharded(jnp.abs(out32 - tgt32))
+            l1 = _weighted_mean_global(per, w)
+            total = total + cfg.l1_weight * l1
+            comps["l1_loss"] = l1
+
+        ssim_per = _ssim_per_sample_sharded(out32, tgt32, cfg.window_size,
+                                            cfg.sigma, cfg.val_range)
+        ssim_raw = _weighted_mean_global(ssim_per, w)
+        if cfg.ssim_weight > 0:
+            ssim_val = jnp.clip(ssim_raw, 0.0, 1.0)  # utils/losses.py:221
+            total = total + cfg.ssim_weight * (1.0 - ssim_val)
+            comps["ssim_loss"] = 1.0 - ssim_val
+            comps["ssim_metric"] = ssim_val
+        else:
+            comps["ssim_metric"] = ssim_raw
+
+        if cfg.perceptual_weight > 0:
+            fg = _vgg_features_sharded(vgg_params, out32, cfg.vgg_layer_idx)
+            ft = _vgg_features_sharded(vgg_params, tgt32, cfg.vgg_layer_idx)
+            ft = lax.stop_gradient(ft)             # utils/losses.py:146-147
+            diff = fg - ft
+            if cfg.perceptual_loss_type == "l1":
+                per = _mean_hwc_sharded(jnp.abs(diff))
+            elif cfg.perceptual_loss_type in ("l2", "mse"):
+                per = _mean_hwc_sharded(diff * diff)
+            else:
+                raise ValueError(f"Unsupported perceptual loss: "
+                                 f"{cfg.perceptual_loss_type}")
+            perc = _weighted_mean_global(per, w)
+            total = total + cfg.perceptual_weight * perc
+            comps["perceptual_loss"] = perc
+
+        return total, comps, out
+
+    x4 = P(DATA_AXIS, SPACE_AXIS, None, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), x4, x4, P(DATA_AXIS)),
+        out_specs=(P(), {k: P() for k in _COMP_KEYS}, x4))

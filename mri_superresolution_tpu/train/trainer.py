@@ -42,7 +42,9 @@ from mri_superresolution_tpu.models import build_model
 from mri_superresolution_tpu.models import vgg as vgg_mod
 from mri_superresolution_tpu.ops.augment import augment_pair
 from mri_superresolution_tpu.ops.ssim import ssim
-from mri_superresolution_tpu.parallel import (data_sharding, make_mesh,
+from mri_superresolution_tpu.parallel import (build_spatial_loss,
+                                              data_sharding, make_mesh,
+                                              make_spatial_mesh,
                                               replicated_sharding)
 from mri_superresolution_tpu.train import checkpoint as ckpt
 from mri_superresolution_tpu.train.plateau import (EarlyStopping,
@@ -112,6 +114,47 @@ def build_eval_step(model, loss_fn: CombinedLoss, ssim_cfg) -> Any:
     return eval_step
 
 
+def build_spatial_train_step(sharded_loss, optimizer, augment_cfg) -> Any:
+    """Spatially-sharded (SP) train step: same (state, batch, lr, key) →
+    (state, metrics) contract as build_train_step, but the forward, loss
+    and backward all run row-sharded under shard_map
+    (parallel/spatial.build_spatial_loss) — per-device activation, VGG and
+    gradient-tape memory scale 1/n_space. Augmentation runs under plain
+    GSPMD before the shard_map (it rotates whole images, so it is not
+    shard-local; the input batch is small)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   lr: jnp.ndarray, key: jax.Array):
+        hr, lo, w = batch["hr"], batch["lr"], batch["weight"]
+        if augment_cfg is not None and augment_cfg.enabled:
+            hr, lo = augment_pair(hr, lo, key, augment_cfg)
+
+        def compute_loss(params):
+            total, comps, _ = sharded_loss(params, hr, lo, w)
+            return total, comps
+
+        (loss, comps), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "ssim": comps["ssim_metric"]}
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return train_step
+
+
+def build_spatial_eval_step(sharded_loss) -> Any:
+    def eval_step(params, batch):
+        total, comps, out = sharded_loss(params, batch["hr"], batch["lr"],
+                                         batch["weight"])
+        return {"loss": total, "ssim": comps["ssim_metric"]}, out
+
+    return eval_step
+
+
 def save_example_images(low_res, high_res, output, epoch: int,
                         save_dir: str) -> None:
     """Sample grid PNG per epoch (parity: scripts/train.py:93-131)."""
@@ -146,7 +189,28 @@ def train(cfg: TrainConfig,
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     os.makedirs(os.path.join(cfg.checkpoint_dir, "samples"), exist_ok=True)
 
-    mesh = make_mesh(cfg.num_data_devices)
+    spatial = cfg.spatial_shards > 1
+    if spatial:
+        if cfg.model.model_type not in ("unet", "unet_tpu"):
+            raise ValueError(
+                f"spatial_shards > 1 supports model types 'unet'/'unet_tpu' "
+                f"(parallel/spatial.py topologies), not "
+                f"{cfg.model.model_type!r}")
+        base = make_mesh(cfg.num_data_devices)
+        n_all = base.devices.size
+        if n_all % cfg.spatial_shards != 0:
+            raise ValueError(
+                f"spatial_shards={cfg.spatial_shards} must divide the "
+                f"{n_all} visible device(s)")
+        n_batch_shards = n_all // cfg.spatial_shards
+        mesh = make_spatial_mesh(n_batch_shards, cfg.spatial_shards,
+                                 devices=list(base.devices.flat))
+        log_message(f"Spatially-sharded training: ({n_batch_shards} data x "
+                    f"{cfg.spatial_shards} space) mesh — row-sharded "
+                    f"forward/loss/backward (ppermute halos, psum stats)")
+    else:
+        mesh = make_mesh(cfg.num_data_devices)
+        n_batch_shards = mesh.devices.size
     n_dev = mesh.devices.size
     log_message(f"Using mesh with {n_dev} device(s): "
                 f"{[str(d) for d in mesh.devices.flat]}")
@@ -163,11 +227,11 @@ def train(cfg: TrainConfig,
     else:
         train_idx, val_idx = train_val_split(len(dataset),
                                              cfg.validation_split, cfg.seed)
-    # batch must divide evenly across the mesh
-    batch_size = int(-(-cfg.batch_size // n_dev) * n_dev)
+    # batch must divide evenly across the batch-sharding axis
+    batch_size = int(-(-cfg.batch_size // n_batch_shards) * n_batch_shards)
     if batch_size != cfg.batch_size:
         log_message(f"Rounding batch_size {cfg.batch_size} → {batch_size} "
-                    f"to divide the {n_dev}-device mesh")
+                    f"to divide the {n_batch_shards}-way data axis")
     decoded_mb = dataset.estimated_decoded_mb()
     use_streaming = cfg.streaming == "on" or (
         cfg.streaming == "auto" and decoded_mb > cfg.streaming_threshold_mb)
@@ -216,9 +280,12 @@ def train(cfg: TrainConfig,
                 "WARNING: perceptual_weight > 0 but no --vgg_weights given. "
                 "Falling back to RANDOM VGG features (a structural prior, "
                 "NOT the reference's ImageNet-pretrained perceptual loss). "
-                "Convert real weights with tools/fetch_vgg_weights.py on a "
-                "networked machine and pass --vgg_weights, or set "
-                "perceptual_weight=0 for exact reference-loss semantics.",
+                "Measured effect at weight 0.1: a no-op on trained quality "
+                "(-0.0005 SSIM / +0.047 dB PSNR vs perceptual_weight=0; "
+                "RESULTS.md 5d). Convert real weights with "
+                "tools/fetch_vgg_weights.py on a networked machine and pass "
+                "--vgg_weights, or set perceptual_weight=0 for exact "
+                "reference-loss semantics.",
                 message_type="warning")
             vgg_params = vgg_mod.random_params(jax.random.key(0),
                                                cfg.loss.vgg_layer_idx)
@@ -248,19 +315,47 @@ def train(cfg: TrainConfig,
         log_message(f"Resumed from {names['final']}.ckpt at epoch {start_epoch}")
 
     # --- sharding / compilation ---
-    dsh = data_sharding(mesh)
     rsh = replicated_sharding(mesh)
     state = jax.device_put(state, rsh)
 
-    train_step = jax.jit(
-        build_train_step(model, loss_fn, optimizer, cfg.augment, cfg.loss),
-        in_shardings=(rsh, dsh, None, None),
-        out_shardings=(rsh, rsh),
-        donate_argnums=(0,))
-    eval_step = jax.jit(
-        build_eval_step(model, loss_fn, cfg.loss),
-        in_shardings=(rsh, dsh),
-        out_shardings=(rsh, dsh))
+    if spatial:
+        h, w = sample_hw
+        if h % (8 * cfg.spatial_shards) != 0 or w % 8 != 0:
+            raise ValueError(
+                f"spatial_shards={cfg.spatial_shards} training needs LR "
+                f"H % {8 * cfg.spatial_shards} == 0 and W % 8 == 0; got "
+                f"{h}x{w}. Re-extract with a conforming --target_size or "
+                f"reduce spatial_shards.")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        x4 = NamedSharding(mesh, P("data", "space"))
+        dsh = {"hr": x4, "lr": x4, "weight": NamedSharding(mesh, P("data"))}
+        sharded_loss = build_spatial_loss(
+            mesh, sample_hw, cfg.loss, model_type=cfg.model.model_type,
+            dtype=dtype, vgg_params=vgg_params)
+        train_step = jax.jit(
+            build_spatial_train_step(sharded_loss, optimizer, cfg.augment),
+            in_shardings=(rsh, dsh, None, None),
+            out_shardings=(rsh, rsh),
+            donate_argnums=(0,))
+        eval_step = jax.jit(
+            build_spatial_eval_step(sharded_loss),
+            in_shardings=(rsh, dsh),
+            out_shardings=({"loss": rsh, "ssim": rsh}, x4))
+    else:
+        dsh = data_sharding(mesh)
+        train_step = jax.jit(
+            build_train_step(model, loss_fn, optimizer, cfg.augment,
+                             cfg.loss),
+            in_shardings=(rsh, dsh, None, None),
+            out_shardings=(rsh, rsh),
+            donate_argnums=(0,))
+        eval_step = jax.jit(
+            build_eval_step(model, loss_fn, cfg.loss),
+            in_shardings=(rsh, dsh),
+            out_shardings=(rsh, dsh))
+
+    # per-key batch sharding (spatial mode shards hr/lr rows but not weight)
+    _sh = (dsh.__getitem__ if isinstance(dsh, dict) else lambda _k: dsh)
 
     writer = None
     if cfg.use_tensorboard:
@@ -328,7 +423,7 @@ def train(cfg: TrainConfig,
             # same augmentation randomness a continuous run would have
             step_key = jax.random.fold_in(jax.random.fold_in(rng, epoch),
                                           batch_idx)
-            batch = {k: jax.device_put(v, dsh) for k, v in batch.items()}
+            batch = {k: jax.device_put(v, _sh(k)) for k, v in batch.items()}
             state, metrics = train_step(state, batch,
                                         jnp.asarray(scheduler.lr, jnp.float32),
                                         step_key)
@@ -349,7 +444,8 @@ def train(cfg: TrainConfig,
         n_val = 0
         vis_batch, vis_out = None, None
         for batch in val_loader.epoch():
-            dev_batch = {k: jax.device_put(v, dsh) for k, v in batch.items()}
+            dev_batch = {k: jax.device_put(v, _sh(k))
+                         for k, v in batch.items()}
             metrics, out = eval_step(state.params, dev_batch)
             val_losses.append(metrics["loss"])
             val_ssims.append(metrics["ssim"])

@@ -56,6 +56,12 @@ def parse_args():
                              'decoded dataset exceeds --streaming_threshold_mb')
     parser.add_argument('--streaming_prefetch', type=int, default=2,
                         help='Batches decoded ahead in streaming mode')
+    parser.add_argument('--spatial_shards', type=int, default=1,
+                        help='Shard slice ROWS over this many devices during '
+                             'training (shard_map halo forward/backward; for '
+                             'slices too large per chip). Requires '
+                             'unet/unet_tpu, LR H %% (8*shards) == 0, and '
+                             'shards | devices. 1 = batch DP only')
     parser.add_argument('--streaming_threshold_mb', type=int, default=2048,
                         help='auto mode streams past this decoded size')
     parser.add_argument('--seed', type=int, default=random.randint(1, 10000))
@@ -119,6 +125,7 @@ def main():
         streaming=args.streaming,
         streaming_prefetch=args.streaming_prefetch,
         streaming_threshold_mb=args.streaming_threshold_mb,
+        spatial_shards=args.spatial_shards,
     )
     train(cfg)
 

@@ -58,6 +58,20 @@ def test_train_cli_protocol_and_checkpoints(workspace):
     assert (workspace / "ckpt" / "final_model_unet.json").exists()
 
 
+def test_train_cli_spatial_shards(workspace):
+    """--spatial_shards trains row-sharded over a (data, space) mesh end to
+    end (LR 32x32 rows over 4 shards: 32 % (8*4) == 0)."""
+    r = _run([os.path.join(SCRIPTS, "train.py"),
+              "--full_res_dir", "./hr", "--low_res_dir", "./lr",
+              "--epochs", "1", "--batch_size", "8", "--base_filters", "16",
+              "--seed", "1", "--spatial_shards", "4",
+              "--checkpoint_dir", "./ckpt_sp", "--log_dir", "./logs_sp",
+              "--cpu"], cwd=str(workspace))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Spatially-sharded training" in r.stdout
+    assert (workspace / "ckpt_sp" / "final_model_unet.ckpt").exists()
+
+
 def test_infer_cli(workspace):
     name = sorted(os.listdir(workspace / "lr"))[0]
     r = _run([os.path.join(SCRIPTS, "infer.py"),

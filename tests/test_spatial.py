@@ -132,6 +132,169 @@ def test_torch_checkpoint_params_work(dense_and_params):
                                rtol=1e-4, atol=3e-5)
 
 
+# ------------------------------------------------- spatially-sharded TRAINING
+
+class TestSpatialTraining:
+    """build_spatial_loss / build_spatial_train_step: the forward, the
+    CombinedLoss (L1 + SSIM + optional sharded VGG) and the BACKWARD all run
+    row-sharded; losses and gradients must match the dense path to fp32
+    reduction tolerance."""
+
+    H, W = 64, 64
+
+    def _batch(self, n=4, seed=0):
+        rng = np.random.default_rng(seed)
+        return {"lr": rng.random((n, self.H, self.W, 1), np.float32),
+                "hr": rng.random((n, 2 * self.H, 2 * self.W, 1), np.float32),
+                "weight": np.array([1, 1, 1, 0.0], np.float32)}
+
+    @pytest.mark.parametrize("model_type", ["unet", "unet_tpu"])
+    def test_loss_and_grads_match_dense(self, dense_and_params,
+                                        tpu_dense_and_params, model_type):
+        from mri_superresolution_tpu.config import LossConfig
+        from mri_superresolution_tpu.losses import CombinedLoss
+        from mri_superresolution_tpu.parallel import build_spatial_loss
+
+        model, params = (dense_and_params if model_type == "unet"
+                         else tpu_dense_and_params)
+        mesh = make_spatial_mesh(2, 4)
+        cfg = LossConfig(ssim_weight=0.3)
+        b = self._batch()
+        hr, lo = jnp.asarray(b["hr"]), jnp.asarray(b["lr"])
+        w = jnp.asarray(b["weight"])
+
+        dense_loss = CombinedLoss(cfg)
+
+        def dense_fn(p):
+            out = model.apply({"params": p}, lo)
+            return dense_loss(out, hr, sample_weights=w)[0]
+
+        sl = build_spatial_loss(mesh, (self.H, self.W), cfg, model_type,
+                                jnp.float32)
+        (dl, dg) = jax.jit(jax.value_and_grad(dense_fn))(params)
+        (sv, sg) = jax.jit(jax.value_and_grad(
+            lambda p: sl(p, hr, lo, w)[0]))(params)
+
+        np.testing.assert_allclose(float(dl), float(sv), rtol=1e-5)
+        from jax.flatten_util import ravel_pytree
+        fd, _ = ravel_pytree(dg)
+        fs, _ = ravel_pytree(sg)
+        # post-Adam params are NOT a fair target (step-1 Adam ~ sign(g)*lr
+        # amplifies reduction noise on near-zero grads) — compare grads.
+        assert np.abs(np.asarray(fd) - np.asarray(fs)).max() < 1e-4
+
+    def test_perceptual_term_sharded_matches_dense(self, dense_and_params):
+        """The VGG stack itself runs row-sharded (1-row conv halos, local
+        pools); loss values and gradients must match the dense perceptual
+        path."""
+        from mri_superresolution_tpu.config import LossConfig
+        from mri_superresolution_tpu.losses import CombinedLoss
+        from mri_superresolution_tpu.models import vgg as vgg_mod
+        from mri_superresolution_tpu.parallel import build_spatial_loss
+
+        model, params = dense_and_params
+        mesh = make_spatial_mesh(2, 4)
+        vggp = vgg_mod.random_params(jax.random.key(1), 8)
+        cfg = LossConfig(ssim_weight=0.3, perceptual_weight=0.1,
+                         vgg_layer_idx=8)
+        b = self._batch(seed=2)
+        hr, lo = jnp.asarray(b["hr"]), jnp.asarray(b["lr"])
+        w = jnp.asarray(b["weight"])
+
+        dense_loss = CombinedLoss(cfg, vgg_params=vggp)
+
+        def dense_fn(p):
+            out = model.apply({"params": p}, lo)
+            total, comps = dense_loss(out, hr, sample_weights=w)
+            return total, comps
+
+        sl = build_spatial_loss(mesh, (self.H, self.W), cfg, "unet",
+                                jnp.float32, vgg_params=vggp)
+        (dl, dc), dg = jax.jit(jax.value_and_grad(dense_fn,
+                                                  has_aux=True))(params)
+        (sv, sc), sg = jax.jit(jax.value_and_grad(
+            lambda p: sl(p, hr, lo, w)[:2], has_aux=True))(params)
+
+        np.testing.assert_allclose(float(dl), float(sv), rtol=1e-5)
+        np.testing.assert_allclose(float(dc["perceptual_loss"]),
+                                   float(sc["perceptual_loss"]), rtol=1e-5)
+        from jax.flatten_util import ravel_pytree
+        fd, _ = ravel_pytree(dg)
+        fs, _ = ravel_pytree(sg)
+        assert np.abs(np.asarray(fd) - np.asarray(fs)).max() < 1e-4
+
+    @pytest.mark.parametrize("model_type", ["unet", "unet_tpu"])
+    def test_train_step_matches_dense(self, dense_and_params,
+                                      tpu_dense_and_params, model_type):
+        """One full optimizer step (augmentation ON, shared key): metrics
+        identical, updated params within Adam's noise floor of the dense
+        step's."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mri_superresolution_tpu.config import AugmentConfig, LossConfig
+        from mri_superresolution_tpu.losses import CombinedLoss
+        from mri_superresolution_tpu.parallel import (build_spatial_loss,
+                                                      replicated_sharding)
+        from mri_superresolution_tpu.train.trainer import (
+            TrainState, build_spatial_train_step, build_train_step,
+            make_optimizer)
+
+        model, params = (dense_and_params if model_type == "unet"
+                         else tpu_dense_and_params)
+        mesh = make_spatial_mesh(2, 4)
+        cfg = LossConfig(ssim_weight=0.3)
+        aug = AugmentConfig(enabled=True)
+        opt = make_optimizer(1e-5)
+        b = self._batch(seed=3)
+        lr_s = jnp.asarray(1e-4, jnp.float32)
+        key = jax.random.key(5)
+
+        def fresh():
+            return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                              opt_state=opt.init(params))
+
+        dense_step = jax.jit(build_train_step(model, CombinedLoss(cfg), opt,
+                                              aug, cfg))
+        ds, dm = dense_step(fresh(), {k: jnp.asarray(v)
+                                      for k, v in b.items()}, lr_s, key)
+
+        sl = build_spatial_loss(mesh, (self.H, self.W), cfg, model_type,
+                                jnp.float32)
+        rsh = replicated_sharding(mesh)
+        x4 = NamedSharding(mesh, P("data", "space"))
+        dsh = {"hr": x4, "lr": x4, "weight": NamedSharding(mesh, P("data"))}
+        sp_step = jax.jit(build_spatial_train_step(sl, opt, aug),
+                          in_shardings=(rsh, dsh, None, None),
+                          out_shardings=(rsh, rsh))
+        ss, sm = sp_step(jax.device_put(fresh(), rsh), b, lr_s, key)
+
+        np.testing.assert_allclose(float(dm["loss"]), float(sm["loss"]),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(dm["ssim"]), float(sm["ssim"]),
+                                   rtol=1e-3, atol=1e-5)
+        from jax.flatten_util import ravel_pytree
+        fd, _ = ravel_pytree(ds.params)
+        fs, _ = ravel_pytree(ss.params)
+        # |param diff| is bounded by 2*lr where reduction noise flips a
+        # near-zero gradient's Adam direction; most entries agree far tighter.
+        diff = np.abs(np.asarray(fd) - np.asarray(fs))
+        assert diff.max() <= 2.5e-4          # 2.5 * lr
+        assert np.quantile(diff, 0.99) <= 5e-5
+        assert int(ss.step) == 1
+
+    def test_trainer_rejects_bad_spatial_config(self, tmp_path):
+        from mri_superresolution_tpu.config import ModelConfig, TrainConfig
+        from mri_superresolution_tpu.train import train
+
+        base = dict(full_res_dir=str(tmp_path), low_res_dir=str(tmp_path),
+                    checkpoint_dir=str(tmp_path / "ckpt"),
+                    log_dir=str(tmp_path / "logs"))
+        with pytest.raises(ValueError, match="must divide"):
+            train(TrainConfig(spatial_shards=3, **base))
+        with pytest.raises(ValueError, match="unet"):
+            train(TrainConfig(spatial_shards=4,
+                              model=ModelConfig(model_type="edsr"), **base))
+
+
 def test_engine_spatial_padding_warns(caplog, dense_and_params):
     """Non-conforming sizes under spatial sharding are zero-padded, which
     perturbs whole-image GroupNorm stats — the engine must say so
