@@ -45,6 +45,68 @@ def l2_loss(a: jnp.ndarray, b: jnp.ndarray,
     return _weighted_mean(per, sample_weights)
 
 
+def compose_loss(cfg: LossConfig, out32: jnp.ndarray, tgt32: jnp.ndarray,
+                 sample_weights, *, per_sample_mean, weighted_mean,
+                 ssim_per_sample, vgg_features,
+                 always_ssim_metric: bool = False,
+                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """The single copy of the CombinedLoss composition (reference
+    utils/losses.py:153-240), parameterized by its reduction/feature
+    primitives so the dense path and the spatially-sharded path
+    (parallel/spatial.py, psum'd means + halo'd blurs/convs) cannot
+    silently diverge:
+
+    - ``per_sample_mean(x) -> (B,)``: mean over every non-batch axis,
+    - ``weighted_mean(per, w) -> scalar``: weighted mean over the batch,
+    - ``ssim_per_sample(a, b) -> (B,)``: per-sample SSIM index,
+    - ``vgg_features(x) -> features``: VGG stack up to cfg.vgg_layer_idx.
+
+    ``always_ssim_metric`` additionally reports the (unclipped) SSIM as
+    ``ssim_metric`` when ssim_weight == 0 — callers that need a static
+    comps tree regardless of cfg (the shard_map path) rely on it.
+    """
+    total = jnp.asarray(0.0, jnp.float32)
+    comps: Dict[str, jnp.ndarray] = {}
+
+    if cfg.l1_weight > 0:
+        l1 = weighted_mean(per_sample_mean(jnp.abs(out32 - tgt32)),
+                           sample_weights)
+        total = total + cfg.l1_weight * l1
+        comps["l1_loss"] = l1
+
+    if cfg.ssim_weight > 0 or always_ssim_metric:
+        ssim_raw = weighted_mean(ssim_per_sample(out32, tgt32),
+                                 sample_weights)
+    if cfg.ssim_weight > 0:
+        ssim_val = jnp.clip(ssim_raw, 0.0, 1.0)  # utils/losses.py:221
+        ssim_l = 1.0 - ssim_val
+        total = total + cfg.ssim_weight * ssim_l
+        comps["ssim_loss"] = ssim_l
+        comps["ssim_metric"] = ssim_val
+    elif always_ssim_metric:
+        comps["ssim_metric"] = ssim_raw
+
+    if cfg.perceptual_weight > 0:
+        fg = vgg_features(out32)
+        ft = jax.lax.stop_gradient(vgg_features(tgt32))  # losses.py:146-147
+        if cfg.perceptual_loss_type == "l1":
+            per = per_sample_mean(jnp.abs(fg - ft))
+        elif cfg.perceptual_loss_type in ("l2", "mse"):
+            per = per_sample_mean(jnp.square(fg - ft))
+        else:
+            raise ValueError(
+                f"Unsupported perceptual loss: {cfg.perceptual_loss_type}")
+        perc = weighted_mean(per, sample_weights)
+        total = total + cfg.perceptual_weight * perc
+        comps["perceptual_loss"] = perc
+
+    return total, comps
+
+
+def _dense_per_sample_mean(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(x, axis=tuple(range(1, x.ndim)))
+
+
 class CombinedLoss:
     """Callable loss bundle. Instantiate once (host), call inside jit.
 
@@ -66,39 +128,13 @@ class CombinedLoss:
                  sample_weights: Optional[jnp.ndarray] = None,
                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         cfg = self.cfg
-        out32 = output.astype(jnp.float32)
-        tgt32 = target.astype(jnp.float32)
-        total = jnp.asarray(0.0, jnp.float32)
-        comps: Dict[str, jnp.ndarray] = {}
-
-        if cfg.l1_weight > 0:
-            l1 = l1_loss(out32, tgt32, sample_weights)
-            total = total + cfg.l1_weight * l1
-            comps["l1_loss"] = l1
-
-        if cfg.ssim_weight > 0:
-            ssim_val = ssim(out32, tgt32, cfg.window_size, cfg.sigma,
-                            cfg.val_range, sample_weights=sample_weights)
-            ssim_val = jnp.clip(ssim_val, 0.0, 1.0)  # utils/losses.py:221
-            ssim_l = 1.0 - ssim_val
-            total = total + cfg.ssim_weight * ssim_l
-            comps["ssim_loss"] = ssim_l
-            comps["ssim_metric"] = ssim_val
-
-        if cfg.perceptual_weight > 0:
-            fg = vgg_mod.extract_features(self.vgg_params, out32,
-                                          cfg.vgg_layer_idx)
-            ft = vgg_mod.extract_features(self.vgg_params, tgt32,
-                                          cfg.vgg_layer_idx)
-            ft = jax.lax.stop_gradient(ft)  # utils/losses.py:146-147
-            if cfg.perceptual_loss_type == "l1":
-                perc = l1_loss(fg, ft, sample_weights)
-            elif cfg.perceptual_loss_type in ("l2", "mse"):
-                perc = l2_loss(fg, ft, sample_weights)
-            else:
-                raise ValueError(
-                    f"Unsupported perceptual loss: {cfg.perceptual_loss_type}")
-            total = total + cfg.perceptual_weight * perc
-            comps["perceptual_loss"] = perc
-
-        return total, comps
+        return compose_loss(
+            cfg, output.astype(jnp.float32), target.astype(jnp.float32),
+            sample_weights,
+            per_sample_mean=_dense_per_sample_mean,
+            weighted_mean=_weighted_mean,
+            ssim_per_sample=lambda a, b: ssim(
+                a, b, cfg.window_size, cfg.sigma, cfg.val_range,
+                size_average=False),
+            vgg_features=lambda x: vgg_mod.extract_features(
+                self.vgg_params, x, cfg.vgg_layer_idx))

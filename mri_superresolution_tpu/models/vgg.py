@@ -109,14 +109,41 @@ def save_params_npz(path: str, params: Dict) -> None:
     np.savez(path, **flat)
 
 
+def n_pools(feature_layer_idx: int) -> int:
+    """Number of 2x2 maxpools crossed by ``extract_features`` up to (and
+    including) ``feature_layer_idx``."""
+    return sum(1 for i, (kind, _) in enumerate(layer_table())
+               if i <= feature_layer_idx and kind == "pool")
+
+
+def _dense_conv(x, kern, bias):
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kern.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, kern, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn) + bias
+
+
+def _dense_pool(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
 def extract_features(params: Dict, x: jnp.ndarray,
                      feature_layer_idx: int = 35,
-                     dtype=jnp.float32) -> jnp.ndarray:
+                     dtype=jnp.float32, conv_fn=None,
+                     pool_fn=None) -> jnp.ndarray:
     """Run NHWC images in [0,1] through VGG19 up to ``feature_layer_idx``.
 
     1-channel inputs are replicated to 3 (utils/losses.py:106-108) and
     normalized with the ImageNet statistics (:110-114).
+
+    ``conv_fn(x, kernel, bias)`` / ``pool_fn(x)`` override the dense 3x3
+    padded conv and 2x2 maxpool — the spatially-sharded perceptual loss
+    passes halo'd variants so this layer loop stays the single copy of the
+    VGG19 stack.
     """
+    conv_fn = conv_fn or _dense_conv
+    pool_fn = pool_fn or _dense_pool
     if x.shape[-1] == 1:
         x = jnp.tile(x, (1, 1, 1, 3))
     mean = jnp.asarray(VGG_MEAN, dtype).reshape(1, 1, 1, 3)
@@ -128,16 +155,11 @@ def extract_features(params: Dict, x: jnp.ndarray,
         if i > feature_layer_idx:
             break
         if kind == "conv":
-            kern = params[f"conv{ci}"]["kernel"].astype(dtype)
-            bias = params[f"conv{ci}"]["bias"].astype(dtype)
-            dn = jax.lax.conv_dimension_numbers(
-                x.shape, kern.shape, ("NHWC", "HWIO", "NHWC"))
-            x = jax.lax.conv_general_dilated(
-                x, kern, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn) + bias
+            x = conv_fn(x, params[f"conv{ci}"]["kernel"].astype(dtype),
+                        params[f"conv{ci}"]["bias"].astype(dtype))
             ci += 1
         elif kind == "relu":
             x = jax.nn.relu(x)
         else:  # pool
-            x = jax.lax.reduce_window(
-                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            x = pool_fn(x)
     return x

@@ -67,14 +67,21 @@ def _separable_blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarr
 
 def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray,
              window_size: int = 11, sigma: float = 1.5,
-             val_range: float = 1.0) -> jnp.ndarray:
-    """Per-pixel SSIM map for NHWC images (fp32)."""
+             val_range: float = 1.0, blur_fn=None) -> jnp.ndarray:
+    """Per-pixel SSIM map for NHWC images (fp32).
+
+    ``blur_fn`` overrides the depthwise Gaussian blur (default: the local
+    ``_separable_blur``); the spatially-sharded loss passes its halo'd
+    variant so this stays the single copy of the SSIM formula."""
     x1 = img1.astype(jnp.float32)
     x2 = img2.astype(jnp.float32)
     c = x1.shape[-1]
 
     stacked = jnp.concatenate([x1, x2, x1 * x1, x2 * x2, x1 * x2], axis=-1)
-    blurred = _separable_blur(stacked, window_size, sigma)
+    if blur_fn is None:
+        blurred = _separable_blur(stacked, window_size, sigma)
+    else:
+        blurred = blur_fn(stacked)
     mu1 = blurred[..., 0 * c:1 * c]
     mu2 = blurred[..., 1 * c:2 * c]
     e11 = blurred[..., 2 * c:3 * c]

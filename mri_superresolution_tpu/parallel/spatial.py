@@ -50,7 +50,7 @@ except ImportError:  # pragma: no cover - older jax
 from mri_superresolution_tpu.models import vgg as vgg_mod
 from mri_superresolution_tpu.ops.functional import max_pool2, pixel_shuffle
 from mri_superresolution_tpu.ops.resize import _align_corners_matrix
-from mri_superresolution_tpu.ops.ssim import _gaussian_window_np
+from mri_superresolution_tpu.ops.ssim import _gaussian_window_np, ssim_map
 
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
@@ -343,23 +343,12 @@ def _mean_hwc_sharded(x):
 
 def _ssim_per_sample_sharded(img1, img2, window_size: int, sigma: float,
                              val_range: float):
-    """Per-sample SSIM of row-sharded NHWC blocks — same math as
-    ops/ssim.ssim_map (five blurs share one separable pass), with halo'd
-    blurs and a psum'd mean. Identical on every space shard."""
-    x1 = img1.astype(jnp.float32)
-    x2 = img2.astype(jnp.float32)
-    c = x1.shape[-1]
-    stacked = jnp.concatenate([x1, x2, x1 * x1, x2 * x2, x1 * x2], axis=-1)
-    blurred = _separable_blur_sharded(stacked, window_size, sigma)
-    mu1 = blurred[..., 0 * c:1 * c]
-    mu2 = blurred[..., 1 * c:2 * c]
-    sigma1_sq = blurred[..., 2 * c:3 * c] - mu1 * mu1
-    sigma2_sq = blurred[..., 3 * c:4 * c] - mu2 * mu2
-    sigma12 = blurred[..., 4 * c:5 * c] - mu1 * mu2
-    c1 = (0.01 * val_range) ** 2
-    c2 = (0.03 * val_range) ** 2
-    smap = ((2 * mu1 * mu2 + c1) * (2 * sigma12 + c2)) / (
-        (mu1 * mu1 + mu2 * mu2 + c1) * (sigma1_sq + sigma2_sq + c2))
+    """Per-sample SSIM of row-sharded NHWC blocks: ops/ssim.ssim_map (the
+    single copy of the SSIM formula) with the halo'd blur injected, then a
+    psum'd mean. Identical on every space shard."""
+    smap = ssim_map(img1, img2, window_size, sigma, val_range,
+                    blur_fn=lambda t: _separable_blur_sharded(
+                        t, window_size, sigma))
     return _mean_hwc_sharded(smap)
 
 
@@ -371,41 +360,35 @@ def _weighted_mean_global(per_sample, w):
     return num / jnp.maximum(den, 1e-12)
 
 
+def _halo_conv3x3_bias(x, kern, bias):
+    """VGG's padded 3x3 conv on a row-sharded block: 1-row halos replace
+    the dense row padding (zeros at global edges, via ppermute)."""
+    xh = _halo_exchange(x, 1, 1)
+    dn = lax.conv_dimension_numbers(xh.shape, kern.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        xh, kern, (1, 1), [(0, 0), (1, 1)], dimension_numbers=dn) + bias
+
+
+def _local_pool2(x):
+    """Shard-local 2x2 maxpool; alignment is validated at build time
+    (build_spatial_loss), so the stride-2 windows never straddle a shard
+    boundary."""
+    if x.shape[1] % 2 != 0:
+        raise ValueError(
+            f"sharded VGG pool hit odd local rows ({x.shape[1]}) — "
+            "build_spatial_loss validation should have rejected this config")
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
 def _vgg_features_sharded(vgg_params, x, feature_layer_idx: int):
-    """models/vgg.extract_features on a row-sharded block: 3x3 convs take
-    1-row halos, 2x2 maxpools and ReLUs are shard-local. Exact because
-    every VGG op is either pointwise, a padded 3x3 conv (halo = the dense
-    zero padding at global edges), or a stride-2 window pool aligned to the
-    shard boundary (local rows stay even: H % (8*n_space) guarantees 16 |
-    local rows and idx <= 35 crosses at most 4 pools)."""
-    if x.shape[-1] == 1:
-        x = jnp.tile(x, (1, 1, 1, 3))
-    mean = jnp.asarray(vgg_mod.VGG_MEAN, jnp.float32).reshape(1, 1, 1, 3)
-    std = jnp.asarray(vgg_mod.VGG_STD, jnp.float32).reshape(1, 1, 1, 3)
-    x = (x.astype(jnp.float32) - mean) / std
-    ci = 0
-    for i, (kind, _) in enumerate(vgg_mod.layer_table()):
-        if i > feature_layer_idx:
-            break
-        if kind == "conv":
-            kern = vgg_params[f"conv{ci}"]["kernel"].astype(jnp.float32)
-            bias = vgg_params[f"conv{ci}"]["bias"].astype(jnp.float32)
-            xh = _halo_exchange(x, 1, 1)
-            dn = lax.conv_dimension_numbers(xh.shape, kern.shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-            x = lax.conv_general_dilated(
-                xh, kern, (1, 1), [(0, 0), (1, 1)],
-                dimension_numbers=dn) + bias
-            ci += 1
-        elif kind == "relu":
-            x = jax.nn.relu(x)
-        else:  # pool
-            assert x.shape[1] % 2 == 0, (
-                "sharded VGG pool needs even local rows; ensure "
-                "H % (8*n_space) == 0")
-            x = lax.reduce_window(
-                x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
-    return x
+    """models/vgg.extract_features (the single copy of the VGG19 layer
+    loop) on a row-sharded block: the 3x3 convs take 1-row halos, the 2x2
+    maxpools and ReLUs are shard-local."""
+    return vgg_mod.extract_features(vgg_params, x, feature_layer_idx,
+                                    conv_fn=_halo_conv3x3_bias,
+                                    pool_fn=_local_pool2)
 
 
 _COMP_KEYS = ("l1_loss", "ssim_loss", "ssim_metric", "perceptual_loss")
@@ -432,53 +415,51 @@ def build_spatial_loss(mesh: Mesh, input_hw, loss_cfg,
     (_vgg_features_sharded) — per-device VGG activation memory scales
     1/n_space, same as the model's.
     """
+    from mri_superresolution_tpu.losses.combined import compose_loss
+
     loss_cfg.validate()
     if loss_cfg.perceptual_weight > 0 and vgg_params is None:
         raise ValueError("perceptual_weight > 0 requires vgg_params")
     fwd = _make_local_forward(mesh, input_hw, dtype, model_type)
     cfg = loss_cfg
+    h, _ = input_hw
+    n_space = mesh.shape[SPACE_AXIS]
+    hr_local_rows = 2 * h // n_space
+
+    # The SSIM blur reaches window//2 rows into each neighbor; a halo
+    # deeper than one shard would need multi-hop exchange (and an even
+    # window would change the output row count vs the dense op).
+    if cfg.window_size % 2 != 1:
+        raise ValueError(f"window_size must be odd for spatial sharding "
+                         f"(got {cfg.window_size})")
+    if cfg.window_size // 2 > hr_local_rows:
+        raise ValueError(
+            f"SSIM window {cfg.window_size} needs a {cfg.window_size // 2}-"
+            f"row halo but each shard only holds {hr_local_rows} HR rows; "
+            f"reduce spatial_shards or window_size")
+    if cfg.perceptual_weight > 0:
+        pools = vgg_mod.n_pools(cfg.vgg_layer_idx)
+        if hr_local_rows % (2 ** pools) != 0:
+            raise ValueError(
+                f"sharded VGG perceptual loss crosses {pools} 2x2 pools, "
+                f"so local HR rows ({hr_local_rows} = 2*{h}/{n_space}) must "
+                f"be divisible by {2 ** pools}; use a conforming H / "
+                f"spatial_shards or a smaller vgg_layer_idx")
 
     def local(params, hr, lo, w):
         out = fwd(params, lo)                      # fp32 in [0,1]
-        out32 = out.astype(jnp.float32)
-        tgt32 = hr.astype(jnp.float32)
         zero = jnp.asarray(0.0, jnp.float32)
-        total = zero
-        comps = {k: zero for k in _COMP_KEYS}
-
-        if cfg.l1_weight > 0:
-            per = _mean_hwc_sharded(jnp.abs(out32 - tgt32))
-            l1 = _weighted_mean_global(per, w)
-            total = total + cfg.l1_weight * l1
-            comps["l1_loss"] = l1
-
-        ssim_per = _ssim_per_sample_sharded(out32, tgt32, cfg.window_size,
-                                            cfg.sigma, cfg.val_range)
-        ssim_raw = _weighted_mean_global(ssim_per, w)
-        if cfg.ssim_weight > 0:
-            ssim_val = jnp.clip(ssim_raw, 0.0, 1.0)  # utils/losses.py:221
-            total = total + cfg.ssim_weight * (1.0 - ssim_val)
-            comps["ssim_loss"] = 1.0 - ssim_val
-            comps["ssim_metric"] = ssim_val
-        else:
-            comps["ssim_metric"] = ssim_raw
-
-        if cfg.perceptual_weight > 0:
-            fg = _vgg_features_sharded(vgg_params, out32, cfg.vgg_layer_idx)
-            ft = _vgg_features_sharded(vgg_params, tgt32, cfg.vgg_layer_idx)
-            ft = lax.stop_gradient(ft)             # utils/losses.py:146-147
-            diff = fg - ft
-            if cfg.perceptual_loss_type == "l1":
-                per = _mean_hwc_sharded(jnp.abs(diff))
-            elif cfg.perceptual_loss_type in ("l2", "mse"):
-                per = _mean_hwc_sharded(diff * diff)
-            else:
-                raise ValueError(f"Unsupported perceptual loss: "
-                                 f"{cfg.perceptual_loss_type}")
-            perc = _weighted_mean_global(per, w)
-            total = total + cfg.perceptual_weight * perc
-            comps["perceptual_loss"] = perc
-
+        total, comps_in = compose_loss(
+            cfg, out.astype(jnp.float32), hr.astype(jnp.float32), w,
+            per_sample_mean=_mean_hwc_sharded,
+            weighted_mean=_weighted_mean_global,
+            ssim_per_sample=lambda a, b: _ssim_per_sample_sharded(
+                a, b, cfg.window_size, cfg.sigma, cfg.val_range),
+            vgg_features=lambda x: _vgg_features_sharded(
+                vgg_params, x, cfg.vgg_layer_idx),
+            always_ssim_metric=True)
+        # static comps tree: the shard_map out_specs require every key
+        comps = {k: comps_in.get(k, zero) for k in _COMP_KEYS}
         return total, comps, out
 
     x4 = P(DATA_AXIS, SPACE_AXIS, None, None)

@@ -68,9 +68,11 @@ def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
     )
 
 
-def build_train_step(model, loss_fn: CombinedLoss, optimizer,
-                     augment_cfg, ssim_cfg) -> Any:
-    """Returns train_step(state, batch, lr, key) → (state, metrics)."""
+def _make_train_step(compute_loss, optimizer, augment_cfg) -> Any:
+    """Shared train-step skeleton (augment → value_and_grad → torch-style
+    Adam update). ``compute_loss(params, hr, lo, w) -> (total, comps)``
+    with ``comps["ssim_metric"]`` present; the DP and spatially-sharded
+    builders differ only in this closure."""
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    lr: jnp.ndarray, key: jax.Array):
@@ -78,26 +80,33 @@ def build_train_step(model, loss_fn: CombinedLoss, optimizer,
         if augment_cfg is not None and augment_cfg.enabled:
             hr, lo = augment_pair(hr, lo, key, augment_cfg)
 
-        def compute_loss(params):
-            out = model.apply({"params": params}, lo)
-            total, comps = loss_fn(out, hr, sample_weights=w)
-            return total, (comps, out)
-
-        (loss, (comps, out)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(state.params)
+        (loss, comps), grads = jax.value_and_grad(
+            lambda p: compute_loss(p, hr, lo, w), has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
-        ssim_metric = comps.get(
-            "ssim_metric",
-            ssim(out, hr, ssim_cfg.window_size, ssim_cfg.sigma,
-                 ssim_cfg.val_range, sample_weights=w))
-        metrics = {"loss": loss, "ssim": ssim_metric}
+        metrics = {"loss": loss, "ssim": comps["ssim_metric"]}
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), metrics
 
     return train_step
+
+
+def build_train_step(model, loss_fn: CombinedLoss, optimizer,
+                     augment_cfg, ssim_cfg) -> Any:
+    """Returns train_step(state, batch, lr, key) → (state, metrics)."""
+
+    def compute_loss(params, hr, lo, w):
+        out = model.apply({"params": params}, lo)
+        total, comps = loss_fn(out, hr, sample_weights=w)
+        if "ssim_metric" not in comps:   # ssim_weight == 0: metric only
+            comps = dict(comps, ssim_metric=ssim(
+                out, hr, ssim_cfg.window_size, ssim_cfg.sigma,
+                ssim_cfg.val_range, sample_weights=w))
+        return total, comps
+
+    return _make_train_step(compute_loss, optimizer, augment_cfg)
 
 
 def build_eval_step(model, loss_fn: CombinedLoss, ssim_cfg) -> Any:
@@ -123,27 +132,11 @@ def build_spatial_train_step(sharded_loss, optimizer, augment_cfg) -> Any:
     GSPMD before the shard_map (it rotates whole images, so it is not
     shard-local; the input batch is small)."""
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                   lr: jnp.ndarray, key: jax.Array):
-        hr, lo, w = batch["hr"], batch["lr"], batch["weight"]
-        if augment_cfg is not None and augment_cfg.enabled:
-            hr, lo = augment_pair(hr, lo, key, augment_cfg)
+    def compute_loss(params, hr, lo, w):
+        total, comps, _ = sharded_loss(params, hr, lo, w)
+        return total, comps
 
-        def compute_loss(params):
-            total, comps, _ = sharded_loss(params, hr, lo, w)
-            return total, comps
-
-        (loss, comps), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-        params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, "ssim": comps["ssim_metric"]}
-        return TrainState(step=state.step + 1, params=params,
-                          opt_state=opt_state), metrics
-
-    return train_step
+    return _make_train_step(compute_loss, optimizer, augment_cfg)
 
 
 def build_spatial_eval_step(sharded_loss) -> Any:
@@ -201,7 +194,9 @@ def train(cfg: TrainConfig,
         if n_all % cfg.spatial_shards != 0:
             raise ValueError(
                 f"spatial_shards={cfg.spatial_shards} must divide the "
-                f"{n_all} visible device(s)")
+                f"{n_all} mesh device(s) "
+                f"({'capped by --num_data_devices; ' if cfg.num_data_devices else ''}"
+                f"{len(jax.devices())} visible)")
         n_batch_shards = n_all // cfg.spatial_shards
         mesh = make_spatial_mesh(n_batch_shards, cfg.spatial_shards,
                                  devices=list(base.devices.flat))

@@ -60,6 +60,7 @@ DEFAULT_PARAMS = {
     "patience": 10,
     "seed": random.randint(1, 10000),
     "augmentation": False,
+    "spatial_shards": 1,
     "use_tensorboard": False,
     "cpu": False,
     "resume": False,
@@ -86,8 +87,8 @@ MENUS = {
         "batch_size", "epochs", "learning_rate", "weight_decay",
         "ssim_weight", "perceptual_weight", "perceptual_loss_type",
         "vgg_layer_idx", "initial_alpha", "validation_split", "patience",
-        "seed", "augmentation", "use_tensorboard", "resume", "cpu",
-        "checkpoint_dir", "log_dir",
+        "seed", "augmentation", "spatial_shards", "use_tensorboard",
+        "resume", "cpu", "checkpoint_dir", "log_dir",
     ],
     "infer": [
         "input_image", "output_image", "target_image", "checkpoint_dir",
@@ -130,7 +131,7 @@ def validate(field, raw, params):
     if isinstance(current, int):
         v = int(raw)
         if field in ("batch_size", "epochs", "base_filters", "patience",
-                     "n_slices_extract") and v <= 0:
+                     "n_slices_extract", "spatial_shards") and v <= 0:
             raise ValueError(f"{field} must be positive")
         return v
     if isinstance(current, float):
@@ -171,6 +172,7 @@ def build_command(menu, p):
                "--validation_split", str(p["validation_split"]),
                "--patience", str(p["patience"]),
                "--seed", str(p["seed"]),
+               "--spatial_shards", str(p["spatial_shards"]),
                "--checkpoint_dir", p["checkpoint_dir"],
                "--log_dir", p["log_dir"]]
         for flag in ("augmentation", "use_tensorboard", "resume"):

@@ -281,6 +281,29 @@ class TestSpatialTraining:
         assert np.quantile(diff, 0.99) <= 5e-5
         assert int(ss.step) == 1
 
+    def test_spatial_loss_config_validation(self):
+        """Shard-incompatible loss configs fail at BUILD time with
+        ValueError, not mid-trace (code-review r3 findings: a too-deep SSIM
+        halo silently truncates; odd VGG pool rows silently drop a row)."""
+        from mri_superresolution_tpu.config import LossConfig
+        from mri_superresolution_tpu.models import vgg as vgg_mod
+        from mri_superresolution_tpu.parallel import build_spatial_loss
+
+        mesh8 = make_spatial_mesh(1, 8)
+        with pytest.raises(ValueError, match="odd"):
+            build_spatial_loss(mesh8, (64, 64), LossConfig(window_size=10))
+        with pytest.raises(ValueError, match="halo"):
+            build_spatial_loss(mesh8, (64, 64), LossConfig(window_size=35))
+        # 96 % (8*4) == 0 passes the H check, but local HR rows = 48 are
+        # not divisible by the 2^5 pools crossed at vgg_layer_idx=36
+        mesh4 = make_spatial_mesh(2, 4)
+        vggp = vgg_mod.random_params(jax.random.key(0), 8)
+        with pytest.raises(ValueError, match="pools"):
+            build_spatial_loss(
+                mesh4, (96, 96),
+                LossConfig(perceptual_weight=0.1, vgg_layer_idx=36),
+                vgg_params=vggp)
+
     def test_trainer_rejects_bad_spatial_config(self, tmp_path):
         from mri_superresolution_tpu.config import ModelConfig, TrainConfig
         from mri_superresolution_tpu.train import train
