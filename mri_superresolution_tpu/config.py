@@ -107,6 +107,10 @@ class TrainConfig:
     # 'unet'/'unet_tpu', LR H % (8*spatial_shards) == 0, and
     # spatial_shards | visible devices.
     spatial_shards: int = 1
+    # Rematerialize the forward in the backward pass (jax.checkpoint):
+    # peak training HBM drops to ~the forward's working set for one extra
+    # forward's FLOPs. Identical gradients. Composes with spatial_shards.
+    remat: bool = False
 
 
 @dataclass

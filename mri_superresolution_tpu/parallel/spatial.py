@@ -396,7 +396,7 @@ _COMP_KEYS = ("l1_loss", "ssim_loss", "ssim_metric", "perceptual_loss")
 
 def build_spatial_loss(mesh: Mesh, input_hw, loss_cfg,
                        model_type: str = "unet", dtype: Any = jnp.bfloat16,
-                       vgg_params=None):
+                       vgg_params=None, remat: bool = False):
     """Row-sharded forward + CombinedLoss over a (data, space) mesh.
 
     Returns ``loss_fn(params, hr, lr, weights) -> (total, comps, out)`` —
@@ -413,7 +413,9 @@ def build_spatial_loss(mesh: Mesh, input_hw, loss_cfg,
     ``input_hw`` is the LR input size: H % (8*n_space) == 0, W % 8 == 0.
     The perceptual term runs the VGG stack row-sharded too
     (_vgg_features_sharded) — per-device VGG activation memory scales
-    1/n_space, same as the model's.
+    1/n_space, same as the model's. ``remat`` additionally recomputes the
+    forward in the backward (jax.checkpoint), stacking the two memory
+    levers: 1/n_space sharding x no activation tape.
     """
     from mri_superresolution_tpu.losses.combined import compose_loss
 
@@ -421,6 +423,12 @@ def build_spatial_loss(mesh: Mesh, input_hw, loss_cfg,
     if loss_cfg.perceptual_weight > 0 and vgg_params is None:
         raise ValueError("perceptual_weight > 0 requires vgg_params")
     fwd = _make_local_forward(mesh, input_hw, dtype, model_type)
+    if remat:
+        # jax.checkpoint composes with shard_map: the recomputed forward
+        # re-runs its ppermute halos/psums in the backward, trading one
+        # extra (sharded) forward's FLOPs+collectives for not holding the
+        # activation tape. Collectives are SPMD-identical across shards.
+        fwd = jax.checkpoint(fwd)
     cfg = loss_cfg
     h, _ = input_hw
     n_space = mesh.shape[SPACE_AXIS]

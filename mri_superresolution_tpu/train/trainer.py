@@ -94,11 +94,19 @@ def _make_train_step(compute_loss, optimizer, augment_cfg) -> Any:
 
 
 def build_train_step(model, loss_fn: CombinedLoss, optimizer,
-                     augment_cfg, ssim_cfg) -> Any:
-    """Returns train_step(state, batch, lr, key) → (state, metrics)."""
+                     augment_cfg, ssim_cfg, remat: bool = False) -> Any:
+    """Returns train_step(state, batch, lr, key) → (state, metrics).
+
+    ``remat`` wraps the model forward in ``jax.checkpoint``: the backward
+    pass recomputes activations instead of holding them — peak training
+    HBM drops to ~the forward's working set at the cost of one extra
+    forward's FLOPs. Gradients are identical (same math, re-evaluated)."""
+    apply_fn = lambda p, x: model.apply({"params": p}, x)  # noqa: E731
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn)
 
     def compute_loss(params, hr, lo, w):
-        out = model.apply({"params": params}, lo)
+        out = apply_fn(params, lo)
         total, comps = loss_fn(out, hr, sample_weights=w)
         if "ssim_metric" not in comps:   # ssim_weight == 0: metric only
             comps = dict(comps, ssim_metric=ssim(
@@ -326,7 +334,7 @@ def train(cfg: TrainConfig,
         dsh = {"hr": x4, "lr": x4, "weight": NamedSharding(mesh, P("data"))}
         sharded_loss = build_spatial_loss(
             mesh, sample_hw, cfg.loss, model_type=cfg.model.model_type,
-            dtype=dtype, vgg_params=vgg_params)
+            dtype=dtype, vgg_params=vgg_params, remat=cfg.remat)
         train_step = jax.jit(
             build_spatial_train_step(sharded_loss, optimizer, cfg.augment),
             in_shardings=(rsh, dsh, None, None),
@@ -340,7 +348,7 @@ def train(cfg: TrainConfig,
         dsh = data_sharding(mesh)
         train_step = jax.jit(
             build_train_step(model, loss_fn, optimizer, cfg.augment,
-                             cfg.loss),
+                             cfg.loss, remat=cfg.remat),
             in_shardings=(rsh, dsh, None, None),
             out_shardings=(rsh, rsh),
             donate_argnums=(0,))

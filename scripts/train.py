@@ -56,6 +56,12 @@ def parse_args():
                              'decoded dataset exceeds --streaming_threshold_mb')
     parser.add_argument('--streaming_prefetch', type=int, default=2,
                         help='Batches decoded ahead in streaming mode')
+    parser.add_argument('--remat', action='store_true',
+                        help='Rematerialize the forward in the backward '
+                             '(jax.checkpoint): peak training memory drops '
+                             'to ~one forward for one extra forward of '
+                             'FLOPs; identical gradients. Composes with '
+                             '--spatial_shards')
     parser.add_argument('--spatial_shards', type=int, default=1,
                         help='Shard slice ROWS over this many devices during '
                              'training (shard_map halo forward/backward; for '
@@ -126,6 +132,7 @@ def main():
         streaming_prefetch=args.streaming_prefetch,
         streaming_threshold_mb=args.streaming_threshold_mb,
         spatial_shards=args.spatial_shards,
+        remat=args.remat,
     )
     train(cfg)
 

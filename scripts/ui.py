@@ -60,6 +60,7 @@ DEFAULT_PARAMS = {
     "patience": 10,
     "seed": random.randint(1, 10000),
     "augmentation": False,
+    "remat": False,
     "spatial_shards": 1,
     "use_tensorboard": False,
     "cpu": False,
@@ -87,8 +88,8 @@ MENUS = {
         "batch_size", "epochs", "learning_rate", "weight_decay",
         "ssim_weight", "perceptual_weight", "perceptual_loss_type",
         "vgg_layer_idx", "initial_alpha", "validation_split", "patience",
-        "seed", "augmentation", "spatial_shards", "use_tensorboard",
-        "resume", "cpu", "checkpoint_dir", "log_dir",
+        "seed", "augmentation", "remat", "spatial_shards",
+        "use_tensorboard", "resume", "cpu", "checkpoint_dir", "log_dir",
     ],
     "infer": [
         "input_image", "output_image", "target_image", "checkpoint_dir",
@@ -175,7 +176,7 @@ def build_command(menu, p):
                "--spatial_shards", str(p["spatial_shards"]),
                "--checkpoint_dir", p["checkpoint_dir"],
                "--log_dir", p["log_dir"]]
-        for flag in ("augmentation", "use_tensorboard", "resume"):
+        for flag in ("augmentation", "remat", "use_tensorboard", "resume"):
             if p[flag]:
                 cmd.append(f"--{flag}")
     elif menu == "infer":

@@ -210,6 +210,47 @@ def test_train_step_mesh_equivalence():
             jax.tree_util.keystr(path), float(diff.max()))
 
 
+def test_remat_gradients_identical():
+    """--remat (jax.checkpoint) must change memory behavior only: the
+    recomputed backward evaluates the same ops, so losses and gradients
+    match the plain step to float tolerance."""
+    from mri_superresolution_tpu.losses import CombinedLoss
+    from mri_superresolution_tpu.models import build_model
+    from mri_superresolution_tpu.train.trainer import (TrainState,
+                                                       build_train_step)
+
+    model = build_model(ModelConfig(base_filters=16), dtype=jnp.float32)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, 16, 16, 1)))["params"]
+    optimizer = make_optimizer(1e-5)
+    cfg = LossConfig(ssim_weight=0.3)
+    rng = np.random.default_rng(11)
+    batch = {"lr": jnp.asarray(rng.random((8, 16, 16, 1), np.float32)),
+             "hr": jnp.asarray(rng.random((8, 32, 32, 1), np.float32)),
+             "weight": jnp.ones((8,), jnp.float32)}
+    lr_val = jnp.asarray(1e-4, jnp.float32)
+    key = jax.random.key(3)
+
+    def run(remat):
+        step = jax.jit(build_train_step(model, CombinedLoss(cfg), optimizer,
+                                        AugmentConfig(enabled=True), cfg,
+                                        remat=remat))
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=optimizer.init(params))
+        return step(state, batch, lr_val, key)
+
+    (s0, m0), (s1, m1) = run(False), run(True)
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-6)
+    from jax.flatten_util import ravel_pytree
+    f0, _ = ravel_pytree(s0.params)
+    f1, _ = ravel_pytree(s1.params)
+    # not bitwise: XLA fuses the recomputed forward differently, and Adam's
+    # step-1 normalization amplifies ulp-level grad diffs on ~1e-5 of params
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_train_end_to_end_8dev_mesh(tmp_path, capsys):
     """Full training over the virtual 8-device mesh: loss decreases,
     checkpoints + protocol messages written."""
