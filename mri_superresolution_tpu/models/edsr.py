@@ -45,6 +45,8 @@ class EDSR(nn.Module):
     base_filters: int = 64
     num_blocks: int = 8
     res_scale: float = 1.0
+    # per-ResBlock rematerialization (see models/unet.py UNetSuperRes.remat)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -53,9 +55,10 @@ class EDSR(nn.Module):
         head = nn.Conv(self.base_filters, (3, 3), padding=1, dtype=self.dtype,
                        kernel_init=kaiming_fan_out(), name="head")(x)
         y = head
+        RB = nn.remat(ResBlock) if self.remat else ResBlock
         for i in range(self.num_blocks):
-            y = ResBlock(self.base_filters, self.res_scale, self.dtype,
-                         name=f"block{i}")(y)
+            y = RB(self.base_filters, self.res_scale, self.dtype,
+                   name=f"block{i}")(y)
         y = nn.Conv(self.base_filters, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=kaiming_fan_out(), name="body_out")(y)
         y = y + head  # global residual

@@ -23,6 +23,9 @@ class SimpleSR(nn.Module):
     in_channels: int = 1
     out_channels: int = 1
     base_filters: int = 64
+    # accepted for API uniformity; a 3-conv trunk has no interior blocks
+    # worth rematerializing, so this is a no-op here
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -233,18 +233,28 @@ class UNetSuperRes(nn.Module):
     # (tests/test_phase.py) and the param tree is identical, so checkpoints
     # are interchangeable across the flag.
     phase_final: bool = False
+    # Segmented rematerialization (flax.linen.remat around each encoder/
+    # decoder block): the backward recomputes block interiors instead of
+    # holding them, so the training tape keeps only block-boundary
+    # activations. Param tree is UNCHANGED (lifted transform), so
+    # checkpoints are interchangeable across the flag. A single
+    # whole-forward jax.checkpoint was measured a no-op for peak memory
+    # (tools/bench_remat_mem.py) — segmentation is what saves.
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         f = self.base_filters
         dt = self.dtype
-        self.inc = DoubleConv(f, dtype=dt)
-        self.down1 = Down(f * 2, dtype=dt)
-        self.down2 = Down(f * 4, dtype=dt)
-        self.down3 = Down(f * 8, dtype=dt)
-        self.up1 = Up(f * 4, dtype=dt)
-        self.up2 = Up(f * 2, dtype=dt)
-        self.up3 = Up(f, dtype=dt)
+        DC, Dn, Upb = ((nn.remat(DoubleConv), nn.remat(Down), nn.remat(Up))
+                       if self.remat else (DoubleConv, Down, Up))
+        self.inc = DC(f, dtype=dt)
+        self.down1 = Dn(f * 2, dtype=dt)
+        self.down2 = Dn(f * 4, dtype=dt)
+        self.down3 = Dn(f * 8, dtype=dt)
+        self.up1 = Upb(f * 4, dtype=dt)
+        self.up2 = Upb(f * 2, dtype=dt)
+        self.up3 = Upb(f, dtype=dt)
 
         # Both final-stage variants share one param layout (ConvParams /
         # NormParams subtrees are name- and shape-identical to nn.Conv /
@@ -270,7 +280,8 @@ class UNetSuperRes(nn.Module):
             self.final_conv2 = nn.Conv(self.out_channels, (1, 1),
                                        use_bias=True, dtype=dt,
                                        kernel_init=kaiming_fan_out())
-        self.final_up_pixelshuffle = PixelShuffleUp(
+        PSU = nn.remat(PixelShuffleUp) if self.remat else PixelShuffleUp
+        self.final_up_pixelshuffle = PSU(
             f // 2, icnr_init=self.icnr_init, dtype=dt)
         # Learned fusion weight (reference models/unet_model.py:160-163):
         # initial_alpha is a percentage, normalized to [0, 1].
@@ -295,14 +306,24 @@ class UNetSuperRes(nn.Module):
         if self.phase_final:
             return self._final_stage_phase(y)
 
-        # Dual-branch final 2x upsample
-        yb = upsample_bilinear_align_corners(y, 2)
-        yb = nn.leaky_relu(self.final_up_norm(self.final_up_conv(yb)), 0.2)
+        # Dual-branch final 2x upsample; each branch + head is its own
+        # remat segment (they hold the model's largest 2Hx2W activations)
+        cls = type(self)
+        _bil = nn.remat(cls._bilinear_branch) if self.remat \
+            else cls._bilinear_branch
+        _head = nn.remat(cls._final_head) if self.remat else cls._final_head
+        yb = _bil(self, y)
         yp = self.final_up_pixelshuffle(y)
 
         w = jax.nn.sigmoid(self.alpha).astype(self.dtype)
         y = w * yb + (1.0 - w) * yp
+        return _head(self, y)
 
+    def _bilinear_branch(self, y):
+        yb = upsample_bilinear_align_corners(y, 2)
+        return nn.leaky_relu(self.final_up_norm(self.final_up_conv(yb)), 0.2)
+
+    def _final_head(self, y):
         y = nn.leaky_relu(self.final_norm(self.final_conv1(y)), 0.2)
         y = self.final_conv2(y)
         return jax.nn.sigmoid(y.astype(jnp.float32))

@@ -40,18 +40,23 @@ class UNetSuperResTPU(nn.Module):
     base_filters: int = 32
     initial_alpha: float = 0.0
     icnr_init: bool = True
+    # Segmented rematerialization (see models/unet.py UNetSuperRes.remat):
+    # same lifted transform, same unchanged param tree.
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     def setup(self):
         f = self.base_filters
         dt = self.dtype
-        self.inc = DoubleConv(f, dtype=dt)
-        self.down1 = Down(f * 2, dtype=dt)
-        self.down2 = Down(f * 4, dtype=dt)
-        self.down3 = Down(f * 8, dtype=dt)
-        self.up1 = Up(f * 4, dtype=dt)
-        self.up2 = Up(f * 2, dtype=dt)
-        self.up3 = Up(f, dtype=dt)
+        DC, Dn, Upb = ((nn.remat(DoubleConv), nn.remat(Down), nn.remat(Up))
+                       if self.remat else (DoubleConv, Down, Up))
+        self.inc = DC(f, dtype=dt)
+        self.down1 = Dn(f * 2, dtype=dt)
+        self.down2 = Dn(f * 4, dtype=dt)
+        self.down3 = Dn(f * 8, dtype=dt)
+        self.up1 = Upb(f * 4, dtype=dt)
+        self.up2 = Upb(f * 2, dtype=dt)
+        self.up3 = Upb(f, dtype=dt)
 
         self.branch_a_conv = nn.Conv(f * 2, (3, 3), padding=1, use_bias=False,
                                      dtype=dt, kernel_init=kaiming_fan_out())
@@ -81,11 +86,23 @@ class UNetSuperResTPU(nn.Module):
         y = self.up2(y, x2)
         y = self.up3(y, x1)
 
-        a = nn.leaky_relu(self.branch_a_norm(self.branch_a_conv(y)), 0.2)
-        b = nn.leaky_relu(self.branch_b_norm(self.branch_b_conv(y)), 0.2)
+        cls = type(self)
+        _ba = nn.remat(cls._branch_a) if self.remat else cls._branch_a
+        _bb = nn.remat(cls._branch_b) if self.remat else cls._branch_b
+        _head = nn.remat(cls._head) if self.remat else cls._head
+        a = _ba(self, y)
+        b = _bb(self, y)
         w = jax.nn.sigmoid(self.alpha).astype(self.dtype)
         y = w * a + (1.0 - w) * b
+        return _head(self, y)
 
+    def _branch_a(self, y):
+        return nn.leaky_relu(self.branch_a_norm(self.branch_a_conv(y)), 0.2)
+
+    def _branch_b(self, y):
+        return nn.leaky_relu(self.branch_b_norm(self.branch_b_conv(y)), 0.2)
+
+    def _head(self, y):
         y = nn.leaky_relu(self.head_norm(self.head_conv(y)), 0.2)
         y = self.head_out(y)          # (B, H, W, out*4), input resolution
         y = pixel_shuffle(y, 2)       # single terminal depth-to-space

@@ -174,89 +174,115 @@ def _up_block(p, x1, x2, row_mats, w_mat):
     return _double_conv(p["conv"], jnp.concatenate([x2, y], axis=-1))
 
 
-def _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype):
+def _maybe_ckpt(fn, remat: bool):
+    """Per-block jax.checkpoint when remat is on: the backward re-runs the
+    block (including its ppermute halos / psum stats — SPMD-identical
+    across shards), so the tape holds only block boundaries."""
+    return jax.checkpoint(fn) if remat else fn
+
+
+def _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype, remat=False):
     """Shared encoder/decoder (identical in both model families):
     returns the (B, h_local, W, f) decoder output before the final stage."""
     x = x.astype(dtype)
+    dc = _maybe_ckpt(lambda p, a: _double_conv(p, a), remat)
+    ub = _maybe_ckpt(_up_block, remat)
 
-    x1 = _double_conv(params["inc"], x)
-    x2 = _double_conv(params["down1"]["conv"], max_pool2(x1))
-    x3 = _double_conv(params["down2"]["conv"], max_pool2(x2))
-    x4 = _double_conv(params["down3"]["conv"], max_pool2(x3))
+    x1 = dc(params["inc"], x)
+    x2 = dc(params["down1"]["conv"], max_pool2(x1))
+    x3 = dc(params["down2"]["conv"], max_pool2(x2))
+    x4 = dc(params["down3"]["conv"], max_pool2(x3))
 
     h8, h4, _, _ = (x4.shape[1], x3.shape[1], x2.shape[1], x1.shape[1])
     w8, w4, _, _ = (x4.shape[2], x3.shape[2], x2.shape[2], x1.shape[2])
-    y = _up_block(params["up1"], x4, x3, row_mats_by_h[h8], w_mats_by_w[w8])
-    y = _up_block(params["up2"], y, x2, row_mats_by_h[h4], w_mats_by_w[w4])
-    y = _up_block(params["up3"], y, x1, row_mats_by_h[x2.shape[1]],
-                  w_mats_by_w[x2.shape[2]])
+    y = ub(params["up1"], x4, x3, row_mats_by_h[h8], w_mats_by_w[w8])
+    y = ub(params["up2"], y, x2, row_mats_by_h[h4], w_mats_by_w[w4])
+    y = ub(params["up3"], y, x1, row_mats_by_h[x2.shape[1]],
+           w_mats_by_w[x2.shape[2]])
     return y
 
 
-def _local_forward(params, x, row_mats_by_h, w_mats_by_w, dtype):
+def _local_forward(params, x, row_mats_by_h, w_mats_by_w, dtype,
+                   remat=False):
     """The full UNetSuperRes forward on one (B, h_local, W, 1) row block.
     Mirrors models/unet.py UNetSuperRes.__call__ exactly."""
-    y = _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype)
+    y = _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype, remat)
     h1, w1 = y.shape[1], y.shape[2]
 
-    # dual-branch final 2x stage
-    yb = _upsample2x(y, row_mats_by_h[h1], w_mats_by_w[w1])
-    yb = _conv3x3(yb, params["final_up_conv"]["kernel"])
-    yb = jax.nn.leaky_relu(
-        _group_norm(yb, params["final_up_norm"]["scale"],
-                    params["final_up_norm"]["bias"]), 0.2)
+    def bilinear_branch(p, y):
+        yb = _upsample2x(y, row_mats_by_h[h1], w_mats_by_w[w1])
+        yb = _conv3x3(yb, p["final_up_conv"]["kernel"])
+        return jax.nn.leaky_relu(
+            _group_norm(yb, p["final_up_norm"]["scale"],
+                        p["final_up_norm"]["bias"]), 0.2)
 
-    ps = params["final_up_pixelshuffle"]
-    yp = _conv3x3(y, ps["conv"]["kernel"]) + ps["conv"]["bias"].astype(dtype)
-    yp = pixel_shuffle(yp)
-    yp = jax.nn.leaky_relu(
-        _group_norm(yp, ps["norm"]["scale"], ps["norm"]["bias"]), 0.2)
+    def shuffle_branch(p, y):
+        ps = p["final_up_pixelshuffle"]
+        yp = _conv3x3(y, ps["conv"]["kernel"]) + \
+            ps["conv"]["bias"].astype(dtype)
+        yp = pixel_shuffle(yp)
+        return jax.nn.leaky_relu(
+            _group_norm(yp, ps["norm"]["scale"], ps["norm"]["bias"]), 0.2)
 
+    def head(p, y):
+        z = _conv3x3(y, p["final_conv1"]["kernel"])
+        z = jax.nn.leaky_relu(
+            _group_norm(z, p["final_norm"]["scale"],
+                        p["final_norm"]["bias"]), 0.2)
+        return _conv1x1(z, p["final_conv2"]["kernel"],
+                        p["final_conv2"]["bias"])
+
+    yb = _maybe_ckpt(bilinear_branch, remat)(params, y)
+    yp = _maybe_ckpt(shuffle_branch, remat)(params, y)
     w_mix = jax.nn.sigmoid(params["alpha"]).astype(dtype)
     y = w_mix * yb + (1.0 - w_mix) * yp
-
-    y = _conv3x3(y, params["final_conv1"]["kernel"])
-    y = jax.nn.leaky_relu(
-        _group_norm(y, params["final_norm"]["scale"],
-                    params["final_norm"]["bias"]), 0.2)
-    y = _conv1x1(y, params["final_conv2"]["kernel"],
-                 params["final_conv2"]["bias"])
+    y = _maybe_ckpt(head, remat)(params, y)
     return jax.nn.sigmoid(y.astype(jnp.float32))
 
 
-def _local_forward_tpu(params, x, row_mats_by_h, w_mats_by_w, dtype):
+def _local_forward_tpu(params, x, row_mats_by_h, w_mats_by_w, dtype,
+                       remat=False):
     """UNetSuperResTPU forward on one row block (models/unet_tpu.py):
     the final stage is dual 3x3 branches + head at INPUT resolution and a
     single terminal depth-to-space — all shard-local except the GN psums
     and the 3x3 halo exchanges, so it shards more easily than the parity
     model's bilinear branch."""
-    y = _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype)
+    y = _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype, remat)
 
-    a = jax.nn.leaky_relu(
-        _group_norm(_conv3x3(y, params["branch_a_conv"]["kernel"]),
-                    params["branch_a_norm"]["scale"],
-                    params["branch_a_norm"]["bias"]), 0.2)
-    b = jax.nn.leaky_relu(
-        _group_norm(_conv3x3_bias(y, params["branch_b_conv"]["kernel"],
-                                  params["branch_b_conv"]["bias"]),
-                    params["branch_b_norm"]["scale"],
-                    params["branch_b_norm"]["bias"]), 0.2)
+    def branch_a(p, y):
+        return jax.nn.leaky_relu(
+            _group_norm(_conv3x3(y, p["branch_a_conv"]["kernel"]),
+                        p["branch_a_norm"]["scale"],
+                        p["branch_a_norm"]["bias"]), 0.2)
+
+    def branch_b(p, y):
+        return jax.nn.leaky_relu(
+            _group_norm(_conv3x3_bias(y, p["branch_b_conv"]["kernel"],
+                                      p["branch_b_conv"]["bias"]),
+                        p["branch_b_norm"]["scale"],
+                        p["branch_b_norm"]["bias"]), 0.2)
+
+    def head(p, y):
+        z = jax.nn.leaky_relu(
+            _group_norm(_conv3x3(y, p["head_conv"]["kernel"]),
+                        p["head_norm"]["scale"],
+                        p["head_norm"]["bias"]), 0.2)
+        z = _conv1x1(z, p["head_out"]["kernel"], p["head_out"]["bias"])
+        return pixel_shuffle(z, 2)
+
+    a = _maybe_ckpt(branch_a, remat)(params, y)
+    b = _maybe_ckpt(branch_b, remat)(params, y)
     w_mix = jax.nn.sigmoid(params["alpha"]).astype(y.dtype)
     y = w_mix * a + (1.0 - w_mix) * b
-
-    y = jax.nn.leaky_relu(
-        _group_norm(_conv3x3(y, params["head_conv"]["kernel"]),
-                    params["head_norm"]["scale"],
-                    params["head_norm"]["bias"]), 0.2)
-    y = _conv1x1(y, params["head_out"]["kernel"], params["head_out"]["bias"])
-    y = pixel_shuffle(y, 2)
+    y = _maybe_ckpt(head, remat)(params, y)
     return jax.nn.sigmoid(y.astype(jnp.float32))
 
 
 _LOCAL_FORWARDS = {"unet": _local_forward, "unet_tpu": _local_forward_tpu}
 
 
-def _make_local_forward(mesh: Mesh, input_hw, dtype, model_type: str):
+def _make_local_forward(mesh: Mesh, input_hw, dtype, model_type: str,
+                        remat: bool = False):
     """Validate shapes and return the per-shard forward closure with its
     static per-resolution upsample operators baked in."""
     if model_type not in _LOCAL_FORWARDS:
@@ -283,7 +309,7 @@ def _make_local_forward(mesh: Mesh, input_hw, dtype, model_type: str):
             jnp.float32)
 
     return partial(_LOCAL_FORWARDS[model_type], row_mats_by_h=row_mats_by_h,
-                   w_mats_by_w=w_mats_by_w, dtype=dtype)
+                   w_mats_by_w=w_mats_by_w, dtype=dtype, remat=remat)
 
 
 # ------------------------------------------------------------- public API
@@ -422,13 +448,11 @@ def build_spatial_loss(mesh: Mesh, input_hw, loss_cfg,
     loss_cfg.validate()
     if loss_cfg.perceptual_weight > 0 and vgg_params is None:
         raise ValueError("perceptual_weight > 0 requires vgg_params")
-    fwd = _make_local_forward(mesh, input_hw, dtype, model_type)
-    if remat:
-        # jax.checkpoint composes with shard_map: the recomputed forward
-        # re-runs its ppermute halos/psums in the backward, trading one
-        # extra (sharded) forward's FLOPs+collectives for not holding the
-        # activation tape. Collectives are SPMD-identical across shards.
-        fwd = jax.checkpoint(fwd)
+    # remat segments PER BLOCK inside the local forward (_maybe_ckpt): a
+    # single whole-forward jax.checkpoint was measured a no-op for peak
+    # memory (tools/bench_remat_mem.py) — the recompute-and-differentiate
+    # pass holds the same working set as forward+backward fused.
+    fwd = _make_local_forward(mesh, input_hw, dtype, model_type, remat)
     cfg = loss_cfg
     h, _ = input_hw
     n_space = mesh.shape[SPACE_AXIS]
@@ -454,11 +478,9 @@ def build_spatial_loss(mesh: Mesh, input_hw, loss_cfg,
                 f"be divisible by {2 ** pools}; use a conforming H / "
                 f"spatial_shards or a smaller vgg_layer_idx")
 
-    def local(params, hr, lo, w):
-        out = fwd(params, lo)                      # fp32 in [0,1]
-        zero = jnp.asarray(0.0, jnp.float32)
-        total, comps_in = compose_loss(
-            cfg, out.astype(jnp.float32), hr.astype(jnp.float32), w,
+    def loss_part(out32, hr32, w):
+        return compose_loss(
+            cfg, out32, hr32, w,
             per_sample_mean=_mean_hwc_sharded,
             weighted_mean=_weighted_mean_global,
             ssim_per_sample=lambda a, b: _ssim_per_sample_sharded(
@@ -466,6 +488,17 @@ def build_spatial_loss(mesh: Mesh, input_hw, loss_cfg,
             vgg_features=lambda x: _vgg_features_sharded(
                 vgg_params, x, cfg.vgg_layer_idx),
             always_ssim_metric=True)
+
+    if remat:
+        # checkpoint the loss graph too: the backward re-runs the SSIM
+        # blurs / VGG stack (and their psums) instead of holding their tape
+        loss_part = jax.checkpoint(loss_part)
+
+    def local(params, hr, lo, w):
+        out = fwd(params, lo)                      # fp32 in [0,1]
+        zero = jnp.asarray(0.0, jnp.float32)
+        total, comps_in = loss_part(out.astype(jnp.float32),
+                                    hr.astype(jnp.float32), w)
         # static comps tree: the shard_map out_specs require every key
         comps = {k: comps_in.get(k, zero) for k in _COMP_KEYS}
         return total, comps, out

@@ -97,22 +97,27 @@ def build_train_step(model, loss_fn: CombinedLoss, optimizer,
                      augment_cfg, ssim_cfg, remat: bool = False) -> Any:
     """Returns train_step(state, batch, lr, key) → (state, metrics).
 
-    ``remat`` wraps the model forward in ``jax.checkpoint``: the backward
-    pass recomputes activations instead of holding them — peak training
-    HBM drops to ~the forward's working set at the cost of one extra
-    forward's FLOPs. Gradients are identical (same math, re-evaluated)."""
-    apply_fn = lambda p, x: model.apply({"params": p}, x)  # noqa: E731
-    if remat:
-        apply_fn = jax.checkpoint(apply_fn)
+    Model-side rematerialization lives in the MODEL itself
+    (build_model(..., remat=True): per-block flax.linen.remat); ``remat``
+    here additionally checkpoints the LOSS graph, so the backward holds
+    only the model output instead of the SSIM blur tape. A single
+    whole-forward jax.checkpoint was measured a no-op for peak memory
+    (tools/bench_remat_mem.py) — segmentation is what saves."""
 
-    def compute_loss(params, hr, lo, w):
-        out = apply_fn(params, lo)
+    def loss_call(out, hr, w):
         total, comps = loss_fn(out, hr, sample_weights=w)
         if "ssim_metric" not in comps:   # ssim_weight == 0: metric only
             comps = dict(comps, ssim_metric=ssim(
                 out, hr, ssim_cfg.window_size, ssim_cfg.sigma,
                 ssim_cfg.val_range, sample_weights=w))
         return total, comps
+
+    if remat:
+        loss_call = jax.checkpoint(loss_call)
+
+    def compute_loss(params, hr, lo, w):
+        out = model.apply({"params": params}, lo)
+        return loss_call(out, hr, w)
 
     return _make_train_step(compute_loss, optimizer, augment_cfg)
 
@@ -262,7 +267,9 @@ def train(cfg: TrainConfig,
 
     # --- model / loss / optimizer ---
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
-    model = build_model(cfg.model, dtype=dtype)
+    # remat: per-block flax.linen.remat — same param tree, so checkpoints
+    # and the remat-free inference engine are unaffected
+    model = build_model(cfg.model, dtype=dtype, remat=cfg.remat)
     rng = jax.random.key(cfg.seed)
     rng, init_rng = jax.random.split(rng)
     params = jax.jit(

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Compiled-memory evidence for the two training memory levers.
+
+XLA's ``compiled.memory_analysis()`` reports the executable's planned HBM
+use (argument/output/temp/generated-code sizes) without running a step, so
+this works single-chip and through the axon tunnel:
+
+1. --remat (jax.checkpoint): dense B x 256^2 bf16 train step, temp bytes
+   with and without rematerialization.
+2. --spatial_shards: the shard_map train step on a virtual (1, N) CPU mesh
+   at fixed GLOBAL batch/shape; per-device temp bytes should scale ~1/N.
+
+Usage:
+  python tools/bench_remat_mem.py                # TPU remat A/B (compile only)
+  python tools/bench_remat_mem.py --spatial      # CPU-mesh spatial scaling
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+
+def _fmt(b):
+    return f"{b / 1e9:.3f} GB" if b > 1e8 else f"{b / 1e6:.1f} MB"
+
+
+def _report(tag, compiled):
+    ma = compiled.memory_analysis()
+    print(f"{tag}: temp={_fmt(ma.temp_size_in_bytes)} "
+          f"args={_fmt(ma.argument_size_in_bytes)} "
+          f"out={_fmt(ma.output_size_in_bytes)} "
+          f"alias={_fmt(ma.alias_size_in_bytes)}", flush=True)
+    return ma.temp_size_in_bytes
+
+
+def dense_remat_ab(batch, hw):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mri_superresolution_tpu.config import (AugmentConfig, LossConfig,
+                                                ModelConfig)
+    from mri_superresolution_tpu.losses import CombinedLoss
+    from mri_superresolution_tpu.models import build_model
+    from mri_superresolution_tpu.train.trainer import (TrainState,
+                                                       build_train_step,
+                                                       make_optimizer)
+
+    base = build_model(ModelConfig(base_filters=32), dtype=jnp.bfloat16)
+    params = jax.jit(lambda r: base.init(
+        r, jnp.zeros((1, 16, 16, 1)))["params"])(jax.random.key(0))
+    opt = make_optimizer(1e-5)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=opt.init(params))
+    cfg = LossConfig(ssim_weight=0.3)
+    h, w = hw
+    batch_spec = {
+        "lr": jax.ShapeDtypeStruct((batch, h, w, 1), jnp.float32),
+        "hr": jax.ShapeDtypeStruct((batch, 2 * h, 2 * w, 1), jnp.float32),
+        "weight": jax.ShapeDtypeStruct((batch,), jnp.float32),
+    }
+    temps = {}
+    for remat in (False, True):
+        model = build_model(ModelConfig(base_filters=32),
+                            dtype=jnp.bfloat16, remat=remat)
+        step = jax.jit(build_train_step(model, CombinedLoss(cfg), opt,
+                                        AugmentConfig(enabled=False), cfg,
+                                        remat=remat),
+                       donate_argnums=(0,))
+        compiled = step.lower(state, batch_spec,
+                              jax.ShapeDtypeStruct((), jnp.float32),
+                              jax.ShapeDtypeStruct((), jax.random.key(0).dtype
+                                                   )).compile()
+        temps[remat] = _report(f"dense B={batch} {h}x{w} remat={remat}",
+                               compiled)
+    print(f"remat temp ratio: {temps[True] / temps[False]:.3f}", flush=True)
+
+
+def spatial_scaling(batch, hw):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mri_superresolution_tpu.config import AugmentConfig, LossConfig
+    from mri_superresolution_tpu.parallel import (build_spatial_loss,
+                                                  make_spatial_mesh)
+    from mri_superresolution_tpu.models import build_model
+    from mri_superresolution_tpu.config import ModelConfig
+    from mri_superresolution_tpu.train.trainer import (TrainState,
+                                                       build_spatial_train_step,
+                                                       make_optimizer)
+
+    model = build_model(ModelConfig(base_filters=32), dtype=jnp.bfloat16)
+    params = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, 16, 16, 1)))["params"])(jax.random.key(0))
+    opt = make_optimizer(1e-5)
+    cfg = LossConfig(ssim_weight=0.3)
+    h, w = hw
+    for n_space in (1, 2, 4, 8):
+        mesh = make_spatial_mesh(1, n_space)
+        rsh = NamedSharding(mesh, P())
+        x4 = NamedSharding(mesh, P("data", "space"))
+        dsh = {"hr": x4, "lr": x4, "weight": NamedSharding(mesh, P("data"))}
+        state = jax.device_put(
+            TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=opt.init(params)), rsh)
+        sl = build_spatial_loss(mesh, hw, cfg, "unet", jnp.bfloat16,
+                                remat=os.environ.get("SP_REMAT") == "1")
+        step = jax.jit(build_spatial_train_step(sl, opt,
+                                                AugmentConfig(enabled=False)),
+                       in_shardings=(rsh, dsh, None, None),
+                       out_shardings=(rsh, rsh), donate_argnums=(0,))
+        batch_spec = {
+            "lr": jax.ShapeDtypeStruct((batch, h, w, 1), jnp.float32,
+                                       sharding=dsh["lr"]),
+            "hr": jax.ShapeDtypeStruct((batch, 2 * h, 2 * w, 1), jnp.float32,
+                                       sharding=dsh["hr"]),
+            "weight": jax.ShapeDtypeStruct((batch,), jnp.float32,
+                                           sharding=dsh["weight"]),
+        }
+        compiled = step.lower(
+            state, batch_spec, jax.ShapeDtypeStruct((), jnp.float32),
+            jax.ShapeDtypeStruct((), jax.random.key(0).dtype)).compile()
+        # memory_analysis is per-executable = per-device under SPMD
+        _report(f"spatial n_space={n_space} global B={batch} {h}x{w}",
+                compiled)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spatial", action="store_true",
+                    help="CPU-mesh spatial temp-memory scaling instead of "
+                         "the TPU remat A/B")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--hw", type=int, nargs=2, default=(256, 256))
+    args = ap.parse_args()
+
+    if args.spatial:
+        os.environ.setdefault("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        spatial_scaling(args.batch, tuple(args.hw))
+    else:
+        dense_remat_ab(args.batch, tuple(args.hw))
+
+
+if __name__ == "__main__":
+    main()
