@@ -280,7 +280,11 @@ class UNetSuperRes(nn.Module):
             self.final_conv2 = nn.Conv(self.out_channels, (1, 1),
                                        use_bias=True, dtype=dt,
                                        kernel_init=kaiming_fan_out())
-        PSU = nn.remat(PixelShuffleUp) if self.remat else PixelShuffleUp
+        # no remat wrap under phase_final: the phase path calls this with
+        # the Python-bool phase_out=True, which nn.remat would turn into a
+        # tracer and crash the `if phase_out:` branch
+        PSU = (nn.remat(PixelShuffleUp)
+               if self.remat and not self.phase_final else PixelShuffleUp)
         self.final_up_pixelshuffle = PSU(
             f // 2, icnr_init=self.icnr_init, dtype=dt)
         # Learned fusion weight (reference models/unet_model.py:160-163):

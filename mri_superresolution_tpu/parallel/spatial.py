@@ -185,7 +185,7 @@ def _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype, remat=False):
     """Shared encoder/decoder (identical in both model families):
     returns the (B, h_local, W, f) decoder output before the final stage."""
     x = x.astype(dtype)
-    dc = _maybe_ckpt(lambda p, a: _double_conv(p, a), remat)
+    dc = _maybe_ckpt(_double_conv, remat)
     ub = _maybe_ckpt(_up_block, remat)
 
     x1 = dc(params["inc"], x)

@@ -232,11 +232,13 @@ def test_remat_gradients_identical():
     key = jax.random.key(3)
 
     def run(remat):
-        # remat model consumes the SAME param tree (lifted transform)
+        # remat model consumes the SAME param tree (lifted transform);
+        # remat also checkpoints the loss graph inside build_train_step
         model = build_model(ModelConfig(base_filters=16),
                             dtype=jnp.float32, remat=remat)
         step = jax.jit(build_train_step(model, CombinedLoss(cfg), optimizer,
-                                        AugmentConfig(enabled=True), cfg))
+                                        AugmentConfig(enabled=True), cfg,
+                                        remat=remat))
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            opt_state=optimizer.init(params))
         return step(state, batch, lr_val, key)

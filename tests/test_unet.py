@@ -180,3 +180,18 @@ def test_metric_delta_vs_torch_reference(rng):
     # and identical quality scores vs an arbitrary "ground truth"
     gt = jnp.asarray(rng.random((1, 64, 64, 1), dtype=np.float32))
     assert abs(float(our_ssim(ours, gt)) - float(our_ssim(theirs, gt))) < 1e-4
+
+
+def test_remat_model_matches_and_supports_phase_final(rng):
+    """remat is a lifted transform: same param tree, same outputs — and it
+    must coexist with phase_final (the phase path passes a Python-bool
+    kwarg into PixelShuffleUp that nn.remat must not trace; code-review r3
+    finding)."""
+    base = UNetSuperRes(base_filters=16, dtype=jnp.float32)
+    params = base.init(jax.random.key(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    x = jnp.asarray(rng.random((2, 32, 32, 1), dtype=np.float32))
+    ref = base.apply({"params": params}, x)
+    for kwargs in ({"remat": True}, {"remat": True, "phase_final": True}):
+        m = UNetSuperRes(base_filters=16, dtype=jnp.float32, **kwargs)
+        np.testing.assert_allclose(np.asarray(m.apply({"params": params}, x)),
+                                   np.asarray(ref), rtol=1e-4, atol=3e-5)

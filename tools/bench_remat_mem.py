@@ -13,6 +13,7 @@ this works single-chip and through the axon tunnel:
 Usage:
   python tools/bench_remat_mem.py                # TPU remat A/B (compile only)
   python tools/bench_remat_mem.py --spatial      # CPU-mesh spatial scaling
+  python tools/bench_remat_mem.py --spatial --remat   # both levers composed
 """
 
 import argparse
@@ -79,7 +80,7 @@ def dense_remat_ab(batch, hw):
     print(f"remat temp ratio: {temps[True] / temps[False]:.3f}", flush=True)
 
 
-def spatial_scaling(batch, hw):
+def spatial_scaling(batch, hw, remat=False):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -108,7 +109,7 @@ def spatial_scaling(batch, hw):
             TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=opt.init(params)), rsh)
         sl = build_spatial_loss(mesh, hw, cfg, "unet", jnp.bfloat16,
-                                remat=os.environ.get("SP_REMAT") == "1")
+                                remat=remat)
         step = jax.jit(build_spatial_train_step(sl, opt,
                                                 AugmentConfig(enabled=False)),
                        in_shardings=(rsh, dsh, None, None),
@@ -134,6 +135,9 @@ def main():
     ap.add_argument("--spatial", action="store_true",
                     help="CPU-mesh spatial temp-memory scaling instead of "
                          "the TPU remat A/B")
+    ap.add_argument("--remat", action="store_true",
+                    help="with --spatial: measure the remat=True spatial "
+                         "step (compose the two memory levers)")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--hw", type=int, nargs=2, default=(256, 256))
     args = ap.parse_args()
@@ -144,7 +148,7 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
-        spatial_scaling(args.batch, tuple(args.hw))
+        spatial_scaling(args.batch, tuple(args.hw), remat=args.remat)
     else:
         dense_remat_ab(args.batch, tuple(args.hw))
 

@@ -59,7 +59,8 @@ def main():
         return os.path.isdir(d) and len(os.listdir(d)) > 0
 
     if not args.skip_train:
-        if _populated(p["hr_train"]) and _populated(p["hr_test"]):
+        if all(_populated(p[k]) for k in
+               ("hr_train", "lr_train", "hr_test", "lr_test")):
             print("[vgg_quality] pairs already extracted — skipping "
                   "synth/extract (resume)", flush=True)
         else:
