@@ -111,6 +111,18 @@ class TrainConfig:
     # peak training HBM drops to ~the forward's working set for one extra
     # forward's FLOPs. Identical gradients. Composes with spatial_shards.
     remat: bool = False
+    # Split each optimizer step's batch into this many sequential
+    # microbatches inside the jitted step (lax.scan), accumulating fp32
+    # gradients — activation memory scales 1/grad_accum while the update
+    # stays the full-batch one. Exact: every loss term is a weighted mean,
+    # so per-microbatch gradients scaled by the microbatch weight-sum and
+    # divided by the global weight-sum recombine to the full-batch gradient
+    # (the only batch-nonlinear point, the SSIM clip at the batch mean
+    # [reference utils/losses.py:221], is applied per microbatch — identical
+    # whenever every microbatch's mean SSIM lies inside (0,1), i.e. always
+    # in practice; tests/test_train.py asserts equality). Composes with
+    # remat and spatial_shards. 1 = off (default).
+    grad_accum: int = 1
 
 
 @dataclass

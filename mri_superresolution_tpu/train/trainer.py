@@ -68,11 +68,47 @@ def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
     )
 
 
-def _make_train_step(compute_loss, optimizer, augment_cfg) -> Any:
+def _make_train_step(compute_loss, optimizer, augment_cfg,
+                     grad_accum: int = 1) -> Any:
     """Shared train-step skeleton (augment → value_and_grad → torch-style
     Adam update). ``compute_loss(params, hr, lo, w) -> (total, comps)``
     with ``comps["ssim_metric"]`` present; the DP and spatially-sharded
-    builders differ only in this closure."""
+    builders differ only in this closure.
+
+    ``grad_accum > 1`` scans ``compute_loss``'s value_and_grad over that
+    many sequential microbatches, accumulating fp32 gradients — activation
+    memory scales 1/grad_accum. The recombination is EXACT: every loss term
+    is a weighted mean num/den over the batch (den = Σ sample weights, which
+    carries no gradient), so scaling each microbatch's gradient by its own
+    den_i and dividing the sum by the global den reproduces the full-batch
+    gradient bit-for-reassociation. Augmentation runs on the full batch
+    BEFORE the split, so the randomness is identical to grad_accum=1."""
+
+    def _accumulate(params, hr, lo, w):
+        a = grad_accum
+        split = lambda t: t.reshape(a, t.shape[0] // a, *t.shape[1:])
+        vg = jax.value_and_grad(compute_loss, has_aux=True)
+        g0 = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        zero = jnp.zeros((), jnp.float32)
+
+        def body(carry, xs):
+            g_acc, num_loss, num_ssim = carry
+            hr_i, lo_i, w_i = xs
+            (loss_i, comps_i), g_i = vg(params, hr_i, lo_i, w_i)
+            den_i = jnp.sum(w_i.astype(jnp.float32))
+            g_acc = jax.tree_util.tree_map(
+                lambda acc, g: acc + den_i * g.astype(jnp.float32),
+                g_acc, g_i)
+            return (g_acc, num_loss + den_i * loss_i,
+                    num_ssim + den_i * comps_i["ssim_metric"]), None
+
+        (g_acc, num_loss, num_ssim), _ = jax.lax.scan(
+            body, (g0, zero, zero), (split(hr), split(lo), split(w)))
+        den = jnp.maximum(jnp.sum(w.astype(jnp.float32)), 1e-12)
+        grads = jax.tree_util.tree_map(
+            lambda g, p: (g / den).astype(p.dtype), g_acc, params)
+        return num_loss / den, {"ssim_metric": num_ssim / den}, grads
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    lr: jnp.ndarray, key: jax.Array):
@@ -80,8 +116,12 @@ def _make_train_step(compute_loss, optimizer, augment_cfg) -> Any:
         if augment_cfg is not None and augment_cfg.enabled:
             hr, lo = augment_pair(hr, lo, key, augment_cfg)
 
-        (loss, comps), grads = jax.value_and_grad(
-            lambda p: compute_loss(p, hr, lo, w), has_aux=True)(state.params)
+        if grad_accum > 1:
+            loss, comps, grads = _accumulate(state.params, hr, lo, w)
+        else:
+            (loss, comps), grads = jax.value_and_grad(
+                lambda p: compute_loss(p, hr, lo, w),
+                has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
@@ -94,7 +134,8 @@ def _make_train_step(compute_loss, optimizer, augment_cfg) -> Any:
 
 
 def build_train_step(model, loss_fn: CombinedLoss, optimizer,
-                     augment_cfg, ssim_cfg, remat: bool = False) -> Any:
+                     augment_cfg, ssim_cfg, remat: bool = False,
+                     grad_accum: int = 1) -> Any:
     """Returns train_step(state, batch, lr, key) → (state, metrics).
 
     Model-side rematerialization lives in the MODEL itself
@@ -119,7 +160,8 @@ def build_train_step(model, loss_fn: CombinedLoss, optimizer,
         out = model.apply({"params": params}, lo)
         return loss_call(out, hr, w)
 
-    return _make_train_step(compute_loss, optimizer, augment_cfg)
+    return _make_train_step(compute_loss, optimizer, augment_cfg,
+                            grad_accum=grad_accum)
 
 
 def build_eval_step(model, loss_fn: CombinedLoss, ssim_cfg) -> Any:
@@ -136,7 +178,8 @@ def build_eval_step(model, loss_fn: CombinedLoss, ssim_cfg) -> Any:
     return eval_step
 
 
-def build_spatial_train_step(sharded_loss, optimizer, augment_cfg) -> Any:
+def build_spatial_train_step(sharded_loss, optimizer, augment_cfg,
+                             grad_accum: int = 1) -> Any:
     """Spatially-sharded (SP) train step: same (state, batch, lr, key) →
     (state, metrics) contract as build_train_step, but the forward, loss
     and backward all run row-sharded under shard_map
@@ -149,7 +192,8 @@ def build_spatial_train_step(sharded_loss, optimizer, augment_cfg) -> Any:
         total, comps, _ = sharded_loss(params, hr, lo, w)
         return total, comps
 
-    return _make_train_step(compute_loss, optimizer, augment_cfg)
+    return _make_train_step(compute_loss, optimizer, augment_cfg,
+                            grad_accum=grad_accum)
 
 
 def build_spatial_eval_step(sharded_loss) -> Any:
@@ -235,11 +279,22 @@ def train(cfg: TrainConfig,
     else:
         train_idx, val_idx = train_val_split(len(dataset),
                                              cfg.validation_split, cfg.seed)
-    # batch must divide evenly across the batch-sharding axis
-    batch_size = int(-(-cfg.batch_size // n_batch_shards) * n_batch_shards)
+    if cfg.grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {cfg.grad_accum}")
+    # batch must divide evenly across the batch-sharding axis, and (with
+    # gradient accumulation) into grad_accum equal microbatches
+    quantum = n_batch_shards * cfg.grad_accum
+    batch_size = int(-(-cfg.batch_size // quantum) * quantum)
     if batch_size != cfg.batch_size:
         log_message(f"Rounding batch_size {cfg.batch_size} → {batch_size} "
-                    f"to divide the {n_batch_shards}-way data axis")
+                    f"to divide the {n_batch_shards}-way data axis"
+                    + (f" x {cfg.grad_accum} gradient-accumulation "
+                       f"microbatches" if cfg.grad_accum > 1 else ""))
+    if cfg.grad_accum > 1:
+        log_message(f"Gradient accumulation: {cfg.grad_accum} sequential "
+                    f"microbatches of {batch_size // cfg.grad_accum} per "
+                    f"optimizer step (exact full-batch update; activation "
+                    f"memory scales 1/{cfg.grad_accum})")
     decoded_mb = dataset.estimated_decoded_mb()
     use_streaming = cfg.streaming == "on" or (
         cfg.streaming == "auto" and decoded_mb > cfg.streaming_threshold_mb)
@@ -343,7 +398,8 @@ def train(cfg: TrainConfig,
             mesh, sample_hw, cfg.loss, model_type=cfg.model.model_type,
             dtype=dtype, vgg_params=vgg_params, remat=cfg.remat)
         train_step = jax.jit(
-            build_spatial_train_step(sharded_loss, optimizer, cfg.augment),
+            build_spatial_train_step(sharded_loss, optimizer, cfg.augment,
+                                     grad_accum=cfg.grad_accum),
             in_shardings=(rsh, dsh, None, None),
             out_shardings=(rsh, rsh),
             donate_argnums=(0,))
@@ -355,7 +411,8 @@ def train(cfg: TrainConfig,
         dsh = data_sharding(mesh)
         train_step = jax.jit(
             build_train_step(model, loss_fn, optimizer, cfg.augment,
-                             cfg.loss, remat=cfg.remat),
+                             cfg.loss, remat=cfg.remat,
+                             grad_accum=cfg.grad_accum),
             in_shardings=(rsh, dsh, None, None),
             out_shardings=(rsh, rsh),
             donate_argnums=(0,))

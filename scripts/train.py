@@ -68,6 +68,14 @@ def parse_args():
                              'slices too large per chip). Requires '
                              'unet/unet_tpu, LR H %% (8*shards) == 0, and '
                              'shards | devices. 1 = batch DP only')
+    parser.add_argument('--grad_accum', type=int, default=1,
+                        help='Split each batch into this many sequential '
+                             'microbatches inside the jitted step, '
+                             'accumulating fp32 gradients (lax.scan): '
+                             'activation memory scales 1/N while the '
+                             'optimizer update stays the exact full-batch '
+                             'one (weighted-mean losses recombine exactly). '
+                             'Composes with --remat and --spatial_shards')
     parser.add_argument('--streaming_threshold_mb', type=int, default=2048,
                         help='auto mode streams past this decoded size')
     parser.add_argument('--seed', type=int, default=random.randint(1, 10000))
@@ -133,6 +141,7 @@ def main():
         streaming_threshold_mb=args.streaming_threshold_mb,
         spatial_shards=args.spatial_shards,
         remat=args.remat,
+        grad_accum=args.grad_accum,
     )
     train(cfg)
 

@@ -62,6 +62,7 @@ DEFAULT_PARAMS = {
     "augmentation": False,
     "remat": False,
     "spatial_shards": 1,
+    "grad_accum": 1,
     "use_tensorboard": False,
     "cpu": False,
     "resume": False,
@@ -88,7 +89,7 @@ MENUS = {
         "batch_size", "epochs", "learning_rate", "weight_decay",
         "ssim_weight", "perceptual_weight", "perceptual_loss_type",
         "vgg_layer_idx", "initial_alpha", "validation_split", "patience",
-        "seed", "augmentation", "remat", "spatial_shards",
+        "seed", "augmentation", "remat", "spatial_shards", "grad_accum",
         "use_tensorboard", "resume", "cpu", "checkpoint_dir", "log_dir",
     ],
     "infer": [
@@ -132,7 +133,8 @@ def validate(field, raw, params):
     if isinstance(current, int):
         v = int(raw)
         if field in ("batch_size", "epochs", "base_filters", "patience",
-                     "n_slices_extract", "spatial_shards") and v <= 0:
+                     "n_slices_extract", "spatial_shards",
+                     "grad_accum") and v <= 0:
             raise ValueError(f"{field} must be positive")
         return v
     if isinstance(current, float):
@@ -174,6 +176,7 @@ def build_command(menu, p):
                "--patience", str(p["patience"]),
                "--seed", str(p["seed"]),
                "--spatial_shards", str(p["spatial_shards"]),
+               "--grad_accum", str(p["grad_accum"]),
                "--checkpoint_dir", p["checkpoint_dir"],
                "--log_dir", p["log_dir"]]
         for flag in ("augmentation", "remat", "use_tensorboard", "resume"):

@@ -308,6 +308,57 @@ class TestSpatialTraining:
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_grad_accum_composes_with_spatial_step(self, dense_and_params):
+        """--grad_accum scans microbatches OVER the shard_map loss: one
+        accum=2 optimizer step must match the accum=1 spatial step (exact
+        weighted-mean recombination; the 2x2-device mesh stays fixed)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mri_superresolution_tpu.config import AugmentConfig, LossConfig
+        from mri_superresolution_tpu.parallel import (build_spatial_loss,
+                                                      replicated_sharding)
+        from mri_superresolution_tpu.train.trainer import (
+            TrainState, build_spatial_train_step, make_optimizer)
+
+        _, params = dense_and_params
+        mesh = make_spatial_mesh(2, 4)
+        cfg = LossConfig(ssim_weight=0.3)
+        opt = make_optimizer(1e-5)
+        b = self._batch(seed=9)
+        lr_s = jnp.asarray(1e-4, jnp.float32)
+        key = jax.random.key(6)
+
+        sl = build_spatial_loss(mesh, (self.H, self.W), cfg, "unet",
+                                jnp.float32)
+        rsh = replicated_sharding(mesh)
+        x4 = NamedSharding(mesh, P("data", "space"))
+        dsh = {"hr": x4, "lr": x4, "weight": NamedSharding(mesh, P("data"))}
+
+        outs = {}
+        for accum in (1, 2):
+            step = jax.jit(
+                build_spatial_train_step(sl, opt,
+                                         AugmentConfig(enabled=True),
+                                         grad_accum=accum),
+                in_shardings=(rsh, dsh, None, None),
+                out_shardings=(rsh, rsh))
+            state = jax.device_put(
+                TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=opt.init(params)), rsh)
+            outs[accum] = step(state, b, lr_s, key)
+
+        (s1, m1), (s2, m2) = outs[1], outs[2]
+        np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(m2["ssim"]), float(m1["ssim"]),
+                                   rtol=1e-6)
+        from jax.flatten_util import ravel_pytree
+        f1, _ = ravel_pytree(s1.params)
+        f2, _ = ravel_pytree(s2.params)
+        diff = np.abs(np.asarray(f2) - np.asarray(f1))
+        # reassociated fp32 reductions + step-1 Adam: isolated +-lr flips
+        assert diff.max() <= 2.5e-4, float(diff.max())
+        assert np.quantile(diff, 0.99) <= 5e-5
+
     def test_spatial_loss_config_validation(self):
         """Shard-incompatible loss configs fail at BUILD time with
         ValueError, not mid-trace (code-review r3 findings: a too-deep SSIM

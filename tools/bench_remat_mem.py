@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Compiled-memory evidence for the two training memory levers.
+"""Compiled-memory evidence for the three training memory levers.
 
 XLA's ``compiled.memory_analysis()`` reports the executable's planned HBM
 use (argument/output/temp/generated-code sizes) without running a step, so
@@ -9,11 +9,16 @@ this works single-chip and through the axon tunnel:
    with and without rematerialization.
 2. --spatial_shards: the shard_map train step on a virtual (1, N) CPU mesh
    at fixed GLOBAL batch/shape; per-device temp bytes should scale ~1/N.
+3. --accum N: dense train step with N-way gradient accumulation
+   (lax.scan over microbatches) vs accum=1 at the same global batch; temp
+   bytes should scale ~1/N (one microbatch tape live at a time).
 
 Usage:
   python tools/bench_remat_mem.py                # TPU remat A/B (compile only)
   python tools/bench_remat_mem.py --spatial      # CPU-mesh spatial scaling
   python tools/bench_remat_mem.py --spatial --remat   # both levers composed
+  python tools/bench_remat_mem.py --accum 4      # TPU grad-accum A/B
+  python tools/bench_remat_mem.py --accum 4 --remat   # accum + remat composed
 """
 
 import argparse
@@ -37,10 +42,12 @@ def _report(tag, compiled):
     return ma.temp_size_in_bytes
 
 
-def dense_remat_ab(batch, hw):
+def dense_remat_ab(batch, hw, accum=None, remat_with_accum=False):
+    """A/B the dense train step's planned temp bytes: remat on/off
+    (accum=None) or grad_accum 1/N (accum=N; --remat composes remat in on
+    both sides so the deltas stay attributable to one lever)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from mri_superresolution_tpu.config import (AugmentConfig, LossConfig,
                                                 ModelConfig)
@@ -63,21 +70,29 @@ def dense_remat_ab(batch, hw):
         "hr": jax.ShapeDtypeStruct((batch, 2 * h, 2 * w, 1), jnp.float32),
         "weight": jax.ShapeDtypeStruct((batch,), jnp.float32),
     }
+    if accum is None:
+        variants = [("remat=False", dict(remat=False)),
+                    ("remat=True", dict(remat=True))]
+    else:
+        variants = [(f"accum=1 remat={remat_with_accum}",
+                     dict(remat=remat_with_accum, grad_accum=1)),
+                    (f"accum={accum} remat={remat_with_accum}",
+                     dict(remat=remat_with_accum, grad_accum=accum))]
     temps = {}
-    for remat in (False, True):
+    for tag, kw in variants:
         model = build_model(ModelConfig(base_filters=32),
-                            dtype=jnp.bfloat16, remat=remat)
+                            dtype=jnp.bfloat16, remat=kw.get("remat", False))
         step = jax.jit(build_train_step(model, CombinedLoss(cfg), opt,
                                         AugmentConfig(enabled=False), cfg,
-                                        remat=remat),
+                                        **kw),
                        donate_argnums=(0,))
         compiled = step.lower(state, batch_spec,
                               jax.ShapeDtypeStruct((), jnp.float32),
                               jax.ShapeDtypeStruct((), jax.random.key(0).dtype
                                                    )).compile()
-        temps[remat] = _report(f"dense B={batch} {h}x{w} remat={remat}",
-                               compiled)
-    print(f"remat temp ratio: {temps[True] / temps[False]:.3f}", flush=True)
+        temps[tag] = _report(f"dense B={batch} {h}x{w} {tag}", compiled)
+    (t0, v0), (t1, v1) = temps.items()
+    print(f"temp ratio {t1} / {t0}: {v1 / v0:.3f}", flush=True)
 
 
 def spatial_scaling(batch, hw, remat=False):
@@ -136,8 +151,11 @@ def main():
                     help="CPU-mesh spatial temp-memory scaling instead of "
                          "the TPU remat A/B")
     ap.add_argument("--remat", action="store_true",
-                    help="with --spatial: measure the remat=True spatial "
-                         "step (compose the two memory levers)")
+                    help="with --spatial/--accum: compose remat in on both "
+                         "sides of the comparison")
+    ap.add_argument("--accum", type=int, default=None,
+                    help="A/B grad_accum=1 vs grad_accum=N at the same "
+                         "global batch instead of the remat A/B")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--hw", type=int, nargs=2, default=(256, 256))
     args = ap.parse_args()
@@ -150,7 +168,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         spatial_scaling(args.batch, tuple(args.hw), remat=args.remat)
     else:
-        dense_remat_ab(args.batch, tuple(args.hw))
+        dense_remat_ab(args.batch, tuple(args.hw), accum=args.accum,
+                       remat_with_accum=args.remat)
 
 
 if __name__ == "__main__":
