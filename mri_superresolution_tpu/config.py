@@ -85,7 +85,11 @@ class TrainConfig:
     log_dir: str = "./logs"
     use_tensorboard: bool = False
     bf16: bool = True            # bfloat16 compute (TPU-native mixed precision)
-    num_data_devices: int = 0    # 0 = use all visible devices (DP mesh)
+    # TOTAL device pool for the mesh (0 = all visible). With
+    # spatial_shards > 1 the pool splits into a (num/S data, S space) mesh,
+    # so data-parallel width is num_data_devices/spatial_shards (the same
+    # convention the inference engine uses; the trainer logs the mesh).
+    num_data_devices: int = 0
     resume: bool = False         # resume from latest checkpoint (our extension)
     vgg_weights: Optional[str] = None  # .npz VGG19 weights for perceptual loss
     profile_dir: Optional[str] = None  # write a jax.profiler trace here
@@ -120,8 +124,9 @@ class TrainConfig:
     # (the only batch-nonlinear point, the SSIM clip at the batch mean
     # [reference utils/losses.py:221], is applied per microbatch — identical
     # whenever every microbatch's mean SSIM lies inside (0,1), i.e. always
-    # in practice; tests/test_train.py asserts equality). Composes with
-    # remat and spatial_shards. 1 = off (default).
+    # in practice; the trainer counts saturated microbatches and logs a
+    # warning if any occur; tests/test_train.py asserts equality).
+    # Composes with remat and spatial_shards. 1 = off (default).
     grad_accum: int = 1
 
 

@@ -1,5 +1,4 @@
 from mri_superresolution_tpu.losses.combined import (  # noqa: F401
     CombinedLoss,
     l1_loss,
-    l2_loss,
 )

@@ -38,13 +38,6 @@ def l1_loss(a: jnp.ndarray, b: jnp.ndarray,
     return _weighted_mean(per, sample_weights)
 
 
-def l2_loss(a: jnp.ndarray, b: jnp.ndarray,
-            sample_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    per = jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2,
-                   axis=tuple(range(1, a.ndim)))
-    return _weighted_mean(per, sample_weights)
-
-
 def compose_loss(cfg: LossConfig, out32: jnp.ndarray, tgt32: jnp.ndarray,
                  sample_weights, *, per_sample_mean, weighted_mean,
                  ssim_per_sample, vgg_features,

@@ -93,22 +93,31 @@ def _make_train_step(compute_loss, optimizer, augment_cfg,
         zero = jnp.zeros((), jnp.float32)
 
         def body(carry, xs):
-            g_acc, num_loss, num_ssim = carry
+            g_acc, num_loss, num_ssim, n_sat = carry
             hr_i, lo_i, w_i = xs
             (loss_i, comps_i), g_i = vg(params, hr_i, lo_i, w_i)
             den_i = jnp.sum(w_i.astype(jnp.float32))
+            ssim_i = comps_i["ssim_metric"]
+            # the SSIM batch-mean clip (losses/combined.py:81) is the one
+            # batch-nonlinear point: count microbatches that saturate it
+            # (trainer warns — there the accumulated gradient follows the
+            # per-microbatch clip, not the exact full-batch one)
+            sat_i = ((den_i > 0) &
+                     ((ssim_i <= 0.0) | (ssim_i >= 1.0))).astype(jnp.float32)
             g_acc = jax.tree_util.tree_map(
                 lambda acc, g: acc + den_i * g.astype(jnp.float32),
                 g_acc, g_i)
             return (g_acc, num_loss + den_i * loss_i,
-                    num_ssim + den_i * comps_i["ssim_metric"]), None
+                    num_ssim + den_i * ssim_i, n_sat + sat_i), None
 
-        (g_acc, num_loss, num_ssim), _ = jax.lax.scan(
-            body, (g0, zero, zero), (split(hr), split(lo), split(w)))
+        (g_acc, num_loss, num_ssim, n_sat), _ = jax.lax.scan(
+            body, (g0, zero, zero, zero), (split(hr), split(lo), split(w)))
         den = jnp.maximum(jnp.sum(w.astype(jnp.float32)), 1e-12)
         grads = jax.tree_util.tree_map(
             lambda g, p: (g / den).astype(p.dtype), g_acc, params)
-        return num_loss / den, {"ssim_metric": num_ssim / den}, grads
+        return (num_loss / den,
+                {"ssim_metric": num_ssim / den, "ssim_clip_micros": n_sat},
+                grads)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    lr: jnp.ndarray, key: jax.Array):
@@ -127,6 +136,8 @@ def _make_train_step(compute_loss, optimizer, augment_cfg,
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "ssim": comps["ssim_metric"]}
+        if "ssim_clip_micros" in comps:
+            metrics["ssim_clip_micros"] = comps["ssim_clip_micros"]
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), metrics
 
@@ -252,7 +263,7 @@ def train(cfg: TrainConfig,
             raise ValueError(
                 f"spatial_shards={cfg.spatial_shards} must divide the "
                 f"{n_all} mesh device(s) "
-                f"({'capped by --num_data_devices; ' if cfg.num_data_devices else ''}"
+                f"({'capped by --num_devices; ' if cfg.num_data_devices else ''}"
                 f"{len(jax.devices())} visible)")
         n_batch_shards = n_all // cfg.spatial_shards
         mesh = make_spatial_mesh(n_batch_shards, cfg.spatial_shards,
@@ -354,7 +365,6 @@ def train(cfg: TrainConfig,
                 message_type="warning")
             vgg_params = vgg_mod.random_params(jax.random.key(0),
                                                cfg.loss.vgg_layer_idx)
-    loss_fn = CombinedLoss(cfg.loss, vgg_params=vgg_params)
     optimizer = make_optimizer(cfg.weight_decay)
     opt_state = optimizer.init(params)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -408,6 +418,9 @@ def train(cfg: TrainConfig,
             in_shardings=(rsh, dsh),
             out_shardings=({"loss": rsh, "ssim": rsh}, x4))
     else:
+        # the dense loss bundle is only built (and only used) on this path;
+        # spatial mode composes the same loss inside build_spatial_loss
+        loss_fn = CombinedLoss(cfg.loss, vgg_params=vgg_params)
         dsh = data_sharding(mesh)
         train_step = jax.jit(
             build_train_step(model, loss_fn, optimizer, cfg.augment,
@@ -484,7 +497,7 @@ def train(cfg: TrainConfig,
         # Metrics stay on device until epoch end: a host fetch per step would
         # serialize dispatch (costly over an async TPU tunnel, where only
         # fetches synchronize). Only the sparse batch_update log syncs.
-        loss_accs, ssim_accs = [], []
+        loss_accs, ssim_accs, clip_accs = [], [], []
         for batch_idx, batch in enumerate(train_loader.epoch(epoch)):
             # keys derived from (seed, epoch, batch) — a resumed run sees the
             # same augmentation randomness a continuous run would have
@@ -496,6 +509,8 @@ def train(cfg: TrainConfig,
                                         step_key)
             loss_accs.append(metrics["loss"])
             ssim_accs.append(metrics["ssim"])
+            if "ssim_clip_micros" in metrics:
+                clip_accs.append(metrics["ssim_clip_micros"])
             if batch_idx % max(10, n_train_batches // 10) == 0:
                 loss_v = float(metrics["loss"])
                 log_message({"epoch": epoch, "batch": batch_idx,
@@ -505,6 +520,17 @@ def train(cfg: TrainConfig,
                     progress_cb(epoch, batch_idx, loss_v)
         train_loss = float(jnp.mean(jnp.stack(loss_accs))) if loss_accs else 0.0
         train_ssim = float(jnp.mean(jnp.stack(ssim_accs))) if ssim_accs else 0.0
+        if clip_accs and cfg.loss.ssim_weight > 0:
+            n_sat = int(float(jnp.sum(jnp.stack(clip_accs))))
+            if n_sat:
+                log_message(
+                    f"WARNING: {n_sat} gradient-accumulation microbatch(es) "
+                    f"saturated the SSIM clip this epoch — for those steps "
+                    f"the accumulated gradient follows the per-microbatch "
+                    f"clip, not the exact full-batch one (RESULTS.md 5g). "
+                    f"Typically transient at initialization; persistent "
+                    f"saturation suggests a data or loss-weight problem.",
+                    message_type="warning")
 
         # --- validation (every epoch, scripts/train.py:279-280) ---
         val_losses, val_ssims = [], []

@@ -74,8 +74,11 @@ def parse_args():
                              'accumulating fp32 gradients (lax.scan): '
                              'activation memory scales 1/N while the '
                              'optimizer update stays the exact full-batch '
-                             'one (weighted-mean losses recombine exactly). '
-                             'Composes with --remat and --spatial_shards')
+                             'one (weighted-mean losses recombine exactly; '
+                             'the only inexact edge — a microbatch '
+                             'saturating the SSIM clip — is detected and '
+                             'logged). Composes with --remat and '
+                             '--spatial_shards')
     parser.add_argument('--streaming_threshold_mb', type=int, default=2048,
                         help='auto mode streams past this decoded size')
     parser.add_argument('--seed', type=int, default=random.randint(1, 10000))
@@ -89,7 +92,11 @@ def parse_args():
     parser.add_argument('--cpu', action='store_true',
                         help='Force CPU backend')
     parser.add_argument('--num_devices', type=int, default=0,
-                        help='Data-mesh size (0 = all visible devices)')
+                        help='TOTAL device pool for the mesh (0 = all '
+                             'visible). With --spatial_shards S the pool is '
+                             'split (num_devices/S data) x (S space), so '
+                             'the DATA-parallel width is num_devices/S — '
+                             'the startup log prints the resulting mesh')
     parser.add_argument('--resume', action='store_true',
                         help='Resume from the final checkpoint if present')
     parser.add_argument('--vgg_weights', type=str, default=None,

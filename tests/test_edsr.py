@@ -86,3 +86,15 @@ def test_simple_model_family(tmp_path):
     g = jax.grad(lambda p: jnp.mean(model.apply({"params": p}, x)))(params)
     assert all(np.isfinite(np.asarray(v)).all()
                for v in jax.tree_util.tree_leaves(g))
+
+
+def test_remat_model_matches(rng):
+    """--remat (per-ResBlock nn.remat) consumes the same param tree and
+    must reproduce the plain forward exactly."""
+    model, params = _make()
+    x = jnp.asarray(rng.random((2, 16, 16, 1), dtype=np.float32))
+    ref = model.apply({"params": params}, x)
+    m = build_model(ModelConfig(model_type="edsr", base_filters=32,
+                                num_blocks=2), dtype=jnp.float32, remat=True)
+    np.testing.assert_allclose(np.asarray(m.apply({"params": params}, x)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)

@@ -64,3 +64,16 @@ def test_trains_end_to_end(tmp_path, capsys):
     summaries = [json.loads(l) for l in out.splitlines()
                  if l.startswith("{") and "epoch_summary" in l]
     assert np.isfinite(summaries[-1]["train_loss"])
+
+
+def test_remat_model_matches(rng):
+    """--remat is a lifted transform (nn.remat of the backbone blocks and
+    the final-stage branches/head): the SAME param tree must produce the
+    same outputs — guards future branch/head edits from breaking remat
+    training for this family (code-review r3 coverage finding)."""
+    model, params = _make()
+    x = jnp.asarray(rng.random((2, 32, 32, 1), dtype=np.float32))
+    ref = model.apply({"params": params}, x)
+    m = UNetSuperResTPU(base_filters=16, dtype=jnp.float32, remat=True)
+    np.testing.assert_allclose(np.asarray(m.apply({"params": params}, x)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)
