@@ -307,6 +307,40 @@ def test_grad_accum_exact_equivalence():
     assert float(diff.max()) <= 2.5 * float(lr_val), float(diff.max())
 
 
+def test_grad_accum_ssim_clip_saturation_counter():
+    """The accumulation scan counts microbatches whose reported SSIM metric
+    saturates the clip boundary ([<=0] or [>=1]) — the one place the
+    accumulated gradient can deviate from the exact full-batch one — while
+    all-padding (zero-weight) microbatches must NOT count."""
+    from mri_superresolution_tpu.train.trainer import (TrainState,
+                                                       _make_train_step)
+
+    def compute_loss(p, hr, lo, w):
+        # stand-in loss whose "ssim_metric" is directly controlled by hr:
+        # the per-micro weighted mean of each sample's mean value
+        per = jnp.mean(hr, axis=(1, 2, 3))
+        m = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-12)
+        loss = jnp.mean(lo) * jnp.sum(p["w"])
+        return loss, {"ssim_metric": m}
+
+    opt = make_optimizer(0.0)
+    step = jax.jit(_make_train_step(compute_loss, opt, None, grad_accum=4))
+    params = {"w": jnp.zeros((2,), jnp.float32)}
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=opt.init(params))
+    # 4 microbatches of 2 samples: means 1.0 (saturates >=1), 0.5 (fine),
+    # -0.2 (saturates <=0), 9.0 but zero-weighted (den=0 -> must not count)
+    vals = np.repeat(np.array([1.0, 0.5, -0.2, 9.0], np.float32), 2)
+    hr = np.broadcast_to(vals[:, None, None, None], (8, 2, 2, 1))
+    batch = {"hr": jnp.asarray(hr),
+             "lr": jnp.asarray(np.zeros((8, 1, 1, 1), np.float32)),
+             "weight": jnp.asarray(
+                 np.array([1, 1, 1, 1, 1, 1, 0, 0], np.float32))}
+    _, metrics = step(state, batch, jnp.asarray(1e-4, jnp.float32),
+                      jax.random.key(0))
+    assert float(metrics["ssim_clip_micros"]) == 2.0
+
+
 def test_grad_accum_reduces_compiled_temp_memory():
     """grad_accum=4 must plan ~1/4 the activation temp memory (XLA
     memory_analysis): the scan keeps one microbatch's tape live at a time.
