@@ -36,6 +36,8 @@ def run_training_with_ssim_weight(args, ssim_weight, output_dir):
     ]
     if args.augmentation:
         cmd.append("--augmentation")
+    if args.use_amp:
+        cmd.append("--use_amp")   # maps to bf16 compute (train.py docstring)
     if args.cpu:
         cmd.append("--cpu")
     print(f"Starting training with SSIM weight: {ssim_weight}")
@@ -92,6 +94,10 @@ def main():
     parser.add_argument('--batch_size', type=int, default=8)
     parser.add_argument('--epochs', type=int, default=20)
     parser.add_argument('--augmentation', action='store_true')
+    parser.add_argument('--use_amp', action='store_true',
+                        help='Forwarded to train.py (mixed precision; maps '
+                             'to bfloat16 compute, reference '
+                             'scripts/test_ssim_weights.py:116)')
     parser.add_argument('--cpu', action='store_true')
     parser.add_argument('--output_dir', type=str,
                         default='./ssim_weight_comparison')
