@@ -188,7 +188,11 @@ def extract_from_nifti(nifti_file: str, hr_output_dir: str,
 
 def find_nifti_files(datasets_dir: str, anat_only: bool = True) -> List[str]:
     """Walk dataset subfolders; descend only into ``anat/`` directories
-    (parity: scripts/extract_paired_slices.py:148-158)."""
+    (parity: scripts/extract_paired_slices.py:148-158). A missing root
+    returns [] like an empty one, so CLIs emit their clean 'No NIfTI files
+    found' message instead of a traceback."""
+    if not os.path.isdir(datasets_dir):
+        return []
     found = []
     for set_name in sorted(os.listdir(datasets_dir)):
         set_path = os.path.join(datasets_dir, set_name)

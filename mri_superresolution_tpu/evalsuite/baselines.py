@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -22,9 +23,13 @@ from mri_superresolution_tpu.ops.resize import Interp, resize
 
 INTERP_METHODS = ("bilinear", "sharp_bilinear", "bicubic")
 
-_SHARPEN = jnp.asarray([[-1.0, -1.0, -1.0],
-                        [-1.0, 9.0, -1.0],
-                        [-1.0, -1.0, -1.0]], jnp.float32)
+# host constant: a module-level jnp.asarray would initialize the JAX
+# backend at IMPORT time — before any CLI --cpu flag applies — which hangs
+# host-only analytics (scripts/visualise_res.py) whenever the TPU tunnel
+# is unreachable
+_SHARPEN = np.asarray([[-1.0, -1.0, -1.0],
+                       [-1.0, 9.0, -1.0],
+                       [-1.0, -1.0, -1.0]], np.float32)
 
 
 def sharpen3x3(img: jnp.ndarray) -> jnp.ndarray:
@@ -38,7 +43,7 @@ def sharpen3x3(img: jnp.ndarray) -> jnp.ndarray:
     h, w = x.shape[-2:]
     x4 = x.reshape((-1, h, w))[..., None]  # NHWC, C=1
     x4 = jnp.pad(x4, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-    kern = _SHARPEN.reshape(3, 3, 1, 1)
+    kern = jnp.asarray(_SHARPEN).reshape(3, 3, 1, 1)
     dn = jax.lax.conv_dimension_numbers(x4.shape, kern.shape,
                                         ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(x4, kern, (1, 1), "VALID",
