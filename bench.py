@@ -136,7 +136,37 @@ def bench_forward(batch_sizes=(112, 120, 128), hw=256, model_type="unet",
     return best, best_bs, n_chips
 
 
+def _require_backend(timeout_s: float = 600.0):
+    """Fail fast (one JSON error line, rc 2) instead of hanging forever
+    when the axon tunnel is unreachable — backend init blocks indefinitely
+    on a dead tunnel, and a silent hang would eat the whole bench budget."""
+    import threading
+
+    import jax
+
+    done = threading.Event()
+    state = {}
+
+    def probe():
+        try:
+            state["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001 - report any init failure
+            state["error"] = f"{type(e).__name__}: {e}"
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s) or "error" in state:
+        err = state.get("error",
+                        f"backend init did not finish in {timeout_s:.0f}s "
+                        f"(TPU tunnel unreachable?)")
+        print(json.dumps({"metric": "unet256_inference_throughput",
+                          "value": 0, "unit": "slices/sec/chip",
+                          "vs_baseline": 0, "error": err}))
+        os._exit(2)
+
+
 def main():
+    _require_backend()
     value_total, bs, n_chips = bench_forward(model_type="unet")
     per_chip = value_total / n_chips
     flops = unet_flops_per_slice()
