@@ -136,32 +136,19 @@ def bench_forward(batch_sizes=(112, 120, 128), hw=256, model_type="unet",
     return best, best_bs, n_chips
 
 
-def _require_backend(timeout_s: float = 600.0):
+def _require_backend():
     """Fail fast (one JSON error line, rc 2) instead of hanging forever
     when the axon tunnel is unreachable — backend init blocks indefinitely
     on a dead tunnel, and a silent hang would eat the whole bench budget."""
-    import threading
+    from mri_superresolution_tpu.utils import backend
 
-    import jax
-
-    done = threading.Event()
-    state = {}
-
-    def probe():
-        try:
-            state["devices"] = [str(d) for d in jax.devices()]
-        except Exception as e:  # noqa: BLE001 - report any init failure
-            state["error"] = f"{type(e).__name__}: {e}"
-        done.set()
-
-    threading.Thread(target=probe, daemon=True).start()
-    if not done.wait(timeout_s) or "error" in state:
-        err = state.get("error",
-                        f"backend init did not finish in {timeout_s:.0f}s "
-                        f"(TPU tunnel unreachable?)")
+    try:
+        backend.devices()
+    except BaseException as e:  # noqa: BLE001 - report any init failure
         print(json.dumps({"metric": "unet256_inference_throughput",
                           "value": 0, "unit": "slices/sec/chip",
-                          "vs_baseline": 0, "error": err}))
+                          "vs_baseline": 0,
+                          "error": f"{type(e).__name__}: {e}"}))
         os._exit(2)
 
 

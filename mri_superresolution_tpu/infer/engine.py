@@ -116,8 +116,9 @@ class InferenceEngine:
             if model_cfg.model_type not in ("unet", "unet_tpu"):
                 raise ValueError("spatial_shards > 1 supports the "
                                  "'unet'/'unet_tpu' topologies only")
+            from mri_superresolution_tpu.utils import backend
             n_vis = (num_devices if num_devices and num_devices > 0
-                     else len(jax.devices()))
+                     else len(backend.devices()))
             if n_vis % spatial_shards != 0:
                 raise ValueError(f"spatial_shards={spatial_shards} must "
                                  f"divide the {n_vis} mesh devices")

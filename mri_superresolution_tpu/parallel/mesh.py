@@ -28,7 +28,8 @@ def make_mesh(num_devices: int = 0,
     """1-D data-parallel mesh over the first ``num_devices`` devices
     (0 = all visible)."""
     if devices is None:
-        devices = jax.devices()
+        from mri_superresolution_tpu.utils import backend
+        devices = backend.devices()   # fail fast on a dead TPU tunnel
     if num_devices and num_devices > 0:
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))

@@ -60,7 +60,8 @@ _EPS = 1e-5
 def make_spatial_mesh(n_data: int, n_space: int, devices=None) -> Mesh:
     """2-D (data, space) mesh over the first n_data*n_space devices."""
     if devices is None:
-        devices = jax.devices()
+        from mri_superresolution_tpu.utils import backend
+        devices = backend.devices()   # fail fast on a dead TPU tunnel
     devices = np.asarray(devices[: n_data * n_space])
     return Mesh(devices.reshape(n_data, n_space), (DATA_AXIS, SPACE_AXIS))
 

@@ -30,3 +30,30 @@ def test_package_imports_do_not_initialize_backend():
     r = subprocess.run([sys.executable, "-c", _PROBE], env=env, cwd=repo,
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0 and "OK" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+
+def test_backend_watchdog_propagates_init_errors_quickly():
+    """utils/backend.devices() must re-raise a backend-init ERROR promptly
+    (not wait for the watchdog), and succeed normally on a live backend."""
+    probe = """
+import sys
+from mri_superresolution_tpu.utils import backend
+try:
+    backend.devices()
+    print("UNEXPECTED-OK")
+except RuntimeError as e:
+    assert "nonexistent_backend" in str(e) or "Unknown" in str(e) or \
+        "platform" in str(e).lower(), e
+    print("RAISED")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="nonexistent_backend")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo
+    r = subprocess.run([sys.executable, "-c", probe], env=env, cwd=repo,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0 and "RAISED" in r.stdout, (r.stdout,
+                                                        r.stderr[-2000:])
+
+    # live (CPU) backend: devices() returns the device list
+    from mri_superresolution_tpu.utils import backend
+    assert len(backend.devices()) >= 1
