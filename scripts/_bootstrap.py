@@ -39,3 +39,17 @@ def force_cpu_if_requested(argv=None) -> None:
         import jax
         jax.config.update("jax_platforms", "cpu")
     enable_compilation_cache_if_configured()
+    _fail_fast_on_dead_backend()
+
+
+def _fail_fast_on_dead_backend() -> None:
+    """Initialize the selected backend behind a watchdog so CLIs whose
+    first device touch is inside jit dispatch (extraction, training) emit
+    a clean error instead of hanging forever on a dead TPU tunnel
+    (utils/backend.py; instant on CPU, seconds on a healthy tunnel)."""
+    from mri_superresolution_tpu.utils import backend
+
+    try:
+        backend.devices()
+    except RuntimeError as e:
+        sys.exit(f"ERROR: {e}")
