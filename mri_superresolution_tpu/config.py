@@ -189,6 +189,11 @@ class InferConfig:
     # processes); otherwise the streaming self-calibration runs and saves
     # its frozen scales here for later runs. None = in-process only.
     quant_calib_path: Optional[str] = None
+    # Test-time augmentation: average the forward over the dihedral flips
+    # (8 transforms for square inputs, 4 otherwise) — a quality/compute
+    # trade the reference does not offer (measured delta in RESULTS.md).
+    # Shape-preserving, so one compiled program serves all transforms.
+    tta: bool = False
 
 
 def to_dict(cfg) -> dict:

@@ -75,8 +75,13 @@ class InferenceEngine:
                  num_devices: int = 1, spatial_shards: int = 1,
                  quant: str = "none", quant_calib_slices: int = 8,
                  quant_min_foreground: float = 0.05,
-                 quant_calib_path: Optional[str] = None):
+                 quant_calib_path: Optional[str] = None,
+                 tta: bool = False):
         self.model_cfg = model_cfg
+        # test-time augmentation: average the forward over the dihedral
+        # flips (8 transforms for square inputs, 4 otherwise) — same
+        # compiled program (shape-preserving), n_transforms x the compute
+        self.tta = tta
         self._dtype = jnp.bfloat16 if bf16 else jnp.float32
         self.model = build_model(model_cfg, dtype=self._dtype)
         self.spatial_shards = spatial_shards
@@ -285,7 +290,35 @@ class InferenceEngine:
         NOT GroupNorm-exact on the spatial path (a warning is logged with
         the padded fraction). The batch axis is padded to a
         device-divisible count and cropped after.
+
+        With ``tta=True`` the result is the mean over the dihedral
+        transforms of t⁻¹(upscale(t(x))) — 8 transforms when h == w, the 4
+        flips otherwise. Every transform preserves the input shape, so ONE
+        compiled program serves all of them; composes with bucketing,
+        int8 and spatial sharding (each transformed batch goes through the
+        selected path unchanged).
         """
+        if not self.tta:
+            return self._upscale_once(batch)
+        n, h, w = batch.shape
+        transforms = [(lambda x: x, lambda y: y),
+                      (lambda x: x[:, ::-1], lambda y: y[:, ::-1]),
+                      (lambda x: x[:, :, ::-1], lambda y: y[:, :, ::-1]),
+                      (lambda x: x[:, ::-1, ::-1],
+                       lambda y: y[:, ::-1, ::-1])]
+        if h == w:
+            # transpose composes with each flip: t = f∘T, t⁻¹ = T∘f
+            # (both are involutions)
+            tr = lambda a: np.ascontiguousarray(a.transpose(0, 2, 1))
+            transforms += [(lambda x, f=f: f(tr(x)),
+                            lambda y, f=f: tr(f(y)))
+                           for f, _ in list(transforms)]
+        acc = np.zeros((n, 2 * h, 2 * w), np.float32)
+        for t, inv in transforms:
+            acc += inv(self._upscale_once(np.ascontiguousarray(t(batch))))
+        return acc / len(transforms)
+
+    def _upscale_once(self, batch: np.ndarray) -> np.ndarray:
         n, h, w = batch.shape
         bh, bw = self._bucket_hw(h, w)
         nb = _round_up(max(n, 1), self.n_devices)
@@ -519,4 +552,5 @@ def load_engine(cfg: InferConfig, num_devices: int = 1) -> InferenceEngine:
                            quant=cfg.quant,
                            quant_calib_slices=cfg.quant_calib_slices,
                            quant_min_foreground=cfg.quant_min_foreground,
-                           quant_calib_path=cfg.quant_calib_path)
+                           quant_calib_path=cfg.quant_calib_path,
+                           tta=cfg.tta)

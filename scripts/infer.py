@@ -55,6 +55,11 @@ def parse_args():
                         help='JSON sidecar of frozen int8 scales: loaded if '
                              'it exists (deterministic int8 from batch 0), '
                              'otherwise written after self-calibration')
+    parser.add_argument('--tta', action='store_true',
+                        help='Test-time augmentation: average the forward '
+                             'over the dihedral flips (8 transforms for '
+                             'square inputs, 4 otherwise) — higher quality '
+                             'for n_transforms x the compute (RESULTS.md)')
     return parser.parse_args()
 
 
@@ -75,7 +80,7 @@ def main():
             checkpoint_path=args.checkpoint_path,
             bf16=not args.no_bf16, bucket=args.bucket,
             quant=args.quant, quant_calib_slices=args.quant_calib_slices,
-            quant_calib_path=args.quant_calib)
+            quant_calib_path=args.quant_calib, tta=args.tta)
         engine = load_engine(cfg)
         fig_path = args.save_figure
         if (args.show_comparison or args.show_diff) and not fig_path:

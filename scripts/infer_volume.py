@@ -62,6 +62,10 @@ def main():
                              'mesh devices (halo-exchange spatial '
                              'parallelism) for slices too large per chip; '
                              'must divide the visible device count')
+    parser.add_argument('--tta', action='store_true',
+                        help='Test-time augmentation: average the forward '
+                             'over the dihedral flips (8 transforms for '
+                             'square slices, 4 otherwise)')
     args = parser.parse_args()
     force_cpu_if_requested()
 
@@ -94,7 +98,7 @@ def main():
                     bf16=not args.no_bf16, bucket=args.bucket,
                     spatial_shards=args.spatial_shards, quant=args.quant,
                     quant_calib_slices=args.quant_calib_slices,
-                    quant_calib_path=args.quant_calib),
+                    quant_calib_path=args.quant_calib, tta=args.tta),
         num_devices=args.num_devices)
 
     # per-slice percentile window + minmax, batched on device

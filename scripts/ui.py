@@ -76,6 +76,7 @@ DEFAULT_PARAMS = {
     "show_comparison": True,
     "show_diff": True,
     "quant_int8": False,
+    "tta": False,
 }
 
 MENUS = {
@@ -95,7 +96,7 @@ MENUS = {
     "infer": [
         "input_image", "output_image", "target_image", "checkpoint_dir",
         "checkpoint_file", "model_type", "base_filters", "show_comparison",
-        "show_diff", "quant_int8", "cpu",
+        "show_diff", "quant_int8", "tta", "cpu",
     ],
 }
 
@@ -199,6 +200,8 @@ def build_command(menu, p):
             cmd.append("--show_diff")
         if p["quant_int8"]:
             cmd += ["--quant", "int8"]
+        if p["tta"]:
+            cmd.append("--tta")
     else:
         raise ValueError(menu)
     if p["cpu"]:

@@ -148,3 +148,43 @@ def test_native_size_forward_no_padding_distortion(rng):
         {"params": eng.params}, jnp.asarray(img)[None, :, :, None]),
         0.0, 1.0))[0, :, :, 0]
     np.testing.assert_allclose(got, direct, atol=1e-4)
+
+
+def test_tta_matches_manual_dihedral_average(rng):
+    """tta=True must equal the hand-computed mean over t⁻¹(upscale(t(x)))
+    for the 8 square-input dihedral transforms (4 for non-square), using
+    the same engine's plain forward as the oracle."""
+    eng = _engine()
+    eng_tta = InferenceEngine(eng.model_cfg, eng.params, bf16=False,
+                              tta=True)
+
+    def manual(batch, transforms):
+        acc = np.zeros((batch.shape[0], 2 * batch.shape[1],
+                        2 * batch.shape[2]), np.float32)
+        for t, inv in transforms:
+            acc += inv(eng.upscale_batch(np.ascontiguousarray(t(batch))))
+        return acc / len(transforms)
+
+    flips = [(lambda x: x, lambda y: y),
+             (lambda x: x[:, ::-1], lambda y: y[:, ::-1]),
+             (lambda x: x[:, :, ::-1], lambda y: y[:, :, ::-1]),
+             (lambda x: x[:, ::-1, ::-1], lambda y: y[:, ::-1, ::-1])]
+    tr = lambda a: np.ascontiguousarray(a.transpose(0, 2, 1))
+
+    # square input: 8 transforms (flips x optional transpose)
+    sq = rng.random((2, 16, 16), dtype=np.float32)
+    eight = flips + [(lambda x, f=f: f(tr(x)), lambda y, f=f: tr(f(y)))
+                     for f, _ in flips]
+    np.testing.assert_allclose(eng_tta.upscale_batch(sq), manual(sq, eight),
+                               rtol=1e-5, atol=1e-6)
+
+    # non-square input: the 4 flips only (transpose would change the shape)
+    nsq = rng.random((2, 16, 24), dtype=np.float32)
+    np.testing.assert_allclose(eng_tta.upscale_batch(nsq),
+                               manual(nsq, flips), rtol=1e-5, atol=1e-6)
+
+    # the ensemble is dihedral-equivariant BY CONSTRUCTION even though the
+    # model itself is not: flipping the input flips the TTA output exactly
+    flipped = eng_tta.upscale_batch(np.ascontiguousarray(sq[:, ::-1]))
+    np.testing.assert_allclose(flipped[:, ::-1], eng_tta.upscale_batch(sq),
+                               rtol=1e-5, atol=1e-6)
