@@ -188,3 +188,14 @@ def test_tta_matches_manual_dihedral_average(rng):
     flipped = eng_tta.upscale_batch(np.ascontiguousarray(sq[:, ::-1]))
     np.testing.assert_allclose(flipped[:, ::-1], eng_tta.upscale_batch(sq),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_tta_composes_with_bucketing(rng):
+    """tta + bucket>1: transforms run through the padded/cropped path
+    unchanged — output shape exact, finite, and flip-equivariant."""
+    eng = _engine(bucket=32, tta=True)
+    x = rng.random((3, 20, 24), dtype=np.float32)
+    y = eng.upscale_batch(x)
+    assert y.shape == (3, 40, 48) and np.isfinite(y).all()
+    yf = eng.upscale_batch(np.ascontiguousarray(x[:, :, ::-1]))
+    np.testing.assert_allclose(yf[:, :, ::-1], y, rtol=1e-5, atol=1e-6)
