@@ -187,19 +187,19 @@ def qualitative_comparison(test_pairs, engine, output_dir):
                           logger)
 
 
-def _load_engine_for(checkpoint, base_filters, quant="none"):
+def _load_engine_for(checkpoint, base_filters, quant="none", tta=False):
     from mri_superresolution_tpu.config import InferConfig, ModelConfig
     from mri_superresolution_tpu.infer import load_engine
     return load_engine(InferConfig(
         model=ModelConfig(base_filters=base_filters),
         checkpoint_dir=os.path.dirname(str(checkpoint)) or ".",
-        checkpoint_path=str(checkpoint), quant=quant))
+        checkpoint_path=str(checkpoint), quant=quant, tta=tta))
 
 
 def _evaluate_checkpoint(ckpt_path, test_pairs, output_dir, base_filters,
-                         label, quant="none"):
+                         label, quant="none", tta=False):
     impl = report_implementation_details(ckpt_path)
-    engine = _load_engine_for(ckpt_path, base_filters, quant)
+    engine = _load_engine_for(ckpt_path, base_filters, quant, tta)
     df = run_benchmarks(test_pairs, engine)
     df["checkpoint"] = label
     for key, value in impl.items():
@@ -234,6 +234,9 @@ def main():
                         help="int8 PTQ serving for the unet column "
                              "(streaming self-calibration; timings and "
                              "metrics then reflect quantized serving)")
+    parser.add_argument("--tta", action="store_true",
+                        help="dihedral-ensemble serving (timings and "
+                             "metrics then reflect --tta inference)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
     force_cpu_if_requested()
@@ -323,7 +326,7 @@ def main():
         df, _ = _evaluate_checkpoint(args.checkpoint, test_pairs,
                                      args.output_dir, args.base_filters,
                                      os.path.basename(args.checkpoint),
-                                     quant=args.quant)
+                                     quant=args.quant, tta=args.tta)
         path = os.path.join(args.output_dir, "metrics.csv")
         df.to_csv(path, index=False)
         print(f"Saved metrics to {path}")
@@ -343,7 +346,7 @@ def main():
             df, impl = _evaluate_checkpoint(
                 p, test_pairs, args.output_dir, 32,
                 p.name.replace(".ckpt", "").replace(".pth", ""),
-                quant=args.quant)
+                quant=args.quant, tta=args.tta)
             all_dfs.append(df)
             summary[p.name] = impl
         final = pd.concat(all_dfs, ignore_index=True)
