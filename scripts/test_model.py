@@ -172,6 +172,9 @@ def main():
                         help='int8 PTQ serving: streaming self-calibration '
                              'over the first slices (served bf16), then '
                              'int8 (see --quant_calib_slices)')
+    parser.add_argument('--tta', action='store_true',
+                        help='Dihedral-ensemble serving (metrics then '
+                             'reflect --tta inference; RESULTS.md 5i)')
     parser.add_argument('--quant_calib_slices', type=int, default=2,
                         help='slices of streaming calibration before int8 '
                              'serving starts (kept small so most reported '
@@ -207,7 +210,7 @@ def main():
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_path=args.checkpoint_path, bucket=args.bucket,
             quant=args.quant,
-            quant_calib_slices=args.quant_calib_slices))
+            quant_calib_slices=args.quant_calib_slices, tta=args.tta))
 
         results = []
         for i, (lr_file, hr_file) in enumerate(paired):
