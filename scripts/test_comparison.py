@@ -98,6 +98,9 @@ def main():
     parser.add_argument('--checkpoint_dir', type=str, default='./checkpoints')
     parser.add_argument('--model_type', type=str, default='unet')
     parser.add_argument('--seed', type=int, default=None)
+    parser.add_argument('--tta', action='store_true',
+                        help='Dihedral-ensemble serving for the model '
+                             'column (RESULTS.md 5i)')
     parser.add_argument('--cpu', action='store_true')
     args = parser.parse_args()
     force_cpu_if_requested()
@@ -135,7 +138,7 @@ def main():
     try:
         engine = load_engine(InferConfig(
             model=ModelConfig(model_type=args.model_type),
-            checkpoint_dir=args.checkpoint_dir))
+            checkpoint_dir=args.checkpoint_dir, tta=args.tta))
     except Exception as e:
         logger.error(f"Error loading model: {e}")
         return 1
