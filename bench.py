@@ -145,10 +145,12 @@ def _require_backend():
     try:
         backend.devices()
     except BaseException as e:  # noqa: BLE001 - report any init failure
+        # flush explicitly: os._exit skips interpreter-level stdio flushing,
+        # which would swallow the one JSON line on block-buffered pipes
         print(json.dumps({"metric": "unet256_inference_throughput",
                           "value": 0, "unit": "slices/sec/chip",
                           "vs_baseline": 0,
-                          "error": f"{type(e).__name__}: {e}"}))
+                          "error": f"{type(e).__name__}: {e}"}), flush=True)
         os._exit(2)
 
 

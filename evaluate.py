@@ -296,7 +296,8 @@ def main():
             dataset = PairedSliceDataset(args.hr_dir, args.lr_dir)
             pairs = [(m["low_res_path"], m["full_res_path"])
                      for m in dataset.metadata]
-            df, impl = _evaluate_checkpoint(best, pairs, eval_dir, 32, name)
+            df, impl = _evaluate_checkpoint(best, pairs, eval_dir, 32, name,
+                                            quant=args.quant, tta=args.tta)
             df.to_csv(os.path.join(eval_dir, "metrics.csv"), index=False)
             all_dfs.append(df)
             summary[name] = impl

@@ -185,7 +185,7 @@ class InferenceEngine:
         return self._forward(self.params, jnp.asarray(x))
 
     def _quant_upscale(self, x: np.ndarray, n_real_slices: int,
-                       foreground_frac: float):
+                       foreground_frac: float, calib_ok: bool = True):
         """int8 PTQ serving with streaming self-calibration
         (models/quant_forward.py): content-rich batches run a full-bf16
         forward that simultaneously records each conv site's
@@ -208,6 +208,12 @@ class InferenceEngine:
         from mri_superresolution_tpu.models import quant_forward
 
         if foreground_frac < self.quant_min_foreground:
+            return self._route_bf16(x)
+        if self._quant_fwd is None and not calib_ok:
+            # TTA's non-identity transforms while calibrating: serve bf16
+            # WITHOUT feeding the statistics (the identity pass already
+            # counted these slices — 8 flips of one slice are not 8
+            # calibration slices)
             return self._route_bf16(x)
 
         if self._quant_fwd is None:
@@ -295,8 +301,11 @@ class InferenceEngine:
         transforms of t⁻¹(upscale(t(x))) — 8 transforms when h == w, the 4
         flips otherwise. Every transform preserves the input shape, so ONE
         compiled program serves all of them; composes with bucketing,
-        int8 and spatial sharding (each transformed batch goes through the
-        selected path unchanged).
+        int8 and spatial sharding. int8 caveat: during streaming
+        calibration only the untransformed pass feeds the amax statistics
+        (each real slice counts once, not n_transforms times) and the
+        remaining transforms follow the same precision the identity pass
+        was served at — one ensemble never mixes bf16 and int8 members.
         """
         if not self.tta:
             return self._upscale_once(batch)
@@ -314,11 +323,13 @@ class InferenceEngine:
                             lambda y, f=f: tr(f(y)))
                            for f, _ in list(transforms)]
         acc = np.zeros((n, 2 * h, 2 * w), np.float32)
-        for t, inv in transforms:
-            acc += inv(self._upscale_once(np.ascontiguousarray(t(batch))))
+        for i, (t, inv) in enumerate(transforms):
+            acc += inv(self._upscale_once(np.ascontiguousarray(t(batch)),
+                                          _quant_calib_ok=(i == 0)))
         return acc / len(transforms)
 
-    def _upscale_once(self, batch: np.ndarray) -> np.ndarray:
+    def _upscale_once(self, batch: np.ndarray,
+                      _quant_calib_ok: bool = True) -> np.ndarray:
         n, h, w = batch.shape
         bh, bw = self._bucket_hw(h, w)
         nb = _round_up(max(n, 1), self.n_devices)
@@ -349,7 +360,8 @@ class InferenceEngine:
         elif self.quant == "int8":
             y = self._quant_upscale(
                 x, n,
-                float((np.abs(batch) > FOREGROUND_INTENSITY).mean()))
+                float((np.abs(batch) > FOREGROUND_INTENSITY).mean()),
+                calib_ok=_quant_calib_ok)
         else:
             y = self._forward(self.params, jnp.asarray(x))
         y = np.asarray(y[:n, :2 * h, :2 * w, 0])

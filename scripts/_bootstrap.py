@@ -51,5 +51,5 @@ def _fail_fast_on_dead_backend() -> None:
 
     try:
         backend.devices()
-    except RuntimeError as e:
-        sys.exit(f"ERROR: {e}")
+    except Exception as e:  # devices() re-raises the ORIGINAL init error,
+        sys.exit(f"ERROR: {e}")  # whatever its type — keep the exit clean

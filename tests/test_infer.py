@@ -199,3 +199,21 @@ def test_tta_composes_with_bucketing(rng):
     assert y.shape == (3, 40, 48) and np.isfinite(y).all()
     yf = eng.upscale_batch(np.ascontiguousarray(x[:, :, ::-1]))
     np.testing.assert_allclose(yf[:, :, ::-1], y, rtol=1e-5, atol=1e-6)
+
+
+def test_tta_int8_calibration_counts_slices_once(rng):
+    """Under TTA, only the identity pass feeds int8 streaming calibration
+    (8 flips of one slice are not 8 calibration slices) and a calibrating
+    ensemble never mixes bf16 and int8 members."""
+    eng = _engine(quant="int8", quant_calib_slices=100,
+                  quant_min_foreground=0.0, tta=True)
+    x = rng.random((2, 16, 16), dtype=np.float32)
+    y = eng.upscale_batch(x)
+    assert y.shape == (2, 32, 32) and np.isfinite(y).all()
+    assert eng._calib_seen == 2          # counted once, not 8x
+    assert eng._quant_fwd is None        # still calibrating (target 100)
+    # all 8 members served bf16 while calibrating: the ensemble must equal
+    # the plain-bf16 TTA engine's output exactly
+    plain = InferenceEngine(eng.model_cfg, eng.params, bf16=False, tta=True)
+    np.testing.assert_allclose(y, plain.upscale_batch(x), rtol=1e-6,
+                               atol=1e-7)

@@ -22,7 +22,11 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")
 from quality_parity import REPO, run, summarize, synthesize  # noqa: E402
 
 
-def engine_metrics(ckpt_path, model_type, pairs, quant, calib_lrs=()):
+def engine_metrics(ckpt_path, model_type, pairs, quant="none", calib_lrs=(),
+                   **infer_kwargs):
+    """Held-out SSIM/PSNR/RMSE/MAE of a trained checkpoint served through
+    the inference engine. Shared by the quant and tta quality harnesses;
+    ``infer_kwargs`` pass through to InferConfig (e.g. tta=True)."""
     import numpy as np
     import cv2
     import jax.numpy as jnp
@@ -35,7 +39,7 @@ def engine_metrics(ckpt_path, model_type, pairs, quant, calib_lrs=()):
         model=ModelConfig(model_type=model_type, base_filters=32),
         checkpoint_dir=os.path.dirname(ckpt_path),
         checkpoint_path=ckpt_path, quant=quant,
-        quant_calib_slices=max(1, len(calib_lrs))))
+        quant_calib_slices=max(1, len(calib_lrs)), **infer_kwargs))
     # self-calibrate on TRAIN-split slices so every held-out eval pair is
     # served by the frozen int8 path (no bf16 warm-up leaking into metrics)
     for lr_p in calib_lrs:

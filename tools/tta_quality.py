@@ -18,29 +18,8 @@ import sys
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
-from quality_parity import REPO, run, summarize, synthesize  # noqa: E402
-
-
-def engine_metrics(ckpt_path, model_type, pairs, tta):
-    import numpy as np
-    import cv2
-    import jax.numpy as jnp
-
-    from mri_superresolution_tpu.config import InferConfig, ModelConfig
-    from mri_superresolution_tpu.infer import load_engine
-    from mri_superresolution_tpu.ops.metrics import metric_suite
-
-    engine = load_engine(InferConfig(
-        model=ModelConfig(model_type=model_type, base_filters=32),
-        checkpoint_dir=os.path.dirname(ckpt_path),
-        checkpoint_path=ckpt_path, tta=tta))
-    per = []
-    for lr_p, hr_p in pairs:
-        lr = cv2.imread(lr_p, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
-        hr = cv2.imread(hr_p, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
-        out = engine.upscale_image(lr)
-        per.append(metric_suite(jnp.asarray(out), jnp.asarray(hr)))
-    return summarize(per)
+from quality_parity import REPO, run, synthesize  # noqa: E402
+from quant_quality import engine_metrics  # noqa: E402  (shared helper)
 
 
 def main():
@@ -57,10 +36,12 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend throughout (also forwarded "
                          "to the train/extract subprocesses)")
-    ap.add_argument("--augmentation", action="store_true", default=True,
+    ap.add_argument("--augmentation", default=True,
+                    action=argparse.BooleanOptionalAction,
                     help="train WITH flip/rotate augmentation (default on: "
                          "TTA assumes approximate flip-equivariance, which "
-                         "augmented training encourages)")
+                         "augmented training encourages; --no-augmentation "
+                         "measures the un-augmented control)")
     ap.add_argument("--models", nargs="+", default=["unet", "unet_tpu"])
     args = ap.parse_args()
 
@@ -113,7 +94,7 @@ def main():
     for mt in args.models:
         ckpt = os.path.join(p["ckpt"], f"best_model_{mt}.ckpt")
         for tta in (False, True):
-            m = engine_metrics(ckpt, mt, pairs, tta)
+            m = engine_metrics(ckpt, mt, pairs, tta=tta)
             rows[f"{mt}/{'tta' if tta else 'plain'}"] = m
             print(f"{mt:<10} {'tta' if tta else 'plain':<6} "
                   f"ssim={m['ssim']:.4f} psnr={m['psnr']:.3f} "
