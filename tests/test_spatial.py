@@ -428,3 +428,20 @@ def test_engine_spatial_padding_warns(caplog, dense_and_params):
         eng_logger.removeHandler(caplog.handler)
     assert not [r for r in caplog.records
                 if r.levelno >= logging.WARNING and "GroupNorm" in r.message]
+
+
+def test_tta_composes_with_spatial_serving(dense_and_params):
+    """tta=True over the row-sharded engine path: flip-equivariant by
+    construction, correct shape, finite."""
+    from mri_superresolution_tpu.config import ModelConfig
+    from mri_superresolution_tpu.infer.engine import InferenceEngine
+
+    _, params = dense_and_params
+    eng = InferenceEngine(ModelConfig(base_filters=16), params, bf16=False,
+                          num_devices=8, spatial_shards=2, tta=True)
+    rng = np.random.default_rng(3)
+    x = rng.random((2, 32, 32), dtype=np.float32)
+    y = eng.upscale_batch(x)
+    assert y.shape == (2, 64, 64) and np.isfinite(y).all()
+    yf = eng.upscale_batch(np.ascontiguousarray(x[:, ::-1]))
+    np.testing.assert_allclose(yf[:, ::-1], y, rtol=1e-5, atol=1e-6)
