@@ -128,6 +128,17 @@ class TrainConfig:
     # warning if any occur; tests/test_train.py asserts equality).
     # Composes with remat and spatial_shards. 1 = off (default).
     grad_accum: int = 1
+    # Exponential moving average of the weights (Polyak averaging), a
+    # serving-quality capability the reference does not offer: after each
+    # optimizer step ema = decay*ema + (1-decay)*params (fp32, initialized
+    # to the initial params so no bias correction is needed). When > 0:
+    # validation, best-model selection, and the checkpointed serving params
+    # all use the EMA weights (the live weights are stored alongside under
+    # "raw_params" so --resume restores the exact optimizer trajectory).
+    # 0 = off (default). Typical values 0.99-0.999; match the horizon
+    # ~1/(1-decay) steps to the run length. Composes with every other
+    # trainer feature (grad_accum applies EMA once per optimizer step).
+    ema_decay: float = 0.0
 
 
 @dataclass

@@ -29,11 +29,22 @@ def _to_numpy(tree):
 
 
 def save_checkpoint(path: str, params: Any, opt_state: Any = None,
-                    meta: Optional[Dict] = None) -> None:
-    """Write ``{path}.ckpt`` (msgpack) and ``{path}.json`` (meta sidecar)."""
+                    meta: Optional[Dict] = None,
+                    extras: Optional[Dict[str, Any]] = None) -> None:
+    """Write ``{path}.ckpt`` (msgpack) and ``{path}.json`` (meta sidecar).
+
+    ``extras``: additional named pytrees stored alongside (e.g. the trainer
+    stores the live weights under ``raw_params`` when EMA is active, so
+    ``params`` — what inference loads — are the averaged serving weights
+    while ``--resume`` still restores the exact optimizer trajectory).
+    """
     state = {"params": serialization.to_state_dict(_to_numpy(params))}
     if opt_state is not None:
         state["opt_state"] = serialization.to_state_dict(_to_numpy(opt_state))
+    for key, tree in (extras or {}).items():
+        if key in state:
+            raise ValueError(f"extras key {key!r} collides with {list(state)}")
+        state[key] = serialization.to_state_dict(_to_numpy(tree))
     blob = serialization.msgpack_serialize(state)
     base = path[:-5] if path.endswith(".ckpt") else path
     # atomic writes: a crash mid-save must never corrupt the previous
@@ -50,11 +61,14 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
 
 def load_checkpoint(path: str,
                     opt_state_template: Any = None,
-                    ) -> Tuple[Any, Any, Dict]:
+                    return_extras: bool = False):
     """Read a checkpoint → (params, opt_state or None, meta dict).
 
     ``opt_state_template``: a freshly-built optimizer state whose pytree
     structure types the restored one (optax states are namedtuples).
+    ``return_extras``: also return a dict of any extra stored pytrees
+    (keys beyond params/opt_state, e.g. ``raw_params`` from EMA runs) as a
+    fourth element.
     """
     base = path[:-5] if path.endswith(".ckpt") else path
     with open(base + ".ckpt", "rb") as f:
@@ -68,6 +82,10 @@ def load_checkpoint(path: str,
     if "opt_state" in state and opt_state_template is not None:
         opt_state = serialization.from_state_dict(opt_state_template,
                                                   state["opt_state"])
+    if return_extras:
+        extras = {k: v for k, v in state.items()
+                  if k not in ("params", "opt_state")}
+        return params, opt_state, meta, extras
     return params, opt_state, meta
 
 

@@ -56,6 +56,9 @@ class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
     opt_state: Any
+    # Polyak EMA of params (None when ema_decay == 0 — an empty pytree
+    # subtree, so checkpoints and shardings of EMA-free runs are unchanged)
+    ema_params: Any = None
 
 
 def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
@@ -69,7 +72,7 @@ def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
 
 
 def _make_train_step(compute_loss, optimizer, augment_cfg,
-                     grad_accum: int = 1) -> Any:
+                     grad_accum: int = 1, ema_decay: float = 0.0) -> Any:
     """Shared train-step skeleton (augment → value_and_grad → torch-style
     Adam update). ``compute_loss(params, hr, lo, w) -> (total, comps)``
     with ``comps["ssim_metric"]`` present; the DP and spatially-sharded
@@ -135,18 +138,25 @@ def _make_train_step(compute_loss, optimizer, augment_cfg,
                                               state.params)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema_decay > 0.0:
+            # Polyak average in the params' own dtype (fp32 masters). EMA is
+            # initialized to the initial params, so no bias correction term.
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                ema, params)
         metrics = {"loss": loss, "ssim": comps["ssim_metric"]}
         if "ssim_clip_micros" in comps:
             metrics["ssim_clip_micros"] = comps["ssim_clip_micros"]
         return TrainState(step=state.step + 1, params=params,
-                          opt_state=opt_state), metrics
+                          opt_state=opt_state, ema_params=ema), metrics
 
     return train_step
 
 
 def build_train_step(model, loss_fn: CombinedLoss, optimizer,
                      augment_cfg, ssim_cfg, remat: bool = False,
-                     grad_accum: int = 1) -> Any:
+                     grad_accum: int = 1, ema_decay: float = 0.0) -> Any:
     """Returns train_step(state, batch, lr, key) → (state, metrics).
 
     Model-side rematerialization lives in the MODEL itself
@@ -172,7 +182,7 @@ def build_train_step(model, loss_fn: CombinedLoss, optimizer,
         return loss_call(out, hr, w)
 
     return _make_train_step(compute_loss, optimizer, augment_cfg,
-                            grad_accum=grad_accum)
+                            grad_accum=grad_accum, ema_decay=ema_decay)
 
 
 def build_eval_step(model, loss_fn: CombinedLoss, ssim_cfg) -> Any:
@@ -190,7 +200,8 @@ def build_eval_step(model, loss_fn: CombinedLoss, ssim_cfg) -> Any:
 
 
 def build_spatial_train_step(sharded_loss, optimizer, augment_cfg,
-                             grad_accum: int = 1) -> Any:
+                             grad_accum: int = 1,
+                             ema_decay: float = 0.0) -> Any:
     """Spatially-sharded (SP) train step: same (state, batch, lr, key) →
     (state, metrics) contract as build_train_step, but the forward, loss
     and backward all run row-sharded under shard_map
@@ -204,7 +215,7 @@ def build_spatial_train_step(sharded_loss, optimizer, augment_cfg,
         return total, comps
 
     return _make_train_step(compute_loss, optimizer, augment_cfg,
-                            grad_accum=grad_accum)
+                            grad_accum=grad_accum, ema_decay=ema_decay)
 
 
 def build_spatial_eval_step(sharded_loss) -> Any:
@@ -365,10 +376,24 @@ def train(cfg: TrainConfig,
                 message_type="warning")
             vgg_params = vgg_mod.random_params(jax.random.key(0),
                                                cfg.loss.vgg_layer_idx)
+    if not 0.0 <= cfg.ema_decay < 1.0:
+        raise ValueError(f"ema_decay must be in [0, 1), got {cfg.ema_decay}")
+    ema_on = cfg.ema_decay > 0.0
+    if ema_on:
+        log_message(
+            f"EMA of weights enabled (decay {cfg.ema_decay}, horizon "
+            f"~{1.0 / (1.0 - cfg.ema_decay):.0f} steps): validation, "
+            f"best-model selection, and checkpointed serving params use the "
+            f"averaged weights; live weights stored under 'raw_params' for "
+            f"--resume")
     optimizer = make_optimizer(cfg.weight_decay)
     opt_state = optimizer.init(params)
+    # ema_0 = params_0, as a DISTINCT buffer: the train step donates the
+    # whole state, and XLA rejects donating the same buffer twice
+    copy_tree = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       opt_state=opt_state)
+                       opt_state=opt_state,
+                       ema_params=copy_tree(params) if ema_on else None)
 
     scheduler = ReduceLROnPlateau(cfg.learning_rate, factor=0.5,
                                   patience=cfg.patience // 2)
@@ -377,13 +402,28 @@ def train(cfg: TrainConfig,
 
     names = ckpt.checkpoint_paths(cfg.checkpoint_dir, cfg.model.model_type)
     if cfg.resume and os.path.exists(names["final"] + ".ckpt"):
-        params_r, opt_r, meta = ckpt.load_checkpoint(
-            names["final"] + ".ckpt", opt_state_template=opt_state)
+        params_r, opt_r, meta, extras = ckpt.load_checkpoint(
+            names["final"] + ".ckpt", opt_state_template=opt_state,
+            return_extras=True)
         from flax import serialization
+        # EMA checkpoints store the averaged weights as "params" (what
+        # serving loads) and the live weights as "raw_params"; resume the
+        # optimizer trajectory from the live ones
+        live_r = extras.get("raw_params", params_r)
+        ema_r = None
+        if ema_on:
+            # copy: when raw_params is absent both trees restore from the
+            # same arrays, which must not alias under buffer donation
+            ema_r = copy_tree(serialization.from_state_dict(params, params_r))
+            if "raw_params" not in extras:
+                log_message("Resuming with EMA enabled from a checkpoint "
+                            "without EMA state: initializing the average "
+                            "from the restored weights")
         state = TrainState(
             step=jnp.asarray(int(meta.get("step", 0)), jnp.int32),
-            params=serialization.from_state_dict(params, params_r),
-            opt_state=opt_r if opt_r is not None else opt_state)
+            params=serialization.from_state_dict(params, live_r),
+            opt_state=opt_r if opt_r is not None else opt_state,
+            ema_params=ema_r)
         scheduler.load_state_dict(meta["scheduler"])
         early.load_state_dict(meta["early_stopping"])
         start_epoch = int(meta.get("epoch", -1)) + 1
@@ -409,7 +449,8 @@ def train(cfg: TrainConfig,
             dtype=dtype, vgg_params=vgg_params, remat=cfg.remat)
         train_step = jax.jit(
             build_spatial_train_step(sharded_loss, optimizer, cfg.augment,
-                                     grad_accum=cfg.grad_accum),
+                                     grad_accum=cfg.grad_accum,
+                                     ema_decay=cfg.ema_decay),
             in_shardings=(rsh, dsh, None, None),
             out_shardings=(rsh, rsh),
             donate_argnums=(0,))
@@ -425,7 +466,8 @@ def train(cfg: TrainConfig,
         train_step = jax.jit(
             build_train_step(model, loss_fn, optimizer, cfg.augment,
                              cfg.loss, remat=cfg.remat,
-                             grad_accum=cfg.grad_accum),
+                             grad_accum=cfg.grad_accum,
+                             ema_decay=cfg.ema_decay),
             in_shardings=(rsh, dsh, None, None),
             out_shardings=(rsh, rsh),
             donate_argnums=(0,))
@@ -461,6 +503,7 @@ def train(cfg: TrainConfig,
         "num_devices": n_dev,
         "bf16": cfg.bf16,
         "seed": cfg.seed,
+        "ema_decay": cfg.ema_decay,
     }, "params")
 
     if len(val_idx) == 0:
@@ -536,10 +579,14 @@ def train(cfg: TrainConfig,
         val_losses, val_ssims = [], []
         n_val = 0
         vis_batch, vis_out = None, None
+        # with EMA, validation (and therefore LR plateau / early-stop /
+        # best-model selection) scores the averaged weights — they are what
+        # the checkpoint serves
+        eval_params = state.ema_params if ema_on else state.params
         for batch in val_loader.epoch():
             dev_batch = {k: jax.device_put(v, _sh(k))
                          for k, v in batch.items()}
-            metrics, out = eval_step(state.params, dev_batch)
+            metrics, out = eval_step(eval_params, dev_batch)
             val_losses.append(metrics["loss"])
             val_ssims.append(metrics["ssim"])
             n_val += 1
@@ -554,12 +601,15 @@ def train(cfg: TrainConfig,
                             f"to {new_lr:.2e}")
             if early.update(val_loss):
                 ckpt.save_checkpoint(
-                    names["best"], state.params, state.opt_state,
+                    names["best"],
+                    state.ema_params if ema_on else state.params,
+                    state.opt_state,
                     meta={**hyper_meta, "epoch": epoch,
                           "step": int(state.step),
                           "val_loss": val_loss, "val_ssim": val_ssim,
                           "scheduler": scheduler.state_dict(),
-                          "early_stopping": early.state_dict()})
+                          "early_stopping": early.state_dict()},
+                    extras={"raw_params": state.params} if ema_on else None)
                 log_message(f"Saved best model with validation loss: "
                             f"{val_loss:.6f}")
             final_val_loss, final_val_ssim = val_loss, val_ssim
@@ -604,11 +654,14 @@ def train(cfg: TrainConfig,
 
     # --- final checkpoint (scripts/train.py:467-477) ---
     ckpt.save_checkpoint(
-        names["final"], state.params, state.opt_state,
+        names["final"],
+        state.ema_params if ema_on else state.params,
+        state.opt_state,
         meta={**hyper_meta, "epoch": epoch, "step": int(state.step),
               "val_loss": final_val_loss, "val_ssim": final_val_ssim,
               "scheduler": scheduler.state_dict(),
-              "early_stopping": early.state_dict()})
+              "early_stopping": early.state_dict()},
+        extras={"raw_params": state.params} if ema_on else None)
     log_message(f"Training completed. Final model saved to "
                 f"{names['final']}.ckpt")
     if writer:

@@ -79,6 +79,15 @@ def parse_args():
                              'saturating the SSIM clip — is detected and '
                              'logged). Composes with --remat and '
                              '--spatial_shards')
+    parser.add_argument('--ema_decay', type=float, default=0.0,
+                        help='Exponential moving average of the weights '
+                             '(Polyak): ema = d*ema + (1-d)*params after '
+                             'each optimizer step. Validation, best-model '
+                             'selection, and the checkpointed serving '
+                             'params use the averaged weights (live '
+                             'weights kept alongside for --resume). '
+                             '0 = off; typical 0.99-0.999 (horizon '
+                             '~1/(1-d) steps)')
     parser.add_argument('--streaming_threshold_mb', type=int, default=2048,
                         help='auto mode streams past this decoded size')
     parser.add_argument('--seed', type=int, default=random.randint(1, 10000))
@@ -149,6 +158,7 @@ def main():
         spatial_shards=args.spatial_shards,
         remat=args.remat,
         grad_accum=args.grad_accum,
+        ema_decay=args.ema_decay,
     )
     train(cfg)
 

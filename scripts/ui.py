@@ -63,6 +63,7 @@ DEFAULT_PARAMS = {
     "remat": False,
     "spatial_shards": 1,
     "grad_accum": 1,
+    "ema_decay": 0.0,
     "use_tensorboard": False,
     "cpu": False,
     "resume": False,
@@ -91,6 +92,7 @@ MENUS = {
         "ssim_weight", "perceptual_weight", "perceptual_loss_type",
         "vgg_layer_idx", "initial_alpha", "validation_split", "patience",
         "seed", "augmentation", "remat", "spatial_shards", "grad_accum",
+        "ema_decay",
         "use_tensorboard", "resume", "cpu", "checkpoint_dir", "log_dir",
     ],
     "infer": [
@@ -139,7 +141,10 @@ def validate(field, raw, params):
             raise ValueError(f"{field} must be positive")
         return v
     if isinstance(current, float):
-        return float(raw)
+        v = float(raw)
+        if field == "ema_decay" and not 0.0 <= v < 1.0:
+            raise ValueError("ema_decay must be in [0, 1)")
+        return v
     return raw
 
 
@@ -178,6 +183,7 @@ def build_command(menu, p):
                "--seed", str(p["seed"]),
                "--spatial_shards", str(p["spatial_shards"]),
                "--grad_accum", str(p["grad_accum"]),
+               "--ema_decay", str(p["ema_decay"]),
                "--checkpoint_dir", p["checkpoint_dir"],
                "--log_dir", p["log_dir"]]
         for flag in ("augmentation", "remat", "use_tensorboard", "resume"):

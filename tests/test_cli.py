@@ -49,9 +49,11 @@ def test_train_cli_protocol_and_checkpoints(workspace):
               "--epochs", "1", "--batch_size", "8", "--base_filters", "16",
               "--seed", "1", "--checkpoint_dir", "./ckpt",
               "--grad_accum", "2",      # exercises the microbatch-scan path
+              "--ema_decay", "0.9",     # exercises Polyak-averaged serving
               "--log_dir", "./logs", "--cpu"], cwd=str(workspace))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Gradient accumulation: 2 sequential microbatches" in r.stdout
+    assert "EMA of weights enabled" in r.stdout
     lines = [json.loads(l) for l in r.stdout.splitlines()
              if l.startswith("{")]
     kinds = {l["type"] for l in lines}

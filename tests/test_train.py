@@ -514,6 +514,87 @@ def test_training_is_deterministic(tmp_path, capsys):
     assert a == b, (a, b)
 
 
+def test_ema_matches_explicit_recompute():
+    """ema_params must track exactly ema_{t} = d*ema_{t-1} + (1-d)*params_t
+    (initialized to params_0), recomputed on the host from the per-step
+    param trajectory."""
+    from mri_superresolution_tpu.losses import CombinedLoss
+    from mri_superresolution_tpu.models import build_model
+    from mri_superresolution_tpu.train.trainer import (TrainState,
+                                                       build_train_step)
+
+    decay = 0.75
+    model = build_model(ModelConfig(base_filters=16), dtype=jnp.float32)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, 16, 16, 1)))["params"]
+    optimizer = make_optimizer(1e-5)
+    cfg = LossConfig(ssim_weight=0.3)
+    step = jax.jit(build_train_step(model, CombinedLoss(cfg), optimizer,
+                                    AugmentConfig(enabled=False), cfg,
+                                    ema_decay=decay))
+    rng = np.random.default_rng(21)
+    batch = {"lr": jnp.asarray(rng.random((8, 16, 16, 1), np.float32)),
+             "hr": jnp.asarray(rng.random((8, 32, 32, 1), np.float32)),
+             "weight": jnp.ones((8,), jnp.float32)}
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=optimizer.init(params), ema_params=params)
+
+    expected = jax.device_get(params)   # ema_0 = params_0
+    for t in range(3):
+        state, _ = step(state, batch, jnp.asarray(1e-3, jnp.float32),
+                        jax.random.key(t))
+        p_t = jax.device_get(state.params)
+        expected = jax.tree_util.tree_map(
+            lambda e, p: e * decay + p * (1.0 - decay), expected, p_t)
+
+    for path, got in jax.tree_util.tree_leaves_with_path(
+            jax.device_get(state.ema_params)):
+        want = dict(jax.tree_util.tree_leaves_with_path(expected))[path]
+        np.testing.assert_allclose(
+            got, want, rtol=1e-6, atol=1e-7,
+            err_msg="ema " + jax.tree_util.keystr(path))
+
+
+def test_ema_checkpoint_serves_average_and_resumes(tmp_path, capsys):
+    """With --ema_decay the checkpoint's 'params' (what inference loads)
+    must be the EMA weights, the live weights must ride along under
+    'raw_params', and --resume must restore both and keep training."""
+    pytest.importorskip("cv2")
+    from mri_superresolution_tpu.train.trainer import train
+
+    hr_dir, lr_dir = _make_dataset(tmp_path, n=8)
+    cfg = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=2, ema_decay=0.9)
+    train(cfg)
+    capsys.readouterr()
+
+    path = os.path.join(cfg.checkpoint_dir, "final_model_unet")
+    p_ema, _, meta, extras = ckpt.load_checkpoint(path, return_extras=True)
+    assert "raw_params" in extras
+    assert meta["config"]["ema_decay"] == 0.9
+    from jax.flatten_util import ravel_pytree
+    f_ema, _ = ravel_pytree(p_ema)
+    f_raw, _ = ravel_pytree(extras["raw_params"])
+    # the average genuinely lags the live weights after real updates
+    assert float(np.abs(np.asarray(f_ema) - np.asarray(f_raw)).max()) > 1e-6
+
+    cfg2 = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=4, ema_decay=0.9)
+    cfg2.resume = True
+    train(cfg2)
+    out = capsys.readouterr().out
+    summaries = [json.loads(l) for l in out.splitlines()
+                 if l.startswith("{") and "epoch_summary" in l]
+    assert [s["epoch"] for s in summaries] == [2, 3]
+
+
+def test_ema_off_checkpoint_has_no_extras(tmp_path):
+    params = {"w": np.ones((2,), np.float32)}
+    opt = make_optimizer(0.0)
+    path = str(tmp_path / "final_model_unet")
+    ckpt.save_checkpoint(path, params, opt.init(params), meta={})
+    _, _, _, extras = ckpt.load_checkpoint(path, return_extras=True)
+    assert extras == {}
+
+
 def test_checkpoint_discovery_does_not_cross_model_families(tmp_path):
     d = str(tmp_path)
     open(os.path.join(d, "best_model_unet_tpu.ckpt"), "wb").write(b"")
