@@ -139,6 +139,16 @@ class TrainConfig:
     # ~1/(1-decay) steps to the run length. Composes with every other
     # trainer feature (grad_accum applies EMA once per optimizer step).
     ema_decay: float = 0.0
+    # ZeRO-1-style optimizer-state sharding (parallel/mesh.zero1_shardings):
+    # Adam's m/v moments are STORED sharded over the data axis (largest
+    # divisible axis per leaf) instead of replicated — per-device optimizer
+    # memory scales ~1/n_data for the cost of an update all-gather over
+    # ICI. Values are unchanged (the Adam update is elementwise); GSPMD
+    # inserts the collectives from the declared in/out shardings. Composes
+    # with every other trainer feature. Off by default (a ~2M-param model
+    # doesn't need it; it exists for the framework's scaling story and for
+    # large custom models).
+    opt_shard: bool = False
 
 
 @dataclass

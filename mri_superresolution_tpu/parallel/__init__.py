@@ -3,6 +3,7 @@ from mri_superresolution_tpu.parallel.mesh import (  # noqa: F401
     data_sharding,
     replicated_sharding,
     shard_batch,
+    zero1_shardings,
 )
 from mri_superresolution_tpu.parallel.spatial import (  # noqa: F401
     build_spatial_forward,

@@ -44,6 +44,35 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def zero1_shardings(tree, mesh: Mesh):
+    """ZeRO-1-style sharding tree for optimizer state.
+
+    Each array leaf is sharded along its LARGEST axis divisible by the
+    mesh's data-axis size (scalars and indivisible leaves replicate) — per
+    device, Adam's m/v moments then occupy 1/n_data of their replicated
+    footprint. The reference has no distributed training at all
+    (SURVEY.md §2.2); this is the TPU-native analogue of optimizer-state
+    sharding: storage shardings are declared on the jitted step's
+    in/out_shardings and GSPMD inserts the (ICI) collectives — the update
+    math runs shard-local on each moment slice and only the final
+    parameter delta is all-gathered. Exactness: the Adam update is
+    elementwise, so sharding changes data placement, not values
+    (equivalence-tested in tests/test_train.py)."""
+    n = mesh.shape[DATA_AXIS]
+    repl = NamedSharding(mesh, P())
+
+    def leaf(x):
+        shape = tuple(getattr(x, "shape", ()))
+        for ax in sorted(range(len(shape)), key=lambda a: -shape[a]):
+            if shape[ax] >= n and shape[ax] % n == 0:
+                spec = [None] * len(shape)
+                spec[ax] = DATA_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return repl
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place a host batch dict onto the mesh, batch axis sharded."""
     ds = data_sharding(mesh)

@@ -45,7 +45,8 @@ from mri_superresolution_tpu.ops.ssim import ssim
 from mri_superresolution_tpu.parallel import (build_spatial_loss,
                                               data_sharding, make_mesh,
                                               make_spatial_mesh,
-                                              replicated_sharding)
+                                              replicated_sharding,
+                                              zero1_shardings)
 from mri_superresolution_tpu.train import checkpoint as ckpt
 from mri_superresolution_tpu.train.plateau import (EarlyStopping,
                                                    ReduceLROnPlateau)
@@ -431,7 +432,24 @@ def train(cfg: TrainConfig,
 
     # --- sharding / compilation ---
     rsh = replicated_sharding(mesh)
-    state = jax.device_put(state, rsh)
+    if cfg.opt_shard:
+        # ZeRO-1: store Adam moments sharded over the data axis; params
+        # (and the EMA tree, which serving reads whole) stay replicated
+        full = lambda t: jax.tree_util.tree_map(lambda _: rsh, t)  # noqa: E731
+        state_sh = TrainState(
+            step=rsh, params=full(state.params),
+            opt_state=zero1_shardings(state.opt_state, mesh),
+            ema_params=full(state.ema_params))
+        leaves = jax.tree_util.tree_leaves(
+            state_sh.opt_state, is_leaf=lambda s: hasattr(s, "spec"))
+        n_sharded = sum(1 for s in leaves if not s.is_fully_replicated)
+        log_message(f"ZeRO-1 optimizer-state sharding: {n_sharded}/"
+                    f"{len(leaves)} moment tensors stored sharded over the "
+                    f"{mesh.shape['data']}-way data axis (~1/"
+                    f"{mesh.shape['data']} per-device optimizer memory)")
+    else:
+        state_sh = rsh
+    state = jax.device_put(state, state_sh)
 
     if spatial:
         h, w = sample_hw
@@ -451,8 +469,8 @@ def train(cfg: TrainConfig,
             build_spatial_train_step(sharded_loss, optimizer, cfg.augment,
                                      grad_accum=cfg.grad_accum,
                                      ema_decay=cfg.ema_decay),
-            in_shardings=(rsh, dsh, None, None),
-            out_shardings=(rsh, rsh),
+            in_shardings=(state_sh, dsh, None, None),
+            out_shardings=(state_sh, rsh),
             donate_argnums=(0,))
         eval_step = jax.jit(
             build_spatial_eval_step(sharded_loss),
@@ -468,8 +486,8 @@ def train(cfg: TrainConfig,
                              cfg.loss, remat=cfg.remat,
                              grad_accum=cfg.grad_accum,
                              ema_decay=cfg.ema_decay),
-            in_shardings=(rsh, dsh, None, None),
-            out_shardings=(rsh, rsh),
+            in_shardings=(state_sh, dsh, None, None),
+            out_shardings=(state_sh, rsh),
             donate_argnums=(0,))
         eval_step = jax.jit(
             build_eval_step(model, loss_fn, cfg.loss),

@@ -79,6 +79,12 @@ def parse_args():
                              'saturating the SSIM clip — is detected and '
                              'logged). Composes with --remat and '
                              '--spatial_shards')
+    parser.add_argument('--opt_shard', action='store_true',
+                        help='ZeRO-1-style optimizer-state sharding: store '
+                             "Adam's m/v moments sharded over the data "
+                             'axis (~1/n_devices per-device optimizer '
+                             'memory; GSPMD all-gathers the update). '
+                             'Values unchanged — placement only')
     parser.add_argument('--ema_decay', type=float, default=0.0,
                         help='Exponential moving average of the weights '
                              '(Polyak): ema = d*ema + (1-d)*params after '
@@ -159,6 +165,7 @@ def main():
         remat=args.remat,
         grad_accum=args.grad_accum,
         ema_decay=args.ema_decay,
+        opt_shard=args.opt_shard,
     )
     train(cfg)
 

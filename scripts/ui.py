@@ -64,6 +64,7 @@ DEFAULT_PARAMS = {
     "spatial_shards": 1,
     "grad_accum": 1,
     "ema_decay": 0.0,
+    "opt_shard": False,
     "use_tensorboard": False,
     "cpu": False,
     "resume": False,
@@ -92,7 +93,7 @@ MENUS = {
         "ssim_weight", "perceptual_weight", "perceptual_loss_type",
         "vgg_layer_idx", "initial_alpha", "validation_split", "patience",
         "seed", "augmentation", "remat", "spatial_shards", "grad_accum",
-        "ema_decay",
+        "ema_decay", "opt_shard",
         "use_tensorboard", "resume", "cpu", "checkpoint_dir", "log_dir",
     ],
     "infer": [
@@ -186,7 +187,8 @@ def build_command(menu, p):
                "--ema_decay", str(p["ema_decay"]),
                "--checkpoint_dir", p["checkpoint_dir"],
                "--log_dir", p["log_dir"]]
-        for flag in ("augmentation", "remat", "use_tensorboard", "resume"):
+        for flag in ("augmentation", "remat", "opt_shard",
+                     "use_tensorboard", "resume"):
             if p[flag]:
                 cmd.append(f"--{flag}")
     elif menu == "infer":

@@ -50,10 +50,12 @@ def test_train_cli_protocol_and_checkpoints(workspace):
               "--seed", "1", "--checkpoint_dir", "./ckpt",
               "--grad_accum", "2",      # exercises the microbatch-scan path
               "--ema_decay", "0.9",     # exercises Polyak-averaged serving
+              "--opt_shard",            # exercises ZeRO-1 moment sharding
               "--log_dir", "./logs", "--cpu"], cwd=str(workspace))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Gradient accumulation: 2 sequential microbatches" in r.stdout
     assert "EMA of weights enabled" in r.stdout
+    assert "ZeRO-1 optimizer-state sharding" in r.stdout
     lines = [json.loads(l) for l in r.stdout.splitlines()
              if l.startswith("{")]
     kinds = {l["type"] for l in lines}

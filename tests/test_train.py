@@ -514,6 +514,90 @@ def test_training_is_deterministic(tmp_path, capsys):
     assert a == b, (a, b)
 
 
+def test_zero1_sharding_rules():
+    """zero1_shardings shards each leaf's largest mesh-divisible axis and
+    replicates scalars/indivisible leaves."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from mri_superresolution_tpu.parallel import zero1_shardings
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    tree = {"kernel": np.zeros((3, 3, 16, 32)), "bias": np.zeros((32,)),
+            "odd": np.zeros((7, 5)), "count": np.zeros(())}
+    sh = zero1_shardings(tree, mesh)
+    assert sh["kernel"].spec == P(None, None, None, "data")
+    assert sh["bias"].spec == P("data")
+    assert sh["odd"].spec == P()
+    assert sh["count"].spec == P()
+
+
+def test_opt_shard_zero1_equivalence_and_placement():
+    """--opt_shard must change optimizer-state PLACEMENT only: one step on
+    the 8-device mesh with ZeRO-1-sharded moments matches the replicated
+    run, and the sharded moment tensors genuinely hold 1/8 per device."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mri_superresolution_tpu.losses import CombinedLoss
+    from mri_superresolution_tpu.models import build_model
+    from mri_superresolution_tpu.parallel import zero1_shardings
+    from mri_superresolution_tpu.train.trainer import (TrainState,
+                                                       build_train_step)
+
+    model = build_model(ModelConfig(base_filters=16), dtype=jnp.float32)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, 16, 16, 1)))["params"]
+    optimizer = make_optimizer(1e-5)
+    cfg = LossConfig(ssim_weight=0.3)
+    step_fn = build_train_step(model, CombinedLoss(cfg), optimizer,
+                               AugmentConfig(enabled=False), cfg,
+                               ema_decay=0.9)
+    rng = np.random.default_rng(17)
+    batch = {"lr": rng.random((16, 16, 16, 1), dtype=np.float32),
+             "hr": rng.random((16, 32, 32, 1), dtype=np.float32),
+             "weight": np.ones((16,), np.float32)}
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    rsh, dsh = NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+    opt_state = optimizer.init(params)
+
+    def run(opt_shard):
+        if opt_shard:
+            full = lambda t: jax.tree_util.tree_map(lambda _: rsh, t)
+            state_sh = TrainState(step=rsh, params=full(params),
+                                  opt_state=zero1_shardings(opt_state, mesh),
+                                  ema_params=full(params))
+        else:
+            state_sh = rsh
+        state = jax.device_put(
+            TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=opt_state,
+                       ema_params=jax.tree_util.tree_map(jnp.array, params)),
+            state_sh)
+        dev_batch = {k: jax.device_put(jnp.asarray(v), dsh)
+                     for k, v in batch.items()}
+        jitted = jax.jit(step_fn, in_shardings=(state_sh, dsh, None, None),
+                         out_shardings=(state_sh, rsh))
+        return jitted(state, dev_batch, jnp.asarray(1e-3, jnp.float32),
+                      jax.random.key(3))
+
+    (s_rep, m_rep), (s_sh, m_sh) = run(False), run(True)
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_rep["loss"]),
+                               rtol=1e-6)
+    flat_rep = dict(jax.tree_util.tree_leaves_with_path(s_rep.params))
+    for path, v in jax.tree_util.tree_leaves_with_path(s_sh.params):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_rep[path]), rtol=1e-5, atol=1e-6,
+            err_msg="param " + jax.tree_util.keystr(path))
+    # placement: sharded moment leaves hold 1/8 of the data per device
+    sharded = [l for l in jax.tree_util.tree_leaves(s_sh.opt_state)
+               if hasattr(l, "sharding") and l.ndim > 0
+               and not l.sharding.is_fully_replicated]
+    assert sharded, "no optimizer leaf ended up sharded"
+    for leaf in sharded:
+        assert leaf.addressable_shards[0].data.size == leaf.size // 8
+    # EMA tree stays replicated (serving reads it whole)
+    for leaf in jax.tree_util.tree_leaves(s_sh.ema_params):
+        assert leaf.sharding.is_fully_replicated
+
+
 def test_ema_matches_explicit_recompute():
     """ema_params must track exactly ema_{t} = d*ema_{t-1} + (1-d)*params_t
     (initialized to params_0), recomputed on the host from the per-step
