@@ -1,13 +1,17 @@
-"""Convert reference PyTorch ``UNetSuperRes`` checkpoints to our Flax params.
+"""Convert reference PyTorch ``UNetSuperRes`` checkpoints to our Flax params
+— and back.
 
 Lets a user of the reference repo (checkpoint format at
 scripts/train.py:410-418: dict with 'model_state_dict') load their trained
-weights into the TPU framework. Conv weights transpose OIHW → HWIO; GroupNorm
-weight/bias map to scale/bias. PixelShuffle channel order is already
-torch-compatible (see models/unet.py:pixel_shuffle), so no channel permute
-is needed.
+weights into the TPU framework, and export TPU-trained weights back to a
+``.pth`` the unmodified reference scripts can serve. Conv weights transpose
+OIHW ↔ HWIO; GroupNorm weight/bias map to scale/bias. PixelShuffle channel
+order is already torch-compatible (see models/unet.py:pixel_shuffle), so no
+channel permute is needed. The mapping is a bijection; the round trip is
+exact (tests/test_unet.py).
 
-CLI wrapper: tools/convert_torch_checkpoint.py
+CLI wrappers: tools/convert_torch_checkpoint.py (.pth → .msgpack),
+tools/export_torch_checkpoint.py (.ckpt → .pth)
 """
 
 from __future__ import annotations
@@ -65,6 +69,75 @@ def torch_state_dict_to_flax(sd: Dict[str, np.ndarray]) -> dict:
             "conv": _double_conv(sd, f"up{i}.conv.double_conv"),
         }
     return params
+
+
+def _conv_inv(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))  # HWIO→OIHW
+
+
+def _double_conv_inv(tree: dict, prefix: str, out: Dict[str, np.ndarray]):
+    out[f"{prefix}.0.weight"] = _conv_inv(tree["conv1"]["kernel"])
+    out[f"{prefix}.1.weight"] = tree["norm1"]["scale"]
+    out[f"{prefix}.1.bias"] = tree["norm1"]["bias"]
+    out[f"{prefix}.3.weight"] = _conv_inv(tree["conv2"]["kernel"])
+    out[f"{prefix}.4.weight"] = tree["norm2"]["scale"]
+    out[f"{prefix}.4.bias"] = tree["norm2"]["bias"]
+
+
+def flax_to_torch_state_dict(params: dict) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`torch_state_dict_to_flax`: our parameter pytree →
+    the reference model's state_dict keys (models/unet_model.py:116-211).
+    Only the 'unet' family maps (the reference has no other real model)."""
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda t: np.asarray(t, np.float32), params)
+    sd: Dict[str, np.ndarray] = {}
+    _double_conv_inv(params["inc"], "inc.double_conv", sd)
+    sd["alpha"] = params["alpha"].reshape((1,))
+    sd["final_up_bilinear.1.weight"] = _conv_inv(
+        params["final_up_conv"]["kernel"])
+    sd["final_up_bilinear.2.weight"] = params["final_up_norm"]["scale"]
+    sd["final_up_bilinear.2.bias"] = params["final_up_norm"]["bias"]
+    ps = params["final_up_pixelshuffle"]
+    sd["final_up_pixelshuffle.conv.weight"] = _conv_inv(ps["conv"]["kernel"])
+    sd["final_up_pixelshuffle.conv.bias"] = ps["conv"]["bias"]
+    sd["final_up_pixelshuffle.norm.weight"] = ps["norm"]["scale"]
+    sd["final_up_pixelshuffle.norm.bias"] = ps["norm"]["bias"]
+    sd["final_conv.0.weight"] = _conv_inv(params["final_conv1"]["kernel"])
+    sd["final_conv.1.weight"] = params["final_norm"]["scale"]
+    sd["final_conv.1.bias"] = params["final_norm"]["bias"]
+    sd["final_conv.3.weight"] = _conv_inv(params["final_conv2"]["kernel"])
+    sd["final_conv.3.bias"] = params["final_conv2"]["bias"]
+    for i in (1, 2, 3):
+        _double_conv_inv(params[f"down{i}"]["conv"],
+                         f"down{i}.maxpool_conv.1.double_conv", sd)
+    for i in (1, 2, 3):
+        up = params[f"up{i}"]
+        sd[f"up{i}.up.1.weight"] = _conv_inv(up["up_conv"]["kernel"])
+        sd[f"up{i}.up.2.weight"] = up["up_norm"]["scale"]
+        sd[f"up{i}.up.2.bias"] = up["up_norm"]["bias"]
+        _double_conv_inv(up["conv"], f"up{i}.conv.double_conv", sd)
+    return sd
+
+
+def save_torch_checkpoint(path: str, params: dict,
+                          meta: Dict | None = None) -> None:
+    """Write a reference-format .pth (scripts/train.py:410-418 keys) the
+    unmodified reference infer/eval scripts can load."""
+    import torch
+
+    meta = meta or {}
+    # copy=True: jax-exported arrays can be non-writable views, which torch
+    # tensors must not wrap
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
+          for k, v in flax_to_torch_state_dict(params).items()}
+    torch.save({
+        "epoch": int(meta.get("epoch", 0)),
+        "model_state_dict": sd,
+        "val_loss": float(meta.get("val_loss", 0.0)),
+        "val_ssim": float(meta.get("val_ssim", 0.0)),
+    }, path)
 
 
 def load_torch_checkpoint(path: str) -> dict:

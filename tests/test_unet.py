@@ -91,6 +91,59 @@ def test_forward_matches_torch_reference(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_torch_conversion_roundtrip_exact(rng):
+    """flax → torch state_dict → flax must reproduce every leaf exactly
+    (the mapping is a bijection)."""
+    from mri_superresolution_tpu.utils.torch_compat import (
+        flax_to_torch_state_dict, torch_state_dict_to_flax)
+
+    _, params = _make(base_filters=16, initial_alpha=25.0)
+    back = torch_state_dict_to_flax(flax_to_torch_state_dict(params))
+    want = dict(jax.tree_util.tree_leaves_with_path(params))
+    got = jax.tree_util.tree_leaves_with_path(back)
+    assert len(got) == len(want)
+    for path, v in got:
+        np.testing.assert_array_equal(
+            np.asarray(v),
+            np.asarray(want[path], np.float32).reshape(np.asarray(v).shape),
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_export_loads_into_torch_reference(rng, tmp_path):
+    """A .pth written by save_torch_checkpoint must load into the
+    UNMODIFIED reference model (strict state_dict) and produce the same
+    forward as our model — TPU-trained weights served by the reference."""
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference not mounted")
+    sys.path.insert(0, REFERENCE)
+    try:
+        from models.unet_model import UNetSuperRes as TorchUNet
+    finally:
+        sys.path.remove(REFERENCE)
+    from mri_superresolution_tpu.utils.torch_compat import (
+        save_torch_checkpoint)
+
+    model, params = _make(base_filters=16, initial_alpha=25.0)
+    pth = str(tmp_path / "export.pth")
+    save_torch_checkpoint(pth, params, meta={"epoch": 3, "val_loss": 0.5})
+
+    ckpt = torch.load(pth, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 3
+    tmodel = TorchUNet(in_channels=1, out_channels=1, base_filters=16,
+                       initial_alpha=25.0)
+    missing, unexpected = tmodel.load_state_dict(ckpt["model_state_dict"])
+    assert not missing and not unexpected
+    tmodel.eval()
+
+    x = rng.random((2, 32, 32, 1), dtype=np.float32)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    want = want.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_pixel_shuffle_matches_torch(rng):
     torch = pytest.importorskip("torch")
     x = rng.random((2, 4, 5, 12), dtype=np.float32)  # 12 = 3 * 2^2

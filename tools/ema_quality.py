@@ -45,10 +45,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/ema_quality")
     ap.add_argument("--epochs", type=int, default=30)
-    ap.add_argument("--decay", type=float, default=0.99,
-                    help="EMA decay for the measured run; match the horizon "
-                         "~1/(1-d) steps to the run length (default run is "
-                         "~450 optimizer steps → 0.99)")
+    ap.add_argument("--decays", type=float, nargs="+", default=[0.99],
+                    help="EMA decays to measure (one training per decay; "
+                         "the ema_decay=0 control is shared). Match the "
+                         "horizon ~1/(1-d) steps to the run length "
+                         "(default run is ~450 optimizer steps → 0.99)")
+    ap.add_argument("--learning_rate", type=float, default=1e-4,
+                    help="forwarded to train.py: EMA's value depends on "
+                         "how noise- vs trend-dominated the trajectory is, "
+                         "so measuring at a higher LR probes the noisy "
+                         "regime")
     ap.add_argument("--n_train_volumes", type=int, default=6)
     ap.add_argument("--n_test_volumes", type=int, default=2)
     ap.add_argument("--n_slices", type=int, default=25)
@@ -75,7 +81,8 @@ def main():
     p = {k: os.path.join(wd, k) for k in
          ("data_train", "data_test", "hr_train", "lr_train",
           "hr_test", "lr_test")}
-    runs = {"control": 0.0, "ema": args.decay}
+    runs = {"control": 0.0}
+    runs.update({f"ema{d}": d for d in args.decays})
 
     if not args.skip_train:
         print("[ema_quality] synthesizing volumes", flush=True)
@@ -99,6 +106,7 @@ def main():
                      "--batch_size", args.batch_size,
                      "--ssim_weight", 0.3,
                      "--validation_split", 0.2,
+                     "--learning_rate", args.learning_rate,
                      "--seed", args.seed,
                      "--model_type", mt,
                      "--ema_decay", decay]
@@ -117,33 +125,41 @@ def main():
         for tag in runs:
             best = os.path.join(wd, f"ckpt_{tag}", f"best_model_{mt}.ckpt")
             rows[f"{mt}/best_{tag}"] = engine_metrics(best, mt, pairs)
-        # paired final-epoch raw vs EMA (selection-free)
-        final = os.path.join(wd, "ckpt_ema", f"final_model_{mt}.ckpt")
-        rows[f"{mt}/final_ema"] = engine_metrics(final, mt, pairs)
-        raw_ckpt = os.path.join(wd, "ckpt_ema", f"rawfinal_model_{mt}")
-        assert save_raw_as_params(final, raw_ckpt)
-        rows[f"{mt}/final_raw"] = engine_metrics(raw_ckpt + ".ckpt", mt,
-                                                 pairs)
-        for k in (f"{mt}/best_control", f"{mt}/best_ema",
-                  f"{mt}/final_raw", f"{mt}/final_ema"):
+            if runs[tag] > 0:
+                # paired final-epoch raw vs EMA (selection-free)
+                final = os.path.join(wd, f"ckpt_{tag}",
+                                     f"final_model_{mt}.ckpt")
+                rows[f"{mt}/final_{tag}"] = engine_metrics(final, mt, pairs)
+                raw_ckpt = os.path.join(wd, f"ckpt_{tag}",
+                                        f"rawfinal_model_{mt}")
+                assert save_raw_as_params(final, raw_ckpt)
+                rows[f"{mt}/finalraw_{tag}"] = engine_metrics(
+                    raw_ckpt + ".ckpt", mt, pairs)
+        for k in sorted(k for k in rows if k.startswith(mt + "/")):
             m = rows[k]
-            print(f"{k:<22} ssim={m['ssim']:.4f} psnr={m['psnr']:.3f} "
+            print(f"{k:<28} ssim={m['ssim']:.4f} psnr={m['psnr']:.3f} "
                   f"rmse={m['rmse']:.5f}", flush=True)
 
-    print(f"\ndecay={args.decay}")
+    print(f"\nlr={args.learning_rate} epochs={args.epochs}")
     print("| model | comparison | SSIM | PSNR (dB) | dSSIM | dPSNR (dB) |")
     print("|---|---|---|---|---|---|")
     for mt in args.models:
-        for base_k, k in ((f"{mt}/best_control", f"{mt}/best_ema"),
-                          (f"{mt}/final_raw", f"{mt}/final_ema")):
-            base, m = rows[base_k], rows[k]
-            name = ("best: control→ema" if "best" in k
-                    else "final: raw→ema (paired)")
-            print(f"| {mt} | {name} | {m['ssim']:.4f} | {m['psnr']:.3f} | "
-                  f"{m['ssim'] - base['ssim']:+.4f} | "
-                  f"{m['psnr'] - base['psnr']:+.3f} |")
+        for tag, d in runs.items():
+            if d == 0:
+                continue
+            for base_k, k, name in (
+                    (f"{mt}/best_control", f"{mt}/best_{tag}",
+                     f"best: control→ema d={d}"),
+                    (f"{mt}/finalraw_{tag}", f"{mt}/final_{tag}",
+                     f"final d={d}: raw→ema (paired)")):
+                base, m = rows[base_k], rows[k]
+                print(f"| {mt} | {name} | {m['ssim']:.4f} | "
+                      f"{m['psnr']:.3f} | "
+                      f"{m['ssim'] - base['ssim']:+.4f} | "
+                      f"{m['psnr'] - base['psnr']:+.3f} |")
     with open(os.path.join(wd, "ema_quality.json"), "w") as f:
-        json.dump({"decay": args.decay, "rows": rows}, f, indent=2)
+        json.dump({"decays": args.decays, "lr": args.learning_rate,
+                   "epochs": args.epochs, "rows": rows}, f, indent=2)
 
 
 if __name__ == "__main__":
