@@ -149,6 +149,23 @@ class TrainConfig:
     # doesn't need it; it exists for the framework's scaling story and for
     # large custom models).
     opt_shard: bool = False
+    # Quantization-aware training for the int8 serving path: the forward
+    # simulates models/quant_forward.py's exact int8 arithmetic in float
+    # (per-input-channel activation scales folded into per-output-channel
+    # weight quantization) with straight-through gradients, so the weights
+    # learn to absorb the quantization noise post-training quantization
+    # merely suffers (PTQ measured -0.64/-0.75 dB PSNR, RESULTS.md 2b).
+    # Per-site per-channel activation ranges are tracked as an EMA of each
+    # batch's abs-max (decay qat_decay below), validated/early-stopped on
+    # the QUANTIZED forward, checkpointed for exact resume, and exported as
+    # a frozen calibration sidecar (<checkpoint>.calib.json) — serve with
+    # --quant int8 --quant_calib <sidecar>. Supports the int8 families
+    # ('unet'/'unet_tpu'); composes with grad_accum/ema/opt_shard but not
+    # spatial_shards (the fake-quant forward is the dense functional one).
+    # The reference has no quantized training (fp16 autocast only,
+    # scripts/train.py:158-163).
+    qat: bool = False
+    qat_decay: float = 0.98    # amax EMA decay (horizon ~1/(1-d) steps)
 
 
 @dataclass

@@ -558,11 +558,23 @@ def load_engine(cfg: InferConfig, num_devices: int = 1) -> InferenceEngine:
         model_cfg = model_config_from_dict(mc)
         logger.info(f"Model hyperparams from checkpoint: "
                     f"base_filters={model_cfg.base_filters}")
+    quant_calib_path = cfg.quant_calib_path
+    if cfg.quant == "int8" and not quant_calib_path:
+        # QAT checkpoints (train.py --qat) carry a frozen calibration
+        # sidecar: auto-load it so the model serves with the exact scales
+        # it trained against (streaming self-calibration would otherwise
+        # re-estimate them from serving data)
+        sidecar = (path[:-len(".ckpt")] if path.endswith(".ckpt")
+                   else path) + ".calib.json"
+        if os.path.exists(sidecar):
+            quant_calib_path = sidecar
+            logger.info(f"Found QAT calibration sidecar {sidecar}; "
+                        f"serving with the trained activation scales")
     return InferenceEngine(model_cfg, params, bf16=cfg.bf16,
                            bucket=cfg.bucket, num_devices=num_devices,
                            spatial_shards=cfg.spatial_shards,
                            quant=cfg.quant,
                            quant_calib_slices=cfg.quant_calib_slices,
                            quant_min_foreground=cfg.quant_min_foreground,
-                           quant_calib_path=cfg.quant_calib_path,
+                           quant_calib_path=quant_calib_path,
                            tta=cfg.tta)

@@ -36,7 +36,9 @@ from jax import lax
 
 from mri_superresolution_tpu.ops.functional import (group_norm_leaky_ref,
                                                     max_pool2, pixel_shuffle)
-from mri_superresolution_tpu.ops.quant import (int8_conv, quantize_tensor,
+from mri_superresolution_tpu.ops.quant import (fake_quant_act,
+                                               fake_quant_kernel, int8_conv,
+                                               quantize_tensor, ste,
                                                weight_qparams)
 from mri_superresolution_tpu.ops.resize import upsample_bilinear_align_corners
 
@@ -48,7 +50,7 @@ class _Ctx:
                  scales: Optional[Dict[str, float]] = None,
                  qweights: Optional[Dict[str, Tuple]] = None,
                  percentile: float = 100.0):
-        assert mode in ("ref", "calib", "int8")
+        assert mode in ("ref", "calib", "int8", "fakequant")
         self.mode = mode
         self.scales = scales or {}
         self.qweights = qweights or {}
@@ -62,6 +64,17 @@ def _conv(ctx: _Ctx, site: str, kernel, x, *, padding: int = 1,
         qk, sk = ctx.qweights[site]
         return int8_conv(quantize_tensor(x, ctx.scales[site]), qk, sk,
                          bias=bias, padding=padding, out_dtype=x.dtype)
+    if ctx.mode == "fakequant" and site in ctx.scales:
+        # QAT: simulate the EXACT int8 serving arithmetic in float (same
+        # folded per-Cin activation scales + per-Cout weight scales as the
+        # int8 mode above) with straight-through gradients, and record the
+        # batch's per-channel |x| so the trainer can update its running
+        # activation-range estimate (train/trainer.py QAT state).
+        ctx.amax[site] = lax.stop_gradient(jnp.max(
+            jnp.abs(x.astype(jnp.float32)).reshape(-1, x.shape[-1]), axis=0))
+        s_a = ctx.scales[site]
+        x = ste(x, fake_quant_act(x, s_a))
+        kernel = ste(kernel, fake_quant_kernel(kernel, s_a))
     if ctx.mode == "calib":
         # Per-INPUT-CHANNEL statistics: GroupNorm gives every channel its
         # own learned scale, so a shared per-tensor range parks narrow
@@ -200,6 +213,46 @@ def build_calib_forward(model_type: str = "unet", dtype: Any = jnp.bfloat16,
         return y, ctx.amax
 
     return jax.jit(run) if jit_fn else run
+
+
+def build_fakequant_forward(model_type: str = "unet",
+                            dtype: Any = jnp.bfloat16):
+    """Quantization-aware-training forward: ``fn(params, amax, x) ->
+    (y, batch_amax)``.
+
+    Every conv site the int8 serving path quantizes (all except the bf16
+    output head) runs through a float quantize-dequantize that reproduces
+    the serving arithmetic exactly — per-input-channel activation scales
+    ``amax/127`` folded into per-output-channel weight quantization
+    (ops/quant.py fake_quant_*) — with straight-through gradients, so the
+    weights learn to absorb the quantization noise the PTQ path merely
+    suffers (measured -0.64/-0.75 dB, RESULTS.md 2b). ``amax`` is the
+    trainer's running per-site per-channel |activation| estimate (a dict
+    matching :func:`calib_amax`'s structure); ``batch_amax`` is this
+    batch's statistic for updating it. The reference has no quantized
+    training (fp16 autocast only, scripts/train.py:158-163)."""
+    fwd = _FORWARDS[model_type]
+
+    def run(p, amax, x):
+        scales = {k: jnp.where(jnp.asarray(v, jnp.float32) > 0,
+                               jnp.asarray(v, jnp.float32) / 127.0, 1.0)
+                  for k, v in amax.items()}
+        ctx = _Ctx("fakequant", scales=scales)
+        y = fwd(ctx, p, x, dtype)
+        return y, ctx.amax
+
+    return run
+
+
+def calib_amax(params, x, model_type: str = "unet",
+               dtype: Any = jnp.bfloat16) -> Dict[str, jnp.ndarray]:
+    """One-batch per-site per-channel |activation| maxima — the init value
+    for the QAT running statistic (everything :func:`build_int8_forward`
+    quantizes, i.e. all conv sites except the never-quantized output
+    head)."""
+    fn = build_calib_forward(model_type, dtype, jit_fn=False)
+    _, amax = jax.jit(fn)(params, x)
+    return {k: v for k, v in amax.items() if k != "__out__"}
 
 
 def scales_from_amax(amax: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

@@ -64,6 +64,43 @@ def weight_qparams(kernel: jnp.ndarray,
     return jnp.clip(q, -127.0, 127.0).astype(jnp.int8), scale
 
 
+def ste(x: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Straight-through estimator: forward value ``q``, gradient of ``x``.
+
+    The standard QAT trick (round/clip have zero gradient almost
+    everywhere): y = x + stop_grad(q - x) evaluates to q but differentiates
+    as the identity, so the optimizer sees the quantized forward while the
+    backward ignores the quantization nonlinearity."""
+    return x + lax.stop_gradient(q.astype(x.dtype) - x)
+
+
+def fake_quant_act(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """Quantize-dequantize simulation of :func:`quantize_tensor`: the float
+    value the int8 serving conv effectively consumes (round-to-nearest,
+    clip to +-127, re-scale). ``scale`` broadcasts over the trailing channel
+    axis like quantize_tensor's."""
+    s = jnp.asarray(scale, jnp.float32)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127.0, 127.0)
+    return (q * s).astype(x.dtype)
+
+
+def fake_quant_kernel(kernel: jnp.ndarray, act_scale) -> jnp.ndarray:
+    """Float simulation of the weights the int8 serving conv effectively
+    multiplies by: :func:`weight_qparams`'s fold(act_scale) -> per-Cout
+    quantize -> dequantize -> unfold, so that
+    ``conv(fake_quant_act(x, s_a), fake_quant_kernel(w, s_a))`` equals
+    ``int8_conv(quantize_tensor(x, s_a), *weight_qparams(w, s_a))`` up to
+    float summation order (tests/test_qat.py asserts it). Same zero-channel
+    guard as weight_qparams."""
+    k = kernel.astype(jnp.float32)
+    s_a = jnp.asarray(act_scale, jnp.float32).reshape(1, 1, -1, 1)
+    kf = k * s_a
+    amax = jnp.max(jnp.abs(kf), axis=(0, 1, 2))
+    s_w = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(kf / s_w), -127.0, 127.0)
+    return ((q * s_w) / s_a).astype(kernel.dtype)
+
+
 def int8_conv(qx: jnp.ndarray,
               qk: jnp.ndarray, k_scale: jnp.ndarray,
               bias: Optional[jnp.ndarray] = None,

@@ -60,6 +60,12 @@ class TrainState(struct.PyTreeNode):
     # Polyak EMA of params (None when ema_decay == 0 — an empty pytree
     # subtree, so checkpoints and shardings of EMA-free runs are unchanged)
     ema_params: Any = None
+    # QAT running per-site per-channel |activation| maxima (None when
+    # cfg.qat is off): {site: (Cin,) fp32}, EMA-updated each step from the
+    # batch statistic the fakequant forward records, persisted in
+    # checkpoint extras and exported as the int8 serving calibration
+    # sidecar (models/quant_forward.save_scales format)
+    qat_amax: Any = None
 
 
 def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
@@ -73,11 +79,14 @@ def make_optimizer(weight_decay: float) -> optax.GradientTransformation:
 
 
 def _make_train_step(compute_loss, optimizer, augment_cfg,
-                     grad_accum: int = 1, ema_decay: float = 0.0) -> Any:
+                     grad_accum: int = 1, ema_decay: float = 0.0,
+                     qat_decay: float = 0.0) -> Any:
     """Shared train-step skeleton (augment → value_and_grad → torch-style
-    Adam update). ``compute_loss(params, hr, lo, w) -> (total, comps)``
-    with ``comps["ssim_metric"]`` present; the DP and spatially-sharded
-    builders differ only in this closure.
+    Adam update). ``compute_loss(params, qat_amax, hr, lo, w) ->
+    (total, comps)`` with ``comps["ssim_metric"]`` present (``qat_amax`` is
+    None and ignored on non-QAT paths; QAT closures must also return the
+    batch statistic under ``comps["qat_batch_amax"]``); the DP and
+    spatially-sharded builders differ only in this closure.
 
     ``grad_accum > 1`` scans ``compute_loss``'s value_and_grad over that
     many sequential microbatches, accumulating fp32 gradients — activation
@@ -88,18 +97,26 @@ def _make_train_step(compute_loss, optimizer, augment_cfg,
     gradient bit-for-reassociation. Augmentation runs on the full batch
     BEFORE the split, so the randomness is identical to grad_accum=1."""
 
-    def _accumulate(params, hr, lo, w):
+    def _accumulate(params, qat_amax, hr, lo, w):
         a = grad_accum
         split = lambda t: t.reshape(a, t.shape[0] // a, *t.shape[1:])
         vg = jax.value_and_grad(compute_loss, has_aux=True)
         g0 = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), params)
         zero = jnp.zeros((), jnp.float32)
+        # QAT batch amax recombines exactly: max over microbatch maxima ==
+        # full-batch max (every microbatch quantizes with the SAME running
+        # amax from step start, so gradient exactness is unaffected)
+        amax0 = (jax.tree_util.tree_map(jnp.zeros_like, qat_amax)
+                 if qat_amax is not None else ())
 
         def body(carry, xs):
-            g_acc, num_loss, num_ssim, n_sat = carry
+            g_acc, num_loss, num_ssim, n_sat, amax_acc = carry
             hr_i, lo_i, w_i = xs
-            (loss_i, comps_i), g_i = vg(params, hr_i, lo_i, w_i)
+            (loss_i, comps_i), g_i = vg(params, qat_amax, hr_i, lo_i, w_i)
+            if qat_amax is not None:
+                amax_acc = jax.tree_util.tree_map(
+                    jnp.maximum, amax_acc, comps_i["qat_batch_amax"])
             den_i = jnp.sum(w_i.astype(jnp.float32))
             ssim_i = comps_i["ssim_metric"]
             # the SSIM batch-mean clip (losses/combined.py:81) is the one
@@ -112,16 +129,18 @@ def _make_train_step(compute_loss, optimizer, augment_cfg,
                 lambda acc, g: acc + den_i * g.astype(jnp.float32),
                 g_acc, g_i)
             return (g_acc, num_loss + den_i * loss_i,
-                    num_ssim + den_i * ssim_i, n_sat + sat_i), None
+                    num_ssim + den_i * ssim_i, n_sat + sat_i, amax_acc), None
 
-        (g_acc, num_loss, num_ssim, n_sat), _ = jax.lax.scan(
-            body, (g0, zero, zero, zero), (split(hr), split(lo), split(w)))
+        (g_acc, num_loss, num_ssim, n_sat, amax_acc), _ = jax.lax.scan(
+            body, (g0, zero, zero, zero, amax0),
+            (split(hr), split(lo), split(w)))
         den = jnp.maximum(jnp.sum(w.astype(jnp.float32)), 1e-12)
         grads = jax.tree_util.tree_map(
             lambda g, p: (g / den).astype(p.dtype), g_acc, params)
-        return (num_loss / den,
-                {"ssim_metric": num_ssim / den, "ssim_clip_micros": n_sat},
-                grads)
+        comps = {"ssim_metric": num_ssim / den, "ssim_clip_micros": n_sat}
+        if qat_amax is not None:
+            comps["qat_batch_amax"] = amax_acc
+        return num_loss / den, comps, grads
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    lr: jnp.ndarray, key: jax.Array):
@@ -130,10 +149,11 @@ def _make_train_step(compute_loss, optimizer, augment_cfg,
             hr, lo = augment_pair(hr, lo, key, augment_cfg)
 
         if grad_accum > 1:
-            loss, comps, grads = _accumulate(state.params, hr, lo, w)
+            loss, comps, grads = _accumulate(state.params, state.qat_amax,
+                                             hr, lo, w)
         else:
             (loss, comps), grads = jax.value_and_grad(
-                lambda p: compute_loss(p, hr, lo, w),
+                lambda p: compute_loss(p, state.qat_amax, hr, lo, w),
                 has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
@@ -146,18 +166,29 @@ def _make_train_step(compute_loss, optimizer, augment_cfg,
             ema = jax.tree_util.tree_map(
                 lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
                 ema, params)
+        qat_amax = state.qat_amax
+        if qat_amax is not None:
+            # EMA of the batch abs-max (standard moving-range observer):
+            # tracks the activation distribution as the weights move, while
+            # smoothing over batch-to-batch outliers
+            qat_amax = jax.tree_util.tree_map(
+                lambda a, b: qat_decay * a + (1.0 - qat_decay)
+                * b.astype(a.dtype),
+                qat_amax, comps["qat_batch_amax"])
         metrics = {"loss": loss, "ssim": comps["ssim_metric"]}
         if "ssim_clip_micros" in comps:
             metrics["ssim_clip_micros"] = comps["ssim_clip_micros"]
         return TrainState(step=state.step + 1, params=params,
-                          opt_state=opt_state, ema_params=ema), metrics
+                          opt_state=opt_state, ema_params=ema,
+                          qat_amax=qat_amax), metrics
 
     return train_step
 
 
 def build_train_step(model, loss_fn: CombinedLoss, optimizer,
                      augment_cfg, ssim_cfg, remat: bool = False,
-                     grad_accum: int = 1, ema_decay: float = 0.0) -> Any:
+                     grad_accum: int = 1, ema_decay: float = 0.0,
+                     qat_fwd=None, qat_decay: float = 0.0) -> Any:
     """Returns train_step(state, batch, lr, key) → (state, metrics).
 
     Model-side rematerialization lives in the MODEL itself
@@ -165,7 +196,14 @@ def build_train_step(model, loss_fn: CombinedLoss, optimizer,
     here additionally checkpoints the LOSS graph, so the backward holds
     only the model output instead of the SSIM blur tape. A single
     whole-forward jax.checkpoint was measured a no-op for peak memory
-    (tools/bench_remat_mem.py) — segmentation is what saves."""
+    (tools/bench_remat_mem.py) — segmentation is what saves.
+
+    ``qat_fwd`` (models/quant_forward.build_fakequant_forward) replaces the
+    flax forward with the int8-serving fake-quant simulation; the state's
+    running amax feeds the quantizers and is EMA-updated with ``qat_decay``
+    from each batch's recorded statistic. Note: under QAT the forward is
+    the functional one, so model-side flax remat does not apply (the
+    loss-graph checkpoint above still does)."""
 
     def loss_call(out, hr, w):
         total, comps = loss_fn(out, hr, sample_weights=w)
@@ -178,18 +216,32 @@ def build_train_step(model, loss_fn: CombinedLoss, optimizer,
     if remat:
         loss_call = jax.checkpoint(loss_call)
 
-    def compute_loss(params, hr, lo, w):
+    def compute_loss(params, qat_amax, hr, lo, w):
+        if qat_fwd is not None:
+            out, batch_amax = qat_fwd(params, qat_amax, lo)
+            total, comps = loss_call(out, hr, w)
+            return total, dict(comps, qat_batch_amax=batch_amax)
         out = model.apply({"params": params}, lo)
         return loss_call(out, hr, w)
 
     return _make_train_step(compute_loss, optimizer, augment_cfg,
-                            grad_accum=grad_accum, ema_decay=ema_decay)
+                            grad_accum=grad_accum, ema_decay=ema_decay,
+                            qat_decay=qat_decay)
 
 
-def build_eval_step(model, loss_fn: CombinedLoss, ssim_cfg) -> Any:
+def build_eval_step(model, loss_fn: CombinedLoss, ssim_cfg,
+                    qat_fwd=None) -> Any:
+    """With ``qat_fwd``, ``params`` is the pair (params, qat_amax) and
+    validation scores the fake-quant forward — the serving-relevant metric
+    under QAT (plateau LR, early stopping and best-model selection then
+    track int8-serving quality, not bf16 quality)."""
     def eval_step(params, batch):
         hr, lo, w = batch["hr"], batch["lr"], batch["weight"]
-        out = model.apply({"params": params}, lo)
+        if qat_fwd is not None:
+            params, qat_amax = params
+            out, _ = qat_fwd(params, qat_amax, lo)
+        else:
+            out = model.apply({"params": params}, lo)
         total, comps = loss_fn(out, hr, sample_weights=w)
         ssim_metric = comps.get(
             "ssim_metric",
@@ -211,7 +263,7 @@ def build_spatial_train_step(sharded_loss, optimizer, augment_cfg,
     GSPMD before the shard_map (it rotates whole images, so it is not
     shard-local; the input batch is small)."""
 
-    def compute_loss(params, hr, lo, w):
+    def compute_loss(params, _qat_amax, hr, lo, w):
         total, comps, _ = sharded_loss(params, hr, lo, w)
         return total, comps
 
@@ -261,6 +313,24 @@ def train(cfg: TrainConfig,
     logger = setup_logging(os.path.join(cfg.log_dir, "training.log"))
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     os.makedirs(os.path.join(cfg.checkpoint_dir, "samples"), exist_ok=True)
+
+    qat_on = cfg.qat
+    if qat_on:
+        from mri_superresolution_tpu.models import quant_forward
+        if not quant_forward.supported(cfg.model.model_type):
+            raise ValueError(
+                f"--qat supports model types 'unet'/'unet_tpu' (the int8 "
+                f"serving families, models/quant_forward.py), not "
+                f"{cfg.model.model_type!r}")
+        if cfg.spatial_shards > 1:
+            raise ValueError(
+                "--qat does not compose with --spatial_shards: the "
+                "fake-quant forward is the dense functional one "
+                "(models/quant_forward.py), not the row-sharded shard_map "
+                "topology. Train QAT dense, serve with either path.")
+        if not 0.0 < cfg.qat_decay < 1.0:
+            raise ValueError(
+                f"qat_decay must be in (0, 1), got {cfg.qat_decay}")
 
     spatial = cfg.spatial_shards > 1
     if spatial:
@@ -377,6 +447,31 @@ def train(cfg: TrainConfig,
                 message_type="warning")
             vgg_params = vgg_mod.random_params(jax.random.key(0),
                                                cfg.loss.vgg_layer_idx)
+    qat_fwd = None
+    qat_amax0 = None
+    if qat_on:
+        # Quantization-aware training: the forward runs the int8 serving
+        # arithmetic in float with straight-through gradients, so the
+        # weights learn to absorb the quantization noise PTQ merely suffers
+        # (RESULTS.md 2b: PTQ costs -0.64/-0.75 dB on trained models).
+        qat_fwd = quant_forward.build_fakequant_forward(
+            cfg.model.model_type, dtype)
+        # initialize the running activation-range estimate from one real
+        # batch through the full-precision calibration forward
+        first_batch = next(iter(train_loader.epoch(0)))
+        qat_amax0 = quant_forward.calib_amax(
+            params, jnp.asarray(first_batch["lr"]),
+            cfg.model.model_type, dtype)
+        del first_batch
+        log_message(
+            f"QAT enabled (amax EMA decay {cfg.qat_decay}): training "
+            f"simulates the int8 serving quantizers (per-input-channel "
+            f"activation scales, per-output-channel weights) with "
+            f"straight-through gradients; validation/best-model selection "
+            f"score the quantized forward; checkpoints export a frozen "
+            f"calibration sidecar (<checkpoint>.calib.json) — serve with "
+            f"--quant int8 --quant_calib <sidecar>")
+
     if not 0.0 <= cfg.ema_decay < 1.0:
         raise ValueError(f"ema_decay must be in [0, 1), got {cfg.ema_decay}")
     ema_on = cfg.ema_decay > 0.0
@@ -394,7 +489,8 @@ def train(cfg: TrainConfig,
     copy_tree = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=opt_state,
-                       ema_params=copy_tree(params) if ema_on else None)
+                       ema_params=copy_tree(params) if ema_on else None,
+                       qat_amax=qat_amax0)
 
     scheduler = ReduceLROnPlateau(cfg.learning_rate, factor=0.5,
                                   patience=cfg.patience // 2)
@@ -420,11 +516,19 @@ def train(cfg: TrainConfig,
                 log_message("Resuming with EMA enabled from a checkpoint "
                             "without EMA state: initializing the average "
                             "from the restored weights")
+        qat_r = qat_amax0
+        if qat_on and "qat_amax" in extras:
+            qat_r = serialization.from_state_dict(qat_amax0,
+                                                  extras["qat_amax"])
+        elif qat_on:
+            log_message("Resuming with QAT enabled from a checkpoint "
+                        "without QAT state: re-initializing the running "
+                        "activation ranges from one batch")
         state = TrainState(
             step=jnp.asarray(int(meta.get("step", 0)), jnp.int32),
             params=serialization.from_state_dict(params, live_r),
             opt_state=opt_r if opt_r is not None else opt_state,
-            ema_params=ema_r)
+            ema_params=ema_r, qat_amax=qat_r)
         scheduler.load_state_dict(meta["scheduler"])
         early.load_state_dict(meta["early_stopping"])
         start_epoch = int(meta.get("epoch", -1)) + 1
@@ -439,7 +543,8 @@ def train(cfg: TrainConfig,
         state_sh = TrainState(
             step=rsh, params=full(state.params),
             opt_state=zero1_shardings(state.opt_state, mesh),
-            ema_params=full(state.ema_params))
+            ema_params=full(state.ema_params),
+            qat_amax=full(state.qat_amax))
         leaves = jax.tree_util.tree_leaves(
             state_sh.opt_state, is_leaf=lambda s: hasattr(s, "spec"))
         n_sharded = sum(1 for s in leaves if not s.is_fully_replicated)
@@ -485,12 +590,13 @@ def train(cfg: TrainConfig,
             build_train_step(model, loss_fn, optimizer, cfg.augment,
                              cfg.loss, remat=cfg.remat,
                              grad_accum=cfg.grad_accum,
-                             ema_decay=cfg.ema_decay),
+                             ema_decay=cfg.ema_decay,
+                             qat_fwd=qat_fwd, qat_decay=cfg.qat_decay),
             in_shardings=(state_sh, dsh, None, None),
             out_shardings=(state_sh, rsh),
             donate_argnums=(0,))
         eval_step = jax.jit(
-            build_eval_step(model, loss_fn, cfg.loss),
+            build_eval_step(model, loss_fn, cfg.loss, qat_fwd=qat_fwd),
             in_shardings=(rsh, dsh),
             out_shardings=(rsh, dsh))
 
@@ -522,6 +628,7 @@ def train(cfg: TrainConfig,
         "bf16": cfg.bf16,
         "seed": cfg.seed,
         "ema_decay": cfg.ema_decay,
+        "qat": cfg.qat,
     }, "params")
 
     if len(val_idx) == 0:
@@ -532,6 +639,27 @@ def train(cfg: TrainConfig,
             "checkpoint is written). The reference degrades the same way; "
             "set --validation_split > 0 to restore them.",
             message_type="warning")
+
+    def save_state(base: str, meta: Dict[str, Any]) -> None:
+        """Checkpoint the CURRENT state: serving params (EMA if on), live
+        weights + QAT ranges in extras, and — under QAT — the frozen int8
+        calibration sidecar the inference engine consumes via
+        --quant_calib (same format as scripts/infer.py --quant_calib
+        save)."""
+        extras: Dict[str, Any] = {}
+        if ema_on:
+            extras["raw_params"] = state.params
+        if qat_on:
+            extras["qat_amax"] = state.qat_amax
+        ckpt.save_checkpoint(
+            base, state.ema_params if ema_on else state.params,
+            state.opt_state, meta=meta, extras=extras or None)
+        if qat_on:
+            quant_forward.save_scales(
+                base + ".calib.json",
+                quant_forward.scales_from_amax(
+                    jax.device_get(state.qat_amax)),
+                cfg.model.model_type)
 
     vis_frequency = max(1, cfg.epochs // 20)
     n_train_batches = len(train_loader)
@@ -599,8 +727,11 @@ def train(cfg: TrainConfig,
         vis_batch, vis_out = None, None
         # with EMA, validation (and therefore LR plateau / early-stop /
         # best-model selection) scores the averaged weights — they are what
-        # the checkpoint serves
+        # the checkpoint serves; with QAT it scores the fake-quant forward
+        # (the int8-serving-relevant metric)
         eval_params = state.ema_params if ema_on else state.params
+        if qat_on:
+            eval_params = (eval_params, state.qat_amax)
         for batch in val_loader.epoch():
             dev_batch = {k: jax.device_put(v, _sh(k))
                          for k, v in batch.items()}
@@ -618,16 +749,13 @@ def train(cfg: TrainConfig,
                 log_message(f"Learning rate adjusted from {prev_lr:.2e} "
                             f"to {new_lr:.2e}")
             if early.update(val_loss):
-                ckpt.save_checkpoint(
+                save_state(
                     names["best"],
-                    state.ema_params if ema_on else state.params,
-                    state.opt_state,
                     meta={**hyper_meta, "epoch": epoch,
                           "step": int(state.step),
                           "val_loss": val_loss, "val_ssim": val_ssim,
                           "scheduler": scheduler.state_dict(),
-                          "early_stopping": early.state_dict()},
-                    extras={"raw_params": state.params} if ema_on else None)
+                          "early_stopping": early.state_dict()})
                 log_message(f"Saved best model with validation loss: "
                             f"{val_loss:.6f}")
             final_val_loss, final_val_ssim = val_loss, val_ssim
@@ -671,15 +799,12 @@ def train(cfg: TrainConfig,
             break
 
     # --- final checkpoint (scripts/train.py:467-477) ---
-    ckpt.save_checkpoint(
+    save_state(
         names["final"],
-        state.ema_params if ema_on else state.params,
-        state.opt_state,
         meta={**hyper_meta, "epoch": epoch, "step": int(state.step),
               "val_loss": final_val_loss, "val_ssim": final_val_ssim,
               "scheduler": scheduler.state_dict(),
-              "early_stopping": early.state_dict()},
-        extras={"raw_params": state.params} if ema_on else None)
+              "early_stopping": early.state_dict()})
     log_message(f"Training completed. Final model saved to "
                 f"{names['final']}.ckpt")
     if writer:

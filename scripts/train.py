@@ -94,6 +94,21 @@ def parse_args():
                              'weights kept alongside for --resume). '
                              '0 = off; typical 0.99-0.999 (horizon '
                              '~1/(1-d) steps)')
+    parser.add_argument('--qat', action='store_true',
+                        help='Quantization-aware training for the int8 '
+                             'serving path: the forward simulates the '
+                             'exact int8 serving arithmetic in float with '
+                             'straight-through gradients, so the weights '
+                             'learn to absorb the quantization noise PTQ '
+                             'merely suffers. Validation scores the '
+                             'quantized forward; checkpoints export a '
+                             'frozen calibration sidecar '
+                             '(<checkpoint>.calib.json) — serve with '
+                             '--quant int8 --quant_calib <sidecar>. '
+                             'unet/unet_tpu only')
+    parser.add_argument('--qat_decay', type=float, default=0.98,
+                        help='EMA decay of the QAT running per-channel '
+                             'activation ranges (horizon ~1/(1-d) steps)')
     parser.add_argument('--streaming_threshold_mb', type=int, default=2048,
                         help='auto mode streams past this decoded size')
     parser.add_argument('--seed', type=int, default=random.randint(1, 10000))
@@ -166,6 +181,8 @@ def main():
         grad_accum=args.grad_accum,
         ema_decay=args.ema_decay,
         opt_shard=args.opt_shard,
+        qat=args.qat,
+        qat_decay=args.qat_decay,
     )
     train(cfg)
 

@@ -1,0 +1,307 @@
+"""Quantization-aware training (--qat) for the int8 serving path.
+
+Layers tested bottom-up: the STE primitive, per-site fake-quant ==
+int8-serving-conv equivalence (ops/quant.py), the whole-net fakequant
+forward vs build_int8_forward (models/quant_forward.py), gradient flow
+through the quantizers, the trainer's running-amax EMA state, grad_accum
+composition, and the end-to-end contract: train --qat -> checkpoint +
+frozen calibration sidecar -> load_engine auto-serves int8 with the
+trained scales. The reference has no quantized training (fp16 autocast
+only, scripts/train.py:158-163); this is a TPU-native extension on top of
+the PTQ path (RESULTS.md 2b measured PTQ at -0.64/-0.75 dB — QAT exists
+to claw that back).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mri_superresolution_tpu.config import ModelConfig
+from mri_superresolution_tpu.models import build_model
+from mri_superresolution_tpu.models import quant_forward as qf
+from mri_superresolution_tpu.ops.quant import (fake_quant_act,
+                                               fake_quant_kernel, int8_conv,
+                                               quantize_tensor, ste,
+                                               weight_qparams)
+
+from test_train import _make_dataset, _tiny_config
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(11)
+
+
+def _model_and_params(model_type, base_filters=16, dtype=jnp.float32):
+    model = build_model(ModelConfig(model_type=model_type,
+                                    base_filters=base_filters), dtype=dtype)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, 32, 32, 1)))["params"]
+    return model, params
+
+
+# ------------------------------------------------------------- primitives
+
+def test_ste_forward_is_quantized_gradient_is_identity():
+    x = jnp.asarray([-1.0, 0.3, 2.0])
+
+    def f(x):
+        return jnp.sum(ste(x, jnp.round(x)) ** 2)
+
+    # forward sees round(x), backward differentiates x**2 at round(x)
+    # with d(round)/dx treated as identity: grad = 2 * round(x)
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(x)),
+                               2.0 * np.round(np.asarray(x)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ste(x, jnp.round(x))),
+                               np.round(np.asarray(x)))
+
+
+def test_fake_quant_site_matches_int8_conv(rng):
+    """conv(fake_quant_act(x), fake_quant_kernel(w)) must equal the int8
+    serving conv (folded scales, s8xs8->s32) up to fp32 summation order —
+    the contract that makes QAT train against the ACTUAL serving
+    arithmetic."""
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 12)).astype(np.float32))
+    s_a = jnp.asarray(np.abs(np.asarray(x)).max(axis=(0, 1, 2)) / 127.0)
+
+    want = int8_conv(quantize_tensor(x, s_a),
+                     *weight_qparams(k, act_scale=s_a),
+                     padding=1, out_dtype=jnp.float32)
+    got = lax.conv_general_dilated(
+        fake_quant_act(x, s_a), fake_quant_kernel(k, s_a), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_fake_quant_zero_channel_guard():
+    x = jnp.zeros((1, 4, 4, 3))
+    k = jnp.zeros((3, 3, 3, 2))
+    s = jnp.ones((3,))
+    assert np.isfinite(np.asarray(fake_quant_act(x, s))).all()
+    assert np.isfinite(np.asarray(fake_quant_kernel(k, s))).all()
+
+
+# ------------------------------------------------------------ whole-model
+
+@pytest.mark.parametrize("model_type", ["unet", "unet_tpu"])
+def test_fakequant_forward_tracks_int8_forward(model_type, rng):
+    """The QAT forward and the int8 serving forward share scales, so their
+    outputs track closely; per-site they are summation-order-equal (test
+    above) — whole-net differences come from one-code rounding flips
+    amplified through GroupNorm, bounded like the PTQ noise itself."""
+    _, params = _model_and_params(model_type)
+    x = jnp.asarray(rng.random((2, 32, 32, 1), np.float32))
+    amax = qf.calib_amax(params, x, model_type, jnp.float32)
+    assert len(amax) == 20 and "__out__" not in amax
+
+    scales = qf.scales_from_amax(jax.device_get(amax))
+    y_int8 = np.asarray(jax.jit(qf.build_int8_forward(
+        params, scales, model_type, jnp.float32))(params, x))
+    fq = qf.build_fakequant_forward(model_type, jnp.float32)
+    y_fq, batch_amax = jax.jit(fq)(params, amax, x)
+
+    assert set(batch_amax) == set(amax)        # same quantized sites
+    # same random-weights noise bound as the PTQ test (test_quant.py)
+    assert np.mean(np.abs(np.asarray(y_fq) - y_int8)) < 0.05
+    # the FIRST site's input is the raw image in both forwards, so its
+    # batch statistic matches the calib forward's exactly; downstream
+    # sites see quantized activations and legitimately differ
+    np.testing.assert_allclose(np.asarray(batch_amax["inc.conv1"]),
+                               np.asarray(amax["inc.conv1"]), rtol=1e-6)
+
+
+def test_fakequant_gradients_flow_to_all_conv_kernels(rng):
+    _, params = _model_and_params("unet")
+    x = jnp.asarray(rng.random((1, 32, 32, 1), np.float32))
+    amax = qf.calib_amax(params, x, "unet", jnp.float32)
+    fq = qf.build_fakequant_forward("unet", jnp.float32)
+
+    def loss(p):
+        y, _ = fq(p, amax, x)
+        return jnp.mean((y - 0.8) ** 2)
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    kernel_norms = {jax.tree_util.keystr(kp): float(jnp.sum(jnp.abs(l)))
+                    for kp, l in flat if "kernel" in jax.tree_util.keystr(kp)}
+    assert kernel_norms, "no conv kernels in gradient tree"
+    zero = [k for k, v in kernel_norms.items() if v == 0.0]
+    assert not zero, f"STE blocked gradients at: {zero}"
+
+
+# ----------------------------------------------------------- train step
+
+def test_qat_train_step_updates_running_amax(rng):
+    from mri_superresolution_tpu.train.trainer import (TrainState,
+                                                       build_train_step,
+                                                       make_optimizer)
+    from mri_superresolution_tpu.config import LossConfig
+    from mri_superresolution_tpu.losses.combined import CombinedLoss
+
+    model, params = _model_and_params("unet")
+    x = jnp.asarray(rng.random((4, 32, 32, 1), np.float32))
+    hr = jnp.asarray(rng.random((4, 64, 64, 1), np.float32))
+    amax0 = qf.calib_amax(params, x, "unet", jnp.float32)
+    cfg = LossConfig(ssim_weight=0.3)
+    opt = make_optimizer(0.0)
+    fq = qf.build_fakequant_forward("unet", jnp.float32)
+    step = jax.jit(build_train_step(model, CombinedLoss(cfg), opt, None,
+                                    cfg, qat_fwd=fq, qat_decay=0.9))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=opt.init(params), qat_amax=amax0)
+    batch = {"hr": hr, "lr": x, "weight": jnp.ones((4,), jnp.float32)}
+    new_state, metrics = step(state, batch, jnp.asarray(1e-3, jnp.float32),
+                              jax.random.key(0))
+
+    assert np.isfinite(float(metrics["loss"]))
+    # EMA: new = 0.9*old + 0.1*batch, where batch is the statistic the
+    # fakequant forward itself records (quantized activations — NOT the
+    # calib forward's full-precision statistic)
+    _, batch_amax = jax.jit(fq)(params, amax0, x)
+    for k, old in amax0.items():
+        want = 0.9 * np.asarray(old) + 0.1 * np.asarray(batch_amax[k])
+        new = np.asarray(new_state.qat_amax[k])
+        np.testing.assert_allclose(new, want, rtol=1e-5)
+        assert np.all(new >= 0)
+    # params moved
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                               state.params, new_state.params)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_qat_grad_accum_equivalence(rng):
+    """grad_accum composes with QAT exactly: every microbatch quantizes
+    with the SAME step-start running amax, and the recombined batch
+    statistic (max over micro maxima) equals the full-batch max."""
+    from mri_superresolution_tpu.train.trainer import (TrainState,
+                                                       build_train_step,
+                                                       make_optimizer)
+    from mri_superresolution_tpu.config import LossConfig
+    from mri_superresolution_tpu.losses.combined import CombinedLoss
+
+    model, params = _model_and_params("unet")
+    x = jnp.asarray(rng.random((4, 32, 32, 1), np.float32))
+    hr = jnp.asarray(rng.random((4, 64, 64, 1), np.float32))
+    amax0 = qf.calib_amax(params, x, "unet", jnp.float32)
+    cfg = LossConfig(ssim_weight=0.3)
+    fq = qf.build_fakequant_forward("unet", jnp.float32)
+    batch = {"hr": hr, "lr": x, "weight": jnp.ones((4,), jnp.float32)}
+
+    def run(accum):
+        opt = make_optimizer(0.0)
+        step = jax.jit(build_train_step(model, CombinedLoss(cfg), opt, None,
+                                        cfg, grad_accum=accum, qat_fwd=fq,
+                                        qat_decay=0.9))
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=opt.init(params), qat_amax=amax0)
+        return step(state, batch, jnp.asarray(1e-3, jnp.float32),
+                    jax.random.key(0))[0]
+
+    s1, s2 = run(1), run(2)
+    # fp32 reassociation can flip a value sitting exactly on a quantizer
+    # round boundary by one code, so a handful of elements differ at ~1e-5
+    # — bounded-loose, not bit-equal (same caveat as the SSIM clip edge)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-5),
+        s1.params, s2.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5),
+        s1.qat_amax, s2.qat_amax)
+
+
+# ------------------------------------------------------------- end-to-end
+
+def test_qat_train_end_to_end_sidecar_and_int8_serving(tmp_path, capsys):
+    """train --qat produces a checkpoint + frozen calibration sidecar; the
+    engine auto-loads the sidecar for --quant int8 and serves int8 from
+    batch 0, deterministically across processes."""
+    pytest.importorskip("cv2")
+    from mri_superresolution_tpu.config import InferConfig
+    from mri_superresolution_tpu.infer.engine import load_engine
+    from mri_superresolution_tpu.train.trainer import train
+
+    hr_dir, lr_dir = _make_dataset(tmp_path)
+    cfg = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=2, qat=True,
+                       qat_decay=0.9)
+    final = train(cfg)
+    out = capsys.readouterr().out
+    assert "QAT enabled" in out
+    assert os.path.exists(final)
+
+    base = final[:-len(".ckpt")]
+    sidecar = base + ".calib.json"
+    assert os.path.exists(sidecar), "final checkpoint missing calib sidecar"
+    assert os.path.exists(os.path.join(cfg.checkpoint_dir,
+                                       "best_model_unet.calib.json"))
+    scales, mtype = qf.load_scales(sidecar)
+    assert mtype == "unet" and len(scales) == 20
+    assert all(np.all(np.asarray(s) > 0) for s in scales.values())
+
+    # engine auto-discovers the sidecar: int8 from batch 0, no streaming
+    # calibration, byte-identical across engine instances
+    icfg = InferConfig(model=ModelConfig(model_type="unet"),
+                       checkpoint_path=final, quant="int8", bf16=False)
+    eng1 = load_engine(icfg)
+    assert eng1._quant_fwd is not None     # frozen before any batch
+    batch = np.random.default_rng(0).random((2, 32, 32), np.float32)
+    out1 = eng1.upscale_batch(batch)
+    assert eng1._quant_batches == {"int8": 1, "bf16": 0}
+    out2 = load_engine(icfg).upscale_batch(batch)
+    np.testing.assert_array_equal(out1, out2)
+
+    # an explicit --quant_calib path still wins over the sidecar
+    other = str(tmp_path / "explicit.json")
+    qf.save_scales(other, scales, "unet")
+    icfg2 = InferConfig(model=ModelConfig(model_type="unet"),
+                        checkpoint_path=final, quant="int8", bf16=False,
+                        quant_calib_path=other)
+    assert load_engine(icfg2)._quant_fwd is not None
+
+
+def test_qat_resume_restores_running_amax(tmp_path, capsys):
+    pytest.importorskip("cv2")
+    from mri_superresolution_tpu.train.trainer import train
+
+    hr_dir, lr_dir = _make_dataset(tmp_path, n=8)
+    cfg = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=1, qat=True,
+                       qat_decay=0.9)
+    train(cfg)
+    capsys.readouterr()
+
+    cfg2 = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=2, qat=True,
+                        qat_decay=0.9)
+    cfg2.resume = True
+    train(cfg2)
+    out = capsys.readouterr().out
+    # resumed from a QAT checkpoint: the ranges came from extras, not re-init
+    assert "without QAT state" not in out
+    assert os.path.exists(os.path.join(cfg.checkpoint_dir,
+                                       "final_model_unet.calib.json"))
+
+
+def test_qat_validation_errors(tmp_path):
+    from mri_superresolution_tpu.train.trainer import train
+
+    d = str(tmp_path)
+
+    cfg = _tiny_config(tmp_path, d, d, qat=True)
+    cfg.model = ModelConfig(model_type="edsr", base_filters=16)
+    with pytest.raises(ValueError, match="qat supports"):
+        train(cfg)
+
+    cfg = _tiny_config(tmp_path, d, d, qat=True, spatial_shards=2)
+    with pytest.raises(ValueError, match="spatial_shards"):
+        train(cfg)
+
+    cfg = _tiny_config(tmp_path, d, d, qat=True, qat_decay=1.5)
+    with pytest.raises(ValueError, match="qat_decay"):
+        train(cfg)

@@ -315,7 +315,7 @@ def test_grad_accum_ssim_clip_saturation_counter():
     from mri_superresolution_tpu.train.trainer import (TrainState,
                                                        _make_train_step)
 
-    def compute_loss(p, hr, lo, w):
+    def compute_loss(p, _qat_amax, hr, lo, w):
         # stand-in loss whose "ssim_metric" is directly controlled by hr:
         # the per-micro weighted mean of each sample's mean value
         per = jnp.mean(hr, axis=(1, 2, 3))
