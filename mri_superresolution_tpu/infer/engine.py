@@ -63,8 +63,9 @@ def _round_up(n: int, m: int) -> int:
 
 # Per-pixel intensity above which a pixel counts as foreground, for the
 # int8 content guardrail. Distinct from ``quant_min_foreground`` (the
-# FRACTION of such pixels below which a batch routes to bf16).
-FOREGROUND_INTENSITY = 0.05
+# FRACTION of such pixels below which a batch routes to bf16). Shared
+# with the QAT fakequant forward (single source: ops/quant.py).
+from mri_superresolution_tpu.ops.quant import FOREGROUND_INTENSITY  # noqa: E402
 
 
 class InferenceEngine:

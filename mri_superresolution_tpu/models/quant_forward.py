@@ -49,13 +49,18 @@ class _Ctx:
     def __init__(self, mode: str = "ref",
                  scales: Optional[Dict[str, float]] = None,
                  qweights: Optional[Dict[str, Tuple]] = None,
-                 percentile: float = 100.0):
+                 percentile: float = 100.0,
+                 fg_mask: Optional[jnp.ndarray] = None):
         assert mode in ("ref", "calib", "int8", "fakequant")
         self.mode = mode
         self.scales = scales or {}
         self.qweights = qweights or {}
         self.amax: Dict[str, jnp.ndarray] = {}
         self.percentile = percentile
+        # fakequant only: (B,1,1,1) bool — samples with enough foreground
+        # to quantize (mirrors the serving engine's near-empty bf16
+        # routing); background samples keep full-precision activations
+        self.fg_mask = fg_mask
 
 
 def _conv(ctx: _Ctx, site: str, kernel, x, *, padding: int = 1,
@@ -65,15 +70,30 @@ def _conv(ctx: _Ctx, site: str, kernel, x, *, padding: int = 1,
         return int8_conv(quantize_tensor(x, ctx.scales[site]), qk, sk,
                          bias=bias, padding=padding, out_dtype=x.dtype)
     if ctx.mode == "fakequant" and site in ctx.scales:
-        # QAT: simulate the EXACT int8 serving arithmetic in float (same
-        # folded per-Cin activation scales + per-Cout weight scales as the
-        # int8 mode above) with straight-through gradients, and record the
+        # QAT: simulate the int8 serving arithmetic in float (same folded
+        # per-Cin activation scales + per-Cout weight scales as the int8
+        # mode above) with straight-through gradients, and record the
         # batch's per-channel |x| so the trainer can update its running
         # activation-range estimate (train/trainer.py QAT state).
-        ctx.amax[site] = lax.stop_gradient(jnp.max(
-            jnp.abs(x.astype(jnp.float32)).reshape(-1, x.shape[-1]), axis=0))
+        #
+        # Foreground routing: activations quantize only for samples with
+        # enough anatomy (ctx.fg_mask), mirroring the serving engine's
+        # near-empty bf16 routing — and, critically for TRAINING, avoiding
+        # a measured NaN blow-up: an all-background sample is exactly
+        # constant per GroupNorm group once quantized at every layer, each
+        # GN backward multiplies its cotangent by rsqrt(0 + eps) ~ 316,
+        # and ~18 GNs compound that past fp32 range. Background samples
+        # are also excluded from the recorded statistic, exactly like the
+        # engine excludes them from calibration (infer/engine.py).
+        ax = lax.stop_gradient(jnp.abs(x.astype(jnp.float32)))
+        if ctx.fg_mask is not None:
+            ax = jnp.where(ctx.fg_mask, ax, 0.0)
+        ctx.amax[site] = jnp.max(ax.reshape(-1, x.shape[-1]), axis=0)
         s_a = ctx.scales[site]
-        x = ste(x, fake_quant_act(x, s_a))
+        xq = ste(x, fake_quant_act(x, s_a))
+        if ctx.fg_mask is not None:
+            xq = jnp.where(ctx.fg_mask, xq, x)
+        x = xq
         kernel = ste(kernel, fake_quant_kernel(kernel, s_a))
     if ctx.mode == "calib":
         # Per-INPUT-CHANNEL statistics: GroupNorm gives every channel its
@@ -216,30 +236,58 @@ def build_calib_forward(model_type: str = "unet", dtype: Any = jnp.bfloat16,
 
 
 def build_fakequant_forward(model_type: str = "unet",
-                            dtype: Any = jnp.bfloat16):
+                            dtype: Any = jnp.bfloat16,
+                            min_foreground: float = 0.05):
     """Quantization-aware-training forward: ``fn(params, amax, x) ->
     (y, batch_amax)``.
 
     Every conv site the int8 serving path quantizes (all except the bf16
     output head) runs through a float quantize-dequantize that reproduces
-    the serving arithmetic exactly — per-input-channel activation scales
+    the serving arithmetic — per-input-channel activation scales
     ``amax/127`` folded into per-output-channel weight quantization
-    (ops/quant.py fake_quant_*) — with straight-through gradients, so the
-    weights learn to absorb the quantization noise the PTQ path merely
-    suffers (measured -0.64/-0.75 dB, RESULTS.md 2b). ``amax`` is the
-    trainer's running per-site per-channel |activation| estimate (a dict
-    matching :func:`calib_amax`'s structure); ``batch_amax`` is this
-    batch's statistic for updating it. The reference has no quantized
-    training (fp16 autocast only, scripts/train.py:158-163)."""
+    (ops/quant.py fake_quant_*; per-site equal to the s8xs8->s32 conv up
+    to fp32 summation order, tests/test_qat.py) — with straight-through
+    gradients, so the weights learn to absorb the quantization noise the
+    PTQ path merely suffers (measured -0.64/-0.75 dB, RESULTS.md 2b).
+
+    Per-SAMPLE foreground routing mirrors the serving engine's per-batch
+    near-empty bf16 routing (infer/engine.py, same FOREGROUND_INTENSITY
+    pixel threshold and ``min_foreground`` fraction): background-dominated
+    samples keep full-precision activations and are excluded from the
+    recorded statistic. Besides matching what serving would do with them,
+    this is a hard NUMERICAL requirement for training: a quantized
+    all-background sample is exactly constant per GroupNorm group at every
+    layer, each GN backward multiplies by rsqrt(0+eps) ~ 316, and ~18 GNs
+    compound past fp32 range (measured NaN divergence, tests/test_qat.py
+    regression). A batch with NO foreground sample returns ``amax``
+    unchanged, making the trainer's EMA update an exact no-op (the engine
+    likewise never calibrates on background batches).
+
+    ``amax`` is the trainer's running per-site per-channel |activation|
+    estimate (a dict matching :func:`calib_amax`'s structure);
+    ``batch_amax`` is this batch's statistic for updating it. The
+    reference has no quantized training (fp16 autocast only,
+    scripts/train.py:158-163)."""
+    from mri_superresolution_tpu.ops.quant import FOREGROUND_INTENSITY
+
     fwd = _FORWARDS[model_type]
 
     def run(p, amax, x):
         scales = {k: jnp.where(jnp.asarray(v, jnp.float32) > 0,
                                jnp.asarray(v, jnp.float32) / 127.0, 1.0)
                   for k, v in amax.items()}
-        ctx = _Ctx("fakequant", scales=scales)
+        fg = jnp.mean(
+            (jnp.abs(x.astype(jnp.float32)) > FOREGROUND_INTENSITY)
+            .astype(jnp.float32), axis=tuple(range(1, x.ndim)))
+        mask = (fg >= min_foreground).reshape(
+            (x.shape[0],) + (1,) * (x.ndim - 1))
+        ctx = _Ctx("fakequant", scales=scales, fg_mask=mask)
         y = fwd(ctx, p, x, dtype)
-        return y, ctx.amax
+        any_fg = jnp.any(mask)
+        batch_amax = {k: jnp.where(any_fg, v,
+                                   jnp.asarray(amax[k], jnp.float32))
+                      for k, v in ctx.amax.items()}
+        return y, batch_amax
 
     return run
 

@@ -31,6 +31,13 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from jax import lax
 
+# Per-pixel intensity above which a pixel counts as foreground — shared by
+# the serving engine's int8 content guardrail (near-empty batches route to
+# bf16, infer/engine.py) and the QAT fakequant forward's per-sample routing
+# (models/quant_forward.py), so training sees the same policy serving
+# applies.
+FOREGROUND_INTENSITY = 0.05
+
 
 def quantize_tensor(x: jnp.ndarray, scale) -> jnp.ndarray:
     """Symmetric int8 quantization with a static scale — a scalar

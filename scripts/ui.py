@@ -65,6 +65,7 @@ DEFAULT_PARAMS = {
     "grad_accum": 1,
     "ema_decay": 0.0,
     "opt_shard": False,
+    "qat": False,
     "use_tensorboard": False,
     "cpu": False,
     "resume": False,
@@ -93,7 +94,7 @@ MENUS = {
         "ssim_weight", "perceptual_weight", "perceptual_loss_type",
         "vgg_layer_idx", "initial_alpha", "validation_split", "patience",
         "seed", "augmentation", "remat", "spatial_shards", "grad_accum",
-        "ema_decay", "opt_shard",
+        "ema_decay", "opt_shard", "qat",
         "use_tensorboard", "resume", "cpu", "checkpoint_dir", "log_dir",
     ],
     "infer": [
@@ -187,7 +188,7 @@ def build_command(menu, p):
                "--ema_decay", str(p["ema_decay"]),
                "--checkpoint_dir", p["checkpoint_dir"],
                "--log_dir", p["log_dir"]]
-        for flag in ("augmentation", "remat", "opt_shard",
+        for flag in ("augmentation", "remat", "opt_shard", "qat",
                      "use_tensorboard", "resume"):
             if p[flag]:
                 cmd.append(f"--{flag}")

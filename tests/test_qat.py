@@ -136,6 +136,103 @@ def test_fakequant_gradients_flow_to_all_conv_kernels(rng):
     assert not zero, f"STE blocked gradients at: {zero}"
 
 
+def test_fakequant_foreground_routing(rng):
+    """Per-sample near-empty routing mirrors the serving engine's bf16
+    guardrail AND is the numerical fix for a measured training divergence:
+    a background slice quantized to exact constants has zero GroupNorm
+    variance at EVERY layer, each GN backward multiplies by
+    rsqrt(0+eps)~316, and ~18 GNs compound past fp32 range (NaN by step 2
+    on real extracted data — volume-edge slices routinely have <5%%
+    foreground)."""
+    _, params = _model_and_params("unet")
+    fg = rng.random((3, 32, 32, 1), np.float32)
+    # near-blank volume-edge slice (every pixel below FOREGROUND_INTENSITY
+    # -> foreground fraction 0). NOT exactly zero: at INIT an exactly-zero
+    # sample NaNs even the unquantized baseline (GN bias inits to 0, the
+    # whole forward is 0, all GN variances are 0 — parity-faithful torch
+    # behavior, see CLAUDE.md numerical gotchas), so it can't be the
+    # init-time routing probe.
+    blank = rng.random((1, 32, 32, 1)).astype(np.float32) * 0.02
+    mixed = jnp.asarray(np.concatenate([blank, fg]))
+    hr = jnp.asarray(rng.random((4, 64, 64, 1), np.float32))
+    amax = qf.calib_amax(params, jnp.asarray(fg), "unet", jnp.float32)
+    fq = qf.build_fakequant_forward("unet", jnp.float32)
+
+    # background sample excluded from the batch statistic
+    _, a_mixed = jax.jit(fq)(params, amax, mixed)
+    _, a_fg = jax.jit(fq)(params, amax, jnp.asarray(fg))
+    for k in amax:
+        np.testing.assert_allclose(np.asarray(a_mixed[k]),
+                                   np.asarray(a_fg[k]), rtol=1e-6)
+
+    # a batch with NO foreground returns the running amax unchanged — the
+    # trainer's EMA update becomes an exact no-op (engine parity: it never
+    # calibrates on background batches)
+    _, a_bg = jax.jit(fq)(params, amax, jnp.zeros((2, 32, 32, 1)))
+    for k in amax:
+        np.testing.assert_array_equal(np.asarray(a_bg[k]),
+                                      np.asarray(amax[k], np.float32))
+
+    # gradients through the mixed batch stay finite
+    def loss(p):
+        y, _ = fq(p, amax, mixed)
+        return jnp.mean(jnp.abs(y - hr))
+
+    g = jax.grad(loss)(params)
+    assert all(bool(jnp.isfinite(l).all())
+               for l in jax.tree_util.tree_leaves(g))
+
+    # foreground samples still run the quantized forward (identical to an
+    # all-foreground batch's outputs)
+    y_mixed, _ = jax.jit(fq)(params, amax, mixed)
+    y_fg, _ = jax.jit(fq)(params, amax, jnp.asarray(fg))
+    np.testing.assert_allclose(np.asarray(y_mixed)[1:], np.asarray(y_fg),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_qat_training_with_blank_slices_stays_finite(rng):
+    """Multi-step regression for the measured divergence: batches
+    containing blank and near-blank slices (volume edges) train finitely
+    under QAT."""
+    from mri_superresolution_tpu.train.trainer import (TrainState,
+                                                       build_train_step,
+                                                       make_optimizer)
+    from mri_superresolution_tpu.config import LossConfig
+    from mri_superresolution_tpu.losses.combined import CombinedLoss
+
+    model, params = _model_and_params("unet")
+    n = 16
+    x = rng.random((n, 32, 32, 1), np.float32)
+    # blank/near-blank slices AFTER the first batch: at init an
+    # exactly-zero sample NaNs even the unquantized baseline (parity
+    # behavior, CLAUDE.md); one optimizer step makes GN biases nonzero,
+    # after which only the QAT constant-collapse (fixed by foreground
+    # routing) threatened
+    x[4] = 0.0                                      # fully black
+    x[5] *= 0.02                                    # near-blank
+    x[8] *= 0.03
+    hr = rng.random((n, 64, 64, 1), np.float32)
+    amax0 = qf.calib_amax(params, jnp.asarray(x[4:12]), "unet", jnp.float32)
+    cfg = LossConfig(ssim_weight=0.3)
+    opt = make_optimizer(1e-5)
+    fq = qf.build_fakequant_forward("unet", jnp.float32)
+    step = jax.jit(build_train_step(model, CombinedLoss(cfg), opt, None,
+                                    cfg, qat_fwd=fq, qat_decay=0.9))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=opt.init(params), qat_amax=amax0)
+    for i in range(4):
+        sel = np.arange(i * 4, i * 4 + 4)
+        batch = {"hr": jnp.asarray(hr[sel]), "lr": jnp.asarray(x[sel]),
+                 "weight": jnp.ones((4,), jnp.float32)}
+        state, m = step(state, batch, jnp.asarray(1e-3, jnp.float32),
+                        jax.random.key(i))
+        assert np.isfinite(float(m["loss"])), f"step {i} diverged"
+    assert all(bool(jnp.isfinite(l).all())
+               for l in jax.tree_util.tree_leaves(state.params))
+    assert all(bool(jnp.isfinite(l).all()) and bool((l >= 0).all())
+               for l in jax.tree_util.tree_leaves(state.qat_amax))
+
+
 # ----------------------------------------------------------- train step
 
 def test_qat_train_step_updates_running_amax(rng):

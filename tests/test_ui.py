@@ -44,6 +44,10 @@ def test_build_commands():
     assert "--augmentation" in cmd and "--cpu" in cmd
     assert cmd[cmd.index("--ssim_weight") + 1] == "0.3"
     assert cmd[1].endswith("train.py")
+    assert "--qat" not in cmd                    # QAT toggle defaults off
+    p["qat"] = True
+    assert "--qat" in build_command("train", p)
+    p["qat"] = False
 
     p["input_image"] = "in.png"
     p["checkpoint_file"] = "ckpt/best.ckpt"
