@@ -385,6 +385,35 @@ def test_qat_resume_restores_running_amax(tmp_path, capsys):
                                        "final_model_unet.calib.json"))
 
 
+def test_qat_composes_with_ema_and_grad_accum(tmp_path, capsys):
+    """--qat --ema_decay --grad_accum together: the checkpoint carries BOTH
+    extras (raw live weights for resume + QAT ranges), serves the EMA
+    average, and exports the sidecar — the exact combination serving
+    consumes (EMA params + live-tracked scales)."""
+    pytest.importorskip("cv2")
+    from mri_superresolution_tpu.train import checkpoint as ckpt
+    from mri_superresolution_tpu.train.trainer import train
+
+    hr_dir, lr_dir = _make_dataset(tmp_path, n=8)
+    cfg = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=2, qat=True,
+                       qat_decay=0.9, ema_decay=0.5, grad_accum=2)
+    final = train(cfg)
+    capsys.readouterr()
+    assert os.path.exists(final)
+    sidecar = final[:-len(".ckpt")] + ".calib.json"
+    scales, mtype = qf.load_scales(sidecar)
+    assert mtype == "unet" and len(scales) == 20
+    _, _, _, extras = ckpt.load_checkpoint(final, return_extras=True)
+    assert "raw_params" in extras and "qat_amax" in extras
+    assert len(extras["qat_amax"]) == 20
+    # sidecar scales derive from the stored ranges (amax/127)
+    k = "inc.conv1"
+    stored = np.asarray(extras["qat_amax"][k], np.float32)
+    np.testing.assert_allclose(np.asarray(scales[k]),
+                               np.where(stored > 0, stored / 127.0, 1.0),
+                               rtol=1e-6)
+
+
 def test_qat_validation_errors(tmp_path):
     from mri_superresolution_tpu.train.trainer import train
 
