@@ -529,8 +529,23 @@ def train(cfg: TrainConfig,
             params=serialization.from_state_dict(params, live_r),
             opt_state=opt_r if opt_r is not None else opt_state,
             ema_params=ema_r, qat_amax=qat_r)
-        scheduler.load_state_dict(meta["scheduler"])
-        early.load_state_dict(meta["early_stopping"])
+        prev_qat = bool((meta.get("config") or {}).get("qat", False))
+        if qat_on != prev_qat:
+            # The QAT flag flipped across the resume (e.g. fine-tuning a
+            # converged bf16 checkpoint with --qat, the standard QAT
+            # recipe): validation now scores a DIFFERENT forward, so the
+            # restored LR-plateau/early-stop histories — and the restored
+            # best-val threshold best_model saving compares against —
+            # would be calibrated to the wrong metric. Reset them; the
+            # optimizer trajectory and weights still resume.
+            log_message(
+                f"Resumed checkpoint was trained with qat={prev_qat}; this "
+                f"run uses qat={qat_on}. Validation now scores a different "
+                f"forward, so the LR-plateau and early-stopping histories "
+                f"are reset (weights and optimizer state still resume).")
+        else:
+            scheduler.load_state_dict(meta["scheduler"])
+            early.load_state_dict(meta["early_stopping"])
         start_epoch = int(meta.get("epoch", -1)) + 1
         log_message(f"Resumed from {names['final']}.ckpt at epoch {start_epoch}")
 

@@ -390,6 +390,35 @@ def test_qat_resume_restores_running_amax(tmp_path, capsys):
                                        "final_model_unet.calib.json"))
 
 
+def test_qat_finetune_from_bf16_checkpoint(tmp_path, capsys):
+    """The standard QAT recipe: fine-tune a converged bf16 checkpoint with
+    --qat --resume. The flag flip is detected from the checkpoint's stored
+    config: activation ranges re-initialize, and the LR-plateau /
+    early-stop histories reset (they were calibrated to the bf16
+    validation metric) so best-model saving works under the new metric."""
+    pytest.importorskip("cv2")
+    from mri_superresolution_tpu.train.trainer import train
+
+    hr_dir, lr_dir = _make_dataset(tmp_path, n=8)
+    cfg = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=2)
+    train(cfg)
+    capsys.readouterr()
+
+    cfg2 = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=4, qat=True,
+                        qat_decay=0.9)
+    cfg2.resume = True
+    train(cfg2)
+    out = capsys.readouterr().out
+    assert "histories are reset" in out
+    assert "re-initializing the running activation ranges" in out
+    # early-stop reset -> the first QAT validation becomes the new best,
+    # so the fine-tune exports a best checkpoint + sidecar
+    assert os.path.exists(os.path.join(cfg.checkpoint_dir,
+                                       "best_model_unet.calib.json"))
+    assert os.path.exists(os.path.join(cfg.checkpoint_dir,
+                                       "final_model_unet.calib.json"))
+
+
 def test_qat_composes_with_ema_and_grad_accum(tmp_path, capsys):
     """--qat --ema_decay --grad_accum together: the checkpoint carries BOTH
     extras (raw live weights for resume + QAT ranges), serves the EMA
