@@ -309,8 +309,21 @@ def save_example_images(low_res, high_res, output, epoch: int,
 def train(cfg: TrainConfig,
           progress_cb=None) -> str:
     """Run training; returns the final checkpoint path."""
+    # Multi-host: scripts/train.py --multihost ran jax.distributed
+    # initialization before calling in; here that only means (a) host-side
+    # writes happen once (process 0), (b) batches are placed with
+    # make_array_from_callback instead of device_put, (c) the stdout JSON
+    # protocol speaks from process 0 only. The mesh/sharding/step code is
+    # IDENTICAL — GSPMD shardings span hosts by construction.
+    multihost_on = jax.process_count() > 1
+    main_process = jax.process_index() == 0
+    if multihost_on and not main_process:
+        from mri_superresolution_tpu.utils import logging as log_mod
+        log_mod.set_quiet(True)
+    logfile = ("training.log" if main_process
+               else f"training.p{jax.process_index()}.log")
     os.makedirs(cfg.log_dir, exist_ok=True)
-    logger = setup_logging(os.path.join(cfg.log_dir, "training.log"))
+    logger = setup_logging(os.path.join(cfg.log_dir, logfile))
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     os.makedirs(os.path.join(cfg.checkpoint_dir, "samples"), exist_ok=True)
 
@@ -333,6 +346,11 @@ def train(cfg: TrainConfig,
                 f"qat_decay must be in (0, 1), got {cfg.qat_decay}")
 
     spatial = cfg.spatial_shards > 1
+    if spatial and multihost_on:
+        raise ValueError(
+            "--spatial_shards with --multihost is not yet validated "
+            "(the row-sharded shard_map topology would halo-exchange "
+            "across hosts); train spatial single-host or multihost dense.")
     if spatial:
         if cfg.model.model_type not in ("unet", "unet_tpu"):
             raise ValueError(
@@ -359,6 +377,11 @@ def train(cfg: TrainConfig,
     n_dev = mesh.devices.size
     log_message(f"Using mesh with {n_dev} device(s): "
                 f"{[str(d) for d in mesh.devices.flat]}")
+    if multihost_on:
+        log_message(f"Multi-host training: {jax.process_count()} processes "
+                    f"x {jax.local_device_count()} local device(s); process "
+                    f"0 writes checkpoints/logs/protocol "
+                    f"(parallel/multihost.py)")
 
     # --- data ---
     dataset = PairedSliceDataset(cfg.full_res_dir, cfg.low_res_dir)
@@ -569,6 +592,12 @@ def train(cfg: TrainConfig,
                     f"{mesh.shape['data']} per-device optimizer memory)")
     else:
         state_sh = rsh
+    if multihost_on:
+        # jit/eager-computed leaves are committed to process-local devices,
+        # which a cross-process device_put rejects; every process computed
+        # identical values (same seed / same checkpoint bytes), so routing
+        # through host numpy is exact
+        state = jax.tree_util.tree_map(np.asarray, state)
     state = jax.device_put(state, state_sh)
 
     if spatial:
@@ -617,9 +646,16 @@ def train(cfg: TrainConfig,
 
     # per-key batch sharding (spatial mode shards hr/lr rows but not weight)
     _sh = (dsh.__getitem__ if isinstance(dsh, dict) else lambda _k: dsh)
+    # batch placement: single-process device_put, or multi-host global-array
+    # assembly from each host's identical copy (parallel/multihost.py)
+    if multihost_on:
+        from mri_superresolution_tpu.parallel import multihost
+        _place = lambda v, s: multihost.put_global(np.asarray(v), s)  # noqa: E731
+    else:
+        _place = jax.device_put
 
     writer = None
-    if cfg.use_tensorboard:
+    if cfg.use_tensorboard and main_process:
         try:
             from torch.utils.tensorboard import SummaryWriter
             writer = SummaryWriter(cfg.log_dir)
@@ -660,7 +696,11 @@ def train(cfg: TrainConfig,
         weights + QAT ranges in extras, and — under QAT — the frozen int8
         calibration sidecar the inference engine consumes via
         --quant_calib (same format as scripts/infer.py --quant_calib
-        save)."""
+        save). Multi-host: process 0 writes (the state trees it reads are
+        replicated, so its local copy is the global one); no collectives
+        here, so the early return is alignment-safe."""
+        if not main_process:
+            return
         extras: Dict[str, Any] = {}
         if ema_on:
             extras["raw_params"] = state.params
@@ -690,7 +730,8 @@ def train(cfg: TrainConfig,
     epoch = start_epoch - 1
     for epoch in range(start_epoch, cfg.epochs):
         profile_epoch = min(start_epoch + 1, cfg.epochs - 1)
-        if cfg.profile_dir and epoch == profile_epoch and not profiling:
+        if (cfg.profile_dir and main_process and epoch == profile_epoch
+                and not profiling):
             try:
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling = True
@@ -707,7 +748,7 @@ def train(cfg: TrainConfig,
             # same augmentation randomness a continuous run would have
             step_key = jax.random.fold_in(jax.random.fold_in(rng, epoch),
                                           batch_idx)
-            batch = {k: jax.device_put(v, _sh(k)) for k, v in batch.items()}
+            batch = {k: _place(v, _sh(k)) for k, v in batch.items()}
             state, metrics = train_step(state, batch,
                                         jnp.asarray(scheduler.lr, jnp.float32),
                                         step_key)
@@ -748,8 +789,7 @@ def train(cfg: TrainConfig,
         if qat_on:
             eval_params = (eval_params, state.qat_amax)
         for batch in val_loader.epoch():
-            dev_batch = {k: jax.device_put(v, _sh(k))
-                         for k, v in batch.items()}
+            dev_batch = {k: _place(v, _sh(k)) for k, v in batch.items()}
             metrics, out = eval_step(eval_params, dev_batch)
             val_losses.append(metrics["loss"])
             val_ssims.append(metrics["ssim"])
@@ -805,9 +845,16 @@ def train(cfg: TrainConfig,
                 writer.add_scalar("SSIM/val", val_ssim, epoch)
 
         if epoch % vis_frequency == 0 and vis_batch is not None:
-            save_example_images(vis_batch["lr"], vis_batch["hr"],
-                                np.asarray(vis_out), epoch,
-                                os.path.join(cfg.checkpoint_dir, "samples"))
+            # vis_out is data-sharded; under multi-host the fetch is an
+            # allgather COLLECTIVE — the gating condition is identical on
+            # every process, so they all reach it together
+            out_np = (multihost.fetch(vis_out) if multihost_on
+                      else np.asarray(vis_out))
+            if main_process:
+                save_example_images(vis_batch["lr"], vis_batch["hr"],
+                                    out_np, epoch,
+                                    os.path.join(cfg.checkpoint_dir,
+                                                 "samples"))
 
         if n_val and early.should_stop:
             log_message(f"Early stopping triggered after {epoch + 1} epochs")

@@ -38,9 +38,25 @@ def setup_logging(logfile: str = "training.log",
 
 _logger = logging.getLogger("mri_superresolution_tpu")
 
+# Multi-host training: the stdout JSON protocol must speak with ONE voice
+# (the TUI/evaluate drivers consume a single stream), so non-main processes
+# set this and keep only their per-process human log (parallel/multihost.py).
+_quiet = False
+
+
+def set_quiet(quiet: bool = True) -> None:
+    """Suppress the stdout protocol lines (non-main multi-host processes)."""
+    global _quiet
+    _quiet = quiet
+
 
 def log_message(message: Union[dict, str], message_type: str = "info") -> None:
     """Emit one protocol line on stdout + a human line on the logger."""
+    if _quiet:
+        if message_type != "batch_update":
+            _logger.info(message if isinstance(message, str)
+                         else json.dumps(message))
+        return
     if isinstance(message, dict):
         json_message = dict(message)
         for key, value in json_message.items():

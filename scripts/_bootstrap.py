@@ -32,17 +32,26 @@ def enable_compilation_cache_if_configured() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def force_cpu_if_requested(argv=None) -> None:
+def select_platform(argv=None) -> None:
+    """Platform selection + cache config only — no backend touch.
+
+    Split out of :func:`force_cpu_if_requested` for multi-host runs, where
+    ``jax.distributed.initialize`` must happen BETWEEN platform selection
+    and the first backend touch (scripts/train.py --multihost)."""
     argv = argv if argv is not None else sys.argv
     if "--cpu" in argv:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
     enable_compilation_cache_if_configured()
-    _fail_fast_on_dead_backend()
 
 
-def _fail_fast_on_dead_backend() -> None:
+def force_cpu_if_requested(argv=None) -> None:
+    select_platform(argv)
+    fail_fast_on_dead_backend()
+
+
+def fail_fast_on_dead_backend() -> None:
     """Initialize the selected backend behind a watchdog so CLIs whose
     first device touch is inside jit dispatch (extraction, training) emit
     a clean error instead of hanging forever on a dead TPU tunnel

@@ -109,6 +109,25 @@ def parse_args():
     parser.add_argument('--qat_decay', type=float, default=0.98,
                         help='EMA decay of the QAT running per-channel '
                              'activation ranges (horizon ~1/(1-d) steps)')
+    parser.add_argument('--multihost', action='store_true',
+                        help='Multi-host data-parallel training: one '
+                             'process per host, connected via '
+                             'jax.distributed so the data mesh spans every '
+                             "host's devices (gradient psums ride ICI). "
+                             'With no further flags, TPU-pod auto-detection '
+                             'configures the cluster; on generic clusters '
+                             'pass --coordinator/--num_processes/'
+                             '--process_id. Process 0 owns checkpoints, '
+                             'logs, and the stdout protocol')
+    parser.add_argument('--coordinator', type=str, default=None,
+                        help='host:port of process 0 (multihost; omit on '
+                             'TPU pods for auto-detection)')
+    parser.add_argument('--num_processes', type=int, default=None,
+                        help='total process count (multihost; omit on TPU '
+                             'pods)')
+    parser.add_argument('--process_id', type=int, default=None,
+                        help='this process\'s rank (multihost; omit on TPU '
+                             'pods)')
     parser.add_argument('--streaming_threshold_mb', type=int, default=2048,
                         help='auto mode streams past this decoded size')
     parser.add_argument('--seed', type=int, default=random.randint(1, 10000))
@@ -140,7 +159,18 @@ def parse_args():
 
 def main():
     args = parse_args()
-    force_cpu_if_requested()
+    if args.multihost:
+        # ordering: platform selection → distributed init → backend
+        # watchdog (the first backend touch must see the global cluster)
+        from scripts._bootstrap import (fail_fast_on_dead_backend,
+                                        select_platform)
+        select_platform()
+        from mri_superresolution_tpu.parallel import multihost
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
+        fail_fast_on_dead_backend()
+    else:
+        force_cpu_if_requested()
 
     from mri_superresolution_tpu.config import (AugmentConfig, LossConfig,
                                                 ModelConfig, TrainConfig)

@@ -1,0 +1,136 @@
+"""Multi-host training integration test (parallel/multihost.py).
+
+Launches scripts/train.py as TWO coordinated OS processes (2 local CPU
+devices each, jax.distributed over a localhost coordinator — real gloo
+collectives, not a simulation) and checks:
+
+- both ranks train to completion over the 4-device global mesh,
+- process 0 alone speaks the stdout JSON protocol and writes checkpoints,
+- the final weights match a single-process 4-device run on the same data
+  and seed (the multi-host trajectory IS the single-process one, up to
+  collective reduction order).
+
+The reference has no distributed training at all (no torch.distributed
+anywhere — SURVEY.md §2.2).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+SCRIPTS = os.path.join(ROOT, "scripts")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _train_cmd(ws, ckpt_dir, log_dir, extra):
+    return [sys.executable, os.path.join(SCRIPTS, "train.py"),
+            "--full_res_dir", "./hr", "--low_res_dir", "./lr",
+            "--epochs", "2", "--batch_size", "4", "--base_filters", "16",
+            "--learning_rate", "1e-3", "--seed", "3",
+            "--validation_split", "0.25",
+            "--checkpoint_dir", ckpt_dir, "--log_dir", log_dir,
+            "--cpu"] + extra
+
+
+def _env(n_local_devices: int):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                        f"{n_local_devices}")
+    return env
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """Synthetic NIfTI → 8 extracted HR/LR pairs (as tests/test_cli.py)."""
+    pytest.importorskip("cv2")
+    from mri_superresolution_tpu import nifti
+
+    ws = tmp_path_factory.mktemp("mh_ws")
+    anat = ws / "datasets" / "s1" / "sub-01" / "anat"
+    anat.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    vol = (rng.random((40, 36, 24)) * 500).astype(np.float32)
+    nifti.save(str(anat / "sub-01_T1w.nii.gz"), vol)
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "extract_paired_slices.py"),
+         "--datasets_dir", "./datasets", "--hr_output_dir", "./hr",
+         "--lr_output_dir", "./lr", "--n_slices", "8",
+         "--target_size", "64", "64", "--cpu"],
+        cwd=str(ws), capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return ws
+
+
+def test_multihost_train_matches_single_process(workspace):
+    port = _free_port()
+    mh_flags = ["--multihost", "--coordinator", f"127.0.0.1:{port}",
+                "--num_processes", "2"]
+    procs = [subprocess.Popen(
+        _train_cmd(workspace, "./ckpt_mh", "./logs_mh",
+                   mh_flags + ["--process_id", str(pid)]),
+        cwd=str(workspace), env=_env(2), text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE) for pid in (0, 1)]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out[-1500:], err[-2500:])
+
+    # rank 0 owns the stdout protocol; rank 1 is quiet on stdout
+    lines0 = [json.loads(l) for l in outs[0][0].splitlines()
+              if l.startswith("{")]
+    assert {"params", "epoch_summary"} <= {l["type"] for l in lines0}
+    assert "Multi-host training: 2 processes" in outs[0][0]
+    assert not [l for l in outs[1][0].splitlines() if l.startswith("{")]
+
+    # rank 0 alone writes checkpoints; rank 1 keeps a per-process log
+    assert (workspace / "ckpt_mh" / "final_model_unet.ckpt").exists()
+    assert (workspace / "logs_mh" / "training.p1.log").exists()
+    params_line = [l for l in lines0 if l["type"] == "params"][0]
+    assert params_line["num_devices"] == 4
+
+    # single-process 4-device run on the same data/seed → same weights
+    r = subprocess.run(
+        _train_cmd(workspace, "./ckpt_sp", "./logs_sp", []),
+        cwd=str(workspace), env=_env(4), capture_output=True, text=True,
+        timeout=900)
+    assert r.returncode == 0, r.stderr[-2500:]
+
+    # Trajectory identity: data order and math are identical, so the FIRST
+    # epoch's training loss (forwards at the shared init) must agree to
+    # float-reduction noise — a placement/order bug would shift it O(0.1).
+    lines_sp = [json.loads(l) for l in r.stdout.splitlines()
+                if l.startswith("{")]
+    first = [l for l in lines_sp
+             if l["type"] == "epoch_summary" and l["epoch"] == 0][0]
+    first_mh = [l for l in lines0
+                if l["type"] == "epoch_summary" and l["epoch"] == 0][0]
+    assert abs(first["train_loss"] - first_mh["train_loss"]) < 2e-3
+
+    # Weights then drift only by Adam's sign-sensitivity to the cross-host
+    # all-reduce's summation order (|update| <= ~2*lr per step near init,
+    # so 4 steps x 2e-3 bounds it); a systematic bug would blow past this.
+    from mri_superresolution_tpu.train.checkpoint import load_checkpoint
+    p_mh, _, meta_mh = load_checkpoint(
+        str(workspace / "ckpt_mh" / "final_model_unet.ckpt"))
+    p_sp, _, meta_sp = load_checkpoint(
+        str(workspace / "ckpt_sp" / "final_model_unet.ckpt"))
+    import jax
+    leaves_mh = jax.tree_util.tree_leaves(p_mh)
+    leaves_sp = jax.tree_util.tree_leaves(p_sp)
+    assert len(leaves_mh) == len(leaves_sp) > 0
+    worst = max(float(np.max(np.abs(np.asarray(x, np.float64)
+                                    - np.asarray(y, np.float64))))
+                for x, y in zip(leaves_mh, leaves_sp))
+    assert worst < 0.02, f"weights diverged beyond reduce-order noise: {worst}"
+    assert meta_mh["epoch"] == meta_sp["epoch"]
