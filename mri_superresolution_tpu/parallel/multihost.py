@@ -87,3 +87,25 @@ def fetch(arr) -> np.ndarray:
         from jax.experimental import multihost_utils
         return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
     return np.asarray(jax.device_get(arr))
+
+
+def agree(value):
+    """Return process 0's ``value`` on every process (broadcast collective).
+
+    Guards host-side randomness that would otherwise silently diverge the
+    processes: the trainer broadcasts the seed, because an unseeded
+    ``--seed`` default draws per-process randomness — different model
+    inits (caught by device_put's cross-process equality check) and,
+    far worse, different shuffle orders feeding inconsistent shards into
+    the same global batch (caught by nothing)."""
+    from jax.experimental import multihost_utils
+    return multihost_utils.broadcast_one_to_all(np.asarray(value))
+
+
+def fetch_tree(tree):
+    """Collective pytree fetch: :func:`fetch` per leaf, in deterministic
+    tree order — every process must call it at the same program point
+    (e.g. the trainer gathers ZeRO-1-sharded optimizer moments this way
+    before process 0 writes a checkpoint)."""
+    import jax.tree_util as jtu
+    return jtu.tree_map(fetch, tree)

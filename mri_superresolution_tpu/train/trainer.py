@@ -317,13 +317,26 @@ def train(cfg: TrainConfig,
     # IDENTICAL — GSPMD shardings span hosts by construction.
     multihost_on = jax.process_count() > 1
     main_process = jax.process_index() == 0
-    if multihost_on and not main_process:
-        from mri_superresolution_tpu.utils import logging as log_mod
-        log_mod.set_quiet(True)
+    if multihost_on:
+        from mri_superresolution_tpu.parallel import multihost
+        if not main_process:
+            from mri_superresolution_tpu.utils import logging as log_mod
+            log_mod.set_quiet(True)
     logfile = ("training.log" if main_process
                else f"training.p{jax.process_index()}.log")
     os.makedirs(cfg.log_dir, exist_ok=True)
     logger = setup_logging(os.path.join(cfg.log_dir, logfile))
+    if multihost_on:
+        # every process must derive the IDENTICAL data order and model
+        # init; an unseeded --seed default draws per-process randomness,
+        # so process 0's seed wins (parallel/multihost.agree)
+        agreed = int(multihost.agree(cfg.seed))
+        if agreed != cfg.seed:
+            logger.warning(
+                f"Multi-host: replacing this process's seed {cfg.seed} "
+                f"with process 0's {agreed} (seeds must agree; pass an "
+                f"explicit --seed to silence this)")
+            cfg.seed = agreed
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     os.makedirs(os.path.join(cfg.checkpoint_dir, "samples"), exist_ok=True)
 
@@ -649,7 +662,6 @@ def train(cfg: TrainConfig,
     # batch placement: single-process device_put, or multi-host global-array
     # assembly from each host's identical copy (parallel/multihost.py)
     if multihost_on:
-        from mri_superresolution_tpu.parallel import multihost
         _place = lambda v, s: multihost.put_global(np.asarray(v), s)  # noqa: E731
     else:
         _place = jax.device_put
@@ -696,24 +708,27 @@ def train(cfg: TrainConfig,
         weights + QAT ranges in extras, and — under QAT — the frozen int8
         calibration sidecar the inference engine consumes via
         --quant_calib (same format as scripts/infer.py --quant_calib
-        save). Multi-host: process 0 writes (the state trees it reads are
-        replicated, so its local copy is the global one); no collectives
-        here, so the early return is alignment-safe."""
+        save). Multi-host: the gather below is a COLLECTIVE (ZeRO-1
+        moments may be sharded ACROSS hosts, so process 0 alone cannot
+        read them) — every process executes it, reached only under
+        conditions that are identical on all processes (replicated val
+        metrics); process 0 alone then writes."""
+        src = multihost.fetch_tree(state) if multihost_on else state
         if not main_process:
             return
         extras: Dict[str, Any] = {}
         if ema_on:
-            extras["raw_params"] = state.params
+            extras["raw_params"] = src.params
         if qat_on:
-            extras["qat_amax"] = state.qat_amax
+            extras["qat_amax"] = src.qat_amax
         ckpt.save_checkpoint(
-            base, state.ema_params if ema_on else state.params,
-            state.opt_state, meta=meta, extras=extras or None)
+            base, src.ema_params if ema_on else src.params,
+            src.opt_state, meta=meta, extras=extras or None)
         if qat_on:
             quant_forward.save_scales(
                 base + ".calib.json",
                 quant_forward.scales_from_amax(
-                    jax.device_get(state.qat_amax)),
+                    jax.device_get(src.qat_amax)),
                 cfg.model.model_type)
 
     vis_frequency = max(1, cfg.epochs // 20)

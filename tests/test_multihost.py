@@ -34,11 +34,16 @@ def _free_port() -> int:
 
 
 def _train_cmd(ws, ckpt_dir, log_dir, extra):
+    # --opt_shard / --ema_decay / --grad_accum ride along so the run pins
+    # their multi-host composition too: ZeRO-1 moments shard ACROSS hosts
+    # (checkpointing then needs the collective gather in save_state),
+    # EMA serving weights and the microbatch scan run on the global mesh
     return [sys.executable, os.path.join(SCRIPTS, "train.py"),
             "--full_res_dir", "./hr", "--low_res_dir", "./lr",
             "--epochs", "2", "--batch_size", "4", "--base_filters", "16",
             "--learning_rate", "1e-3", "--seed", "3",
             "--validation_split", "0.25",
+            "--opt_shard", "--ema_decay", "0.9", "--grad_accum", "2",
             "--checkpoint_dir", ckpt_dir, "--log_dir", log_dir,
             "--cpu"] + extra
 
@@ -134,3 +139,20 @@ def test_multihost_train_matches_single_process(workspace):
                 for x, y in zip(leaves_mh, leaves_sp))
     assert worst < 0.02, f"weights diverged beyond reduce-order noise: {worst}"
     assert meta_mh["epoch"] == meta_sp["epoch"]
+
+    # The checkpointed Adam moments went through the cross-host ZeRO-1
+    # allgather (save_state's collective fetch_tree) — compare them to the
+    # single-process run's: an assembly/tiling bug would scramble whole
+    # shards (O(moment-magnitude) diffs), reduce-order noise cannot.
+    from flax import serialization
+    raw = {}
+    for tag, d in (("mh", "ckpt_mh"), ("sp", "ckpt_sp")):
+        with open(workspace / d / "final_model_unet.ckpt", "rb") as f:
+            raw[tag] = serialization.msgpack_restore(f.read())
+    lo_mh = jax.tree_util.tree_leaves(raw["mh"]["opt_state"])
+    lo_sp = jax.tree_util.tree_leaves(raw["sp"]["opt_state"])
+    assert len(lo_mh) == len(lo_sp) > 0
+    for x, y in zip(lo_mh, lo_sp):
+        x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+        assert x.shape == y.shape
+        assert float(np.max(np.abs(x - y))) < 0.05
