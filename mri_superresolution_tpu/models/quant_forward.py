@@ -239,7 +239,7 @@ def build_fakequant_forward(model_type: str = "unet",
                             dtype: Any = jnp.bfloat16,
                             min_foreground: float = 0.05):
     """Quantization-aware-training forward: ``fn(params, amax, x) ->
-    (y, batch_amax)``.
+    (y, batch_amax, any_fg)``.
 
     Every conv site the int8 serving path quantizes (all except the bf16
     output head) runs through a float quantize-dequantize that reproduces
@@ -259,15 +259,21 @@ def build_fakequant_forward(model_type: str = "unet",
     all-background sample is exactly constant per GroupNorm group at every
     layer, each GN backward multiplies by rsqrt(0+eps) ~ 316, and ~18 GNs
     compound past fp32 range (measured NaN divergence, tests/test_qat.py
-    regression). A batch with NO foreground sample returns ``amax``
-    unchanged, making the trainer's EMA update an exact no-op (the engine
-    likewise never calibrates on background batches).
+    regression).
 
     ``amax`` is the trainer's running per-site per-channel |activation|
     estimate (a dict matching :func:`calib_amax`'s structure);
-    ``batch_amax`` is this batch's statistic for updating it. The
-    reference has no quantized training (fp16 autocast only,
-    scripts/train.py:158-163)."""
+    ``batch_amax`` is this batch's statistic for updating it — the max
+    over FOREGROUND samples only, exact ZEROS when the batch has none,
+    with ``any_fg`` flagging whether any sample contributed. The caller
+    gates its EMA update on ``any_fg`` (an all-background batch is an
+    exact no-op, like the engine never calibrating on background
+    batches); returning zeros rather than the running value keeps the
+    statistic a neutral element under the trainer's cross-microbatch
+    ``max`` recombination for gradient accumulation (folding the running
+    estimate into a microbatch max would make the range unable to decay
+    on any step containing a background microbatch). The reference has
+    no quantized training (fp16 autocast only, scripts/train.py:158-163)."""
     from mri_superresolution_tpu.ops.quant import FOREGROUND_INTENSITY
 
     fwd = _FORWARDS[model_type]
@@ -283,11 +289,7 @@ def build_fakequant_forward(model_type: str = "unet",
             (x.shape[0],) + (1,) * (x.ndim - 1))
         ctx = _Ctx("fakequant", scales=scales, fg_mask=mask)
         y = fwd(ctx, p, x, dtype)
-        any_fg = jnp.any(mask)
-        batch_amax = {k: jnp.where(any_fg, v,
-                                   jnp.asarray(amax[k], jnp.float32))
-                      for k, v in ctx.amax.items()}
-        return y, batch_amax
+        return y, dict(ctx.amax), jnp.any(mask)
 
     return run
 
@@ -300,6 +302,18 @@ def calib_amax(params, x, model_type: str = "unet",
     head)."""
     fn = build_calib_forward(model_type, dtype, jit_fn=False)
     _, amax = jax.jit(fn)(params, x)
+    return {k: v for k, v in amax.items() if k != "__out__"}
+
+
+def amax_template(params, x_shape, model_type: str = "unet",
+                  dtype: Any = jnp.bfloat16) -> Dict[str, Any]:
+    """Shape/dtype skeleton of :func:`calib_amax`'s output with ZERO device
+    work (``jax.eval_shape``). The trainer uses it to restore checkpointed
+    QAT ranges before deciding whether a real calibration batch (and its
+    multi-minute tunnel compile) is needed at all."""
+    fn = build_calib_forward(model_type, dtype, jit_fn=False)
+    _, amax = jax.eval_shape(
+        fn, params, jax.ShapeDtypeStruct(tuple(x_shape), jnp.float32))
     return {k: v for k, v in amax.items() if k != "__out__"}
 
 

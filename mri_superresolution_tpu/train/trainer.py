@@ -85,8 +85,10 @@ def _make_train_step(compute_loss, optimizer, augment_cfg,
     Adam update). ``compute_loss(params, qat_amax, hr, lo, w) ->
     (total, comps)`` with ``comps["ssim_metric"]`` present (``qat_amax`` is
     None and ignored on non-QAT paths; QAT closures must also return the
-    batch statistic under ``comps["qat_batch_amax"]``); the DP and
-    spatially-sharded builders differ only in this closure.
+    batch statistic under ``comps["qat_batch_amax"]`` — foreground-only,
+    zeros when no sample qualifies — plus the ``comps["qat_any_fg"]``
+    flag that gates the EMA update); the DP and spatially-sharded
+    builders differ only in this closure.
 
     ``grad_accum > 1`` scans ``compute_loss``'s value_and_grad over that
     many sequential microbatches, accumulating fp32 gradients — activation
@@ -105,18 +107,23 @@ def _make_train_step(compute_loss, optimizer, augment_cfg,
             lambda p: jnp.zeros(p.shape, jnp.float32), params)
         zero = jnp.zeros((), jnp.float32)
         # QAT batch amax recombines exactly: max over microbatch maxima ==
-        # full-batch max (every microbatch quantizes with the SAME running
-        # amax from step start, so gradient exactness is unaffected)
+        # full-batch max over foreground samples (every microbatch
+        # quantizes with the SAME running amax from step start, so gradient
+        # exactness is unaffected; background microbatches contribute exact
+        # zeros — a neutral element — and the foreground flags OR together,
+        # so the recombined statistic equals the grad_accum=1 one)
         amax0 = (jax.tree_util.tree_map(jnp.zeros_like, qat_amax)
                  if qat_amax is not None else ())
+        fg0 = jnp.zeros((), jnp.bool_)
 
         def body(carry, xs):
-            g_acc, num_loss, num_ssim, n_sat, amax_acc = carry
+            g_acc, num_loss, num_ssim, n_sat, amax_acc, fg_acc = carry
             hr_i, lo_i, w_i = xs
             (loss_i, comps_i), g_i = vg(params, qat_amax, hr_i, lo_i, w_i)
             if qat_amax is not None:
                 amax_acc = jax.tree_util.tree_map(
                     jnp.maximum, amax_acc, comps_i["qat_batch_amax"])
+                fg_acc = fg_acc | comps_i["qat_any_fg"]
             den_i = jnp.sum(w_i.astype(jnp.float32))
             ssim_i = comps_i["ssim_metric"]
             # the SSIM batch-mean clip (losses/combined.py:81) is the one
@@ -129,17 +136,19 @@ def _make_train_step(compute_loss, optimizer, augment_cfg,
                 lambda acc, g: acc + den_i * g.astype(jnp.float32),
                 g_acc, g_i)
             return (g_acc, num_loss + den_i * loss_i,
-                    num_ssim + den_i * ssim_i, n_sat + sat_i, amax_acc), None
+                    num_ssim + den_i * ssim_i, n_sat + sat_i, amax_acc,
+                    fg_acc), None
 
-        (g_acc, num_loss, num_ssim, n_sat, amax_acc), _ = jax.lax.scan(
-            body, (g0, zero, zero, zero, amax0),
-            (split(hr), split(lo), split(w)))
+        (g_acc, num_loss, num_ssim, n_sat, amax_acc, fg_acc), _ = \
+            jax.lax.scan(body, (g0, zero, zero, zero, amax0, fg0),
+                         (split(hr), split(lo), split(w)))
         den = jnp.maximum(jnp.sum(w.astype(jnp.float32)), 1e-12)
         grads = jax.tree_util.tree_map(
             lambda g, p: (g / den).astype(p.dtype), g_acc, params)
         comps = {"ssim_metric": num_ssim / den, "ssim_clip_micros": n_sat}
         if qat_amax is not None:
             comps["qat_batch_amax"] = amax_acc
+            comps["qat_any_fg"] = fg_acc
         return num_loss / den, comps, grads
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
@@ -170,10 +179,17 @@ def _make_train_step(compute_loss, optimizer, augment_cfg,
         if qat_amax is not None:
             # EMA of the batch abs-max (standard moving-range observer):
             # tracks the activation distribution as the weights move, while
-            # smoothing over batch-to-batch outliers
+            # smoothing over batch-to-batch outliers. Gated on the batch
+            # containing ANY foreground sample: background batches record
+            # zeros (a neutral max element for grad_accum recombination),
+            # and decaying the range toward those zeros would be wrong —
+            # the update must be an exact no-op instead.
+            any_fg = comps["qat_any_fg"]
             qat_amax = jax.tree_util.tree_map(
-                lambda a, b: qat_decay * a + (1.0 - qat_decay)
-                * b.astype(a.dtype),
+                lambda a, b: jnp.where(
+                    any_fg,
+                    qat_decay * a + (1.0 - qat_decay) * b.astype(a.dtype),
+                    a),
                 qat_amax, comps["qat_batch_amax"])
         metrics = {"loss": loss, "ssim": comps["ssim_metric"]}
         if "ssim_clip_micros" in comps:
@@ -218,9 +234,10 @@ def build_train_step(model, loss_fn: CombinedLoss, optimizer,
 
     def compute_loss(params, qat_amax, hr, lo, w):
         if qat_fwd is not None:
-            out, batch_amax = qat_fwd(params, qat_amax, lo)
+            out, batch_amax, any_fg = qat_fwd(params, qat_amax, lo)
             total, comps = loss_call(out, hr, w)
-            return total, dict(comps, qat_batch_amax=batch_amax)
+            return total, dict(comps, qat_batch_amax=batch_amax,
+                               qat_any_fg=any_fg)
         out = model.apply({"params": params}, lo)
         return loss_call(out, hr, w)
 
@@ -239,7 +256,7 @@ def build_eval_step(model, loss_fn: CombinedLoss, ssim_cfg,
         hr, lo, w = batch["hr"], batch["lr"], batch["weight"]
         if qat_fwd is not None:
             params, qat_amax = params
-            out, _ = qat_fwd(params, qat_amax, lo)
+            out, _, _ = qat_fwd(params, qat_amax, lo)
         else:
             out = model.apply({"params": params}, lo)
         total, comps = loss_fn(out, hr, sample_weights=w)
@@ -492,13 +509,14 @@ def train(cfg: TrainConfig,
         # (RESULTS.md 2b: PTQ costs -0.64/-0.75 dB on trained models).
         qat_fwd = quant_forward.build_fakequant_forward(
             cfg.model.model_type, dtype)
-        # initialize the running activation-range estimate from one real
-        # batch through the full-precision calibration forward
-        first_batch = next(iter(train_loader.epoch(0)))
-        qat_amax0 = quant_forward.calib_amax(
-            params, jnp.asarray(first_batch["lr"]),
+        # Shape-only skeleton of the running activation-range statistic
+        # (zero device work). The REAL calibration runs after the resume
+        # block below, on whichever weights this run actually trains — the
+        # recommended `--qat --resume` fine-tune recipe must measure the
+        # converged checkpoint's activation ranges, not the random init's.
+        qat_amax0 = quant_forward.amax_template(
+            params, (1, *sample_hw, cfg.model.in_channels),
             cfg.model.model_type, dtype)
-        del first_batch
         log_message(
             f"QAT enabled (amax EMA decay {cfg.qat_decay}): training "
             f"simulates the int8 serving quantizers (per-input-channel "
@@ -523,10 +541,13 @@ def train(cfg: TrainConfig,
     # ema_0 = params_0, as a DISTINCT buffer: the train step donates the
     # whole state, and XLA rejects donating the same buffer twice
     copy_tree = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
+    # qat_amax starts as None even under QAT: the real calibration is
+    # deferred past the resume block (see below) so it measures the weights
+    # this run actually starts from; qat_amax0 is only a shape template
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=opt_state,
                        ema_params=copy_tree(params) if ema_on else None,
-                       qat_amax=qat_amax0)
+                       qat_amax=None)
 
     scheduler = ReduceLROnPlateau(cfg.learning_rate, factor=0.5,
                                   patience=cfg.patience // 2)
@@ -552,14 +573,15 @@ def train(cfg: TrainConfig,
                 log_message("Resuming with EMA enabled from a checkpoint "
                             "without EMA state: initializing the average "
                             "from the restored weights")
-        qat_r = qat_amax0
+        qat_r = None
         if qat_on and "qat_amax" in extras:
             qat_r = serialization.from_state_dict(qat_amax0,
                                                   extras["qat_amax"])
         elif qat_on:
             log_message("Resuming with QAT enabled from a checkpoint "
-                        "without QAT state: re-initializing the running "
-                        "activation ranges from one batch")
+                        "without QAT state: the running activation ranges "
+                        "will be re-initialized from one batch through the "
+                        "RESTORED weights")
         state = TrainState(
             step=jnp.asarray(int(meta.get("step", 0)), jnp.int32),
             params=serialization.from_state_dict(params, live_r),
@@ -587,6 +609,45 @@ def train(cfg: TrainConfig,
 
     # --- sharding / compilation ---
     rsh = replicated_sharding(mesh)
+
+    qat_serving_calib = None
+    if qat_on and (state.qat_amax is None or ema_on):
+        # One retained calibration batch (identical bytes on every
+        # process under --multihost) + one jitted full-precision
+        # calibration forward, shared by the deferred range init below and
+        # the per-epoch EMA-weights recalibration.
+        first_batch = next(iter(train_loader.epoch(0)))
+        calib_np = np.asarray(first_batch["lr"])
+        del first_batch
+        _calib_jit = jax.jit(quant_forward.build_calib_forward(
+            cfg.model.model_type, dtype, jit_fn=False))
+
+        def _run_calib(p, x):
+            _, amax = _calib_jit(p, x)
+            return {k: v for k, v in amax.items() if k != "__out__"}
+
+        if state.qat_amax is None:
+            # Deferred until after the resume block ON PURPOSE: the
+            # recommended `--qat --resume` fine-tune recipe must measure
+            # the CONVERGED checkpoint's activation ranges, not the random
+            # init's (which would mis-scale every quantizer for the first
+            # ~1/(1-qat_decay) steps and mis-score epoch-0 validation /
+            # best-model selection).
+            log_message("QAT: initializing the running activation ranges "
+                        "from one batch through the current weights")
+            state = state.replace(
+                qat_amax=_run_calib(state.params, jnp.asarray(calib_np)))
+        if ema_on:
+            # The checkpoint SERVES the EMA weights while the running
+            # ranges track the LIVE-weights forward; each epoch the
+            # sidecar/validation scales are re-measured on the averaged
+            # weights so the served weights and the frozen scales describe
+            # the same network (the running stat still feeds the
+            # quantizers during training and resumes from extras).
+            calib_x = (jax.device_put(calib_np, rsh) if multihost_on
+                       else jnp.asarray(calib_np))
+            qat_serving_calib = lambda p: _run_calib(p, calib_x)  # noqa: E731
+
     if cfg.opt_shard:
         # ZeRO-1: store Adam moments sharded over the data axis; params
         # (and the EMA tree, which serving reads whole) stay replicated
@@ -725,16 +786,34 @@ def train(cfg: TrainConfig,
             base, src.ema_params if ema_on else src.params,
             src.opt_state, meta=meta, extras=extras or None)
         if qat_on:
+            # Under EMA the sidecar ranges are re-measured on the served
+            # (averaged) weights each epoch (serving_amax); otherwise the
+            # running live-weights statistic IS the served network's.
+            amax_out = serving_amax if serving_amax is not None \
+                else src.qat_amax
             quant_forward.save_scales(
                 base + ".calib.json",
-                quant_forward.scales_from_amax(
-                    jax.device_get(src.qat_amax)),
+                quant_forward.scales_from_amax(jax.device_get(amax_out)),
                 cfg.model.model_type)
+        else:
+            # A prior --qat run in this checkpoint_dir may have left a
+            # calibration sidecar describing the OLD weights; load_engine
+            # auto-loads it for --quant int8, so drop it when the
+            # checkpoint it belonged to is overwritten by a non-QAT run.
+            stale = base + ".calib.json"
+            if os.path.exists(stale):
+                os.remove(stale)
+                log_message(f"Removed stale QAT calibration sidecar "
+                            f"{stale} (its checkpoint was overwritten by "
+                            f"a non-QAT run)")
 
     vis_frequency = max(1, cfg.epochs // 20)
     n_train_batches = len(train_loader)
     hyper_meta = {"config": to_dict(cfg)}
     final_val_loss, final_val_ssim = float("inf"), 0.0
+    # QAT+EMA: per-epoch scales measured on the served (averaged) weights;
+    # stays None otherwise (save_state then exports the running statistic)
+    serving_amax = None
 
     # optional profiler trace of the first post-warmup epoch (SURVEY.md §5:
     # the reference only has wall-clock timing; we expose a real trace)
@@ -802,7 +881,12 @@ def train(cfg: TrainConfig,
         # (the int8-serving-relevant metric)
         eval_params = state.ema_params if ema_on else state.params
         if qat_on:
-            eval_params = (eval_params, state.qat_amax)
+            if qat_serving_calib is not None:
+                # EMA: score (and later export) scales measured on the
+                # averaged weights actually being served/validated
+                serving_amax = qat_serving_calib(state.ema_params)
+            eval_params = (eval_params, serving_amax if serving_amax
+                           is not None else state.qat_amax)
         for batch in val_loader.epoch():
             dev_batch = {k: _place(v, _sh(k)) for k, v in batch.items()}
             metrics, out = eval_step(eval_params, dev_batch)

@@ -105,8 +105,9 @@ def test_fakequant_forward_tracks_int8_forward(model_type, rng):
     y_int8 = np.asarray(jax.jit(qf.build_int8_forward(
         params, scales, model_type, jnp.float32))(params, x))
     fq = qf.build_fakequant_forward(model_type, jnp.float32)
-    y_fq, batch_amax = jax.jit(fq)(params, amax, x)
+    y_fq, batch_amax, any_fg = jax.jit(fq)(params, amax, x)
 
+    assert bool(any_fg)
     assert set(batch_amax) == set(amax)        # same quantized sites
     # same random-weights noise bound as the PTQ test (test_quant.py)
     assert np.mean(np.abs(np.asarray(y_fq) - y_int8)) < 0.05
@@ -124,7 +125,7 @@ def test_fakequant_gradients_flow_to_all_conv_kernels(rng):
     fq = qf.build_fakequant_forward("unet", jnp.float32)
 
     def loss(p):
-        y, _ = fq(p, amax, x)
+        y, _, _ = fq(p, amax, x)
         return jnp.mean((y - 0.8) ** 2)
 
     g = jax.grad(loss)(params)
@@ -159,23 +160,28 @@ def test_fakequant_foreground_routing(rng):
     fq = qf.build_fakequant_forward("unet", jnp.float32)
 
     # background sample excluded from the batch statistic
-    _, a_mixed = jax.jit(fq)(params, amax, mixed)
-    _, a_fg = jax.jit(fq)(params, amax, jnp.asarray(fg))
+    _, a_mixed, fg_mixed = jax.jit(fq)(params, amax, mixed)
+    _, a_fg, _ = jax.jit(fq)(params, amax, jnp.asarray(fg))
+    assert bool(fg_mixed)
     for k in amax:
         np.testing.assert_allclose(np.asarray(a_mixed[k]),
                                    np.asarray(a_fg[k]), rtol=1e-6)
 
-    # a batch with NO foreground returns the running amax unchanged — the
-    # trainer's EMA update becomes an exact no-op (engine parity: it never
-    # calibrates on background batches)
-    _, a_bg = jax.jit(fq)(params, amax, jnp.zeros((2, 32, 32, 1)))
+    # a batch with NO foreground records exact ZEROS and any_fg=False: the
+    # trainer gates its EMA update on the flag (exact no-op — engine
+    # parity: it never calibrates on background batches), and zeros are
+    # the neutral element for the grad_accum cross-microbatch max (the
+    # running value there would block the range from ever decaying on
+    # steps containing a background microbatch)
+    _, a_bg, fg_bg = jax.jit(fq)(params, amax, jnp.zeros((2, 32, 32, 1)))
+    assert not bool(fg_bg)
     for k in amax:
         np.testing.assert_array_equal(np.asarray(a_bg[k]),
-                                      np.asarray(amax[k], np.float32))
+                                      np.zeros_like(np.asarray(amax[k])))
 
     # gradients through the mixed batch stay finite
     def loss(p):
-        y, _ = fq(p, amax, mixed)
+        y, _, _ = fq(p, amax, mixed)
         return jnp.mean(jnp.abs(y - hr))
 
     g = jax.grad(loss)(params)
@@ -184,8 +190,8 @@ def test_fakequant_foreground_routing(rng):
 
     # foreground samples still run the quantized forward (identical to an
     # all-foreground batch's outputs)
-    y_mixed, _ = jax.jit(fq)(params, amax, mixed)
-    y_fg, _ = jax.jit(fq)(params, amax, jnp.asarray(fg))
+    y_mixed, _, _ = jax.jit(fq)(params, amax, mixed)
+    y_fg, _, _ = jax.jit(fq)(params, amax, jnp.asarray(fg))
     np.testing.assert_allclose(np.asarray(y_mixed)[1:], np.asarray(y_fg),
                                rtol=1e-5, atol=1e-6)
 
@@ -261,7 +267,7 @@ def test_qat_train_step_updates_running_amax(rng):
     # EMA: new = 0.9*old + 0.1*batch, where batch is the statistic the
     # fakequant forward itself records (quantized activations — NOT the
     # calib forward's full-precision statistic)
-    _, batch_amax = jax.jit(fq)(params, amax0, x)
+    _, batch_amax, _ = jax.jit(fq)(params, amax0, x)
     for k, old in amax0.items():
         want = 0.9 * np.asarray(old) + 0.1 * np.asarray(batch_amax[k])
         new = np.asarray(new_state.qat_amax[k])
@@ -426,7 +432,8 @@ def test_qat_finetune_from_bf16_checkpoint(tmp_path, capsys):
     train(cfg2)
     out = capsys.readouterr().out
     assert "histories are reset" in out
-    assert "re-initializing the running activation ranges" in out
+    assert "re-initialized from one batch through the RESTORED weights" in out
+    assert "initializing the running activation ranges" in out
     # early-stop reset -> the first QAT validation becomes the new best,
     # so the fine-tune exports a best checkpoint + sidecar
     assert os.path.exists(os.path.join(cfg.checkpoint_dir,
@@ -435,12 +442,55 @@ def test_qat_finetune_from_bf16_checkpoint(tmp_path, capsys):
                                        "final_model_unet.calib.json"))
 
 
+def test_qat_finetune_sidecar_measures_restored_weights(tmp_path):
+    """Regression (r3 review): the --qat --resume fine-tune must initialize
+    its running activation ranges on the RESTORED checkpoint weights, not
+    the random init. A zero-extra-epoch resume (epochs == start_epoch)
+    freezes exactly that init calibration into the exported sidecar, which
+    must equal a by-hand calibration of the restored weights over the full
+    training set (batch_size == n and the statistic is an
+    order-invariant max, so the shuffled first batch is reproducible)."""
+    pytest.importorskip("cv2")
+    from mri_superresolution_tpu.data.dataset import PairedSliceDataset
+    from mri_superresolution_tpu.train import checkpoint as ckpt
+    from mri_superresolution_tpu.train.trainer import train
+
+    hr_dir, lr_dir = _make_dataset(tmp_path, n=8)
+    cfg = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=2,
+                       validation_split=0.0)
+    final = train(cfg)
+
+    cfg2 = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=2, qat=True,
+                        qat_decay=0.9, validation_split=0.0)
+    cfg2.resume = True
+    train(cfg2)          # start_epoch == epochs: calibrate + re-save only
+
+    scales, _ = qf.load_scales(final[:-len(".ckpt")] + ".calib.json")
+    params_r, _, _meta = ckpt.load_checkpoint(final)
+    lr_arr, _hr = PairedSliceDataset(str(hr_dir), str(lr_dir)).load_all()
+    # reproduce the batch the loader feeds the trainer: NHWC, [0, 1]
+    x = jnp.asarray(np.asarray(lr_arr, np.float32)[..., None] / 255.0)
+    amax = qf.calib_amax(params_r, x, "unet", jnp.float32)
+    want = qf.scales_from_amax(jax.device_get(amax))
+    assert set(scales) == set(want)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(scales[k]),
+                                   np.asarray(want[k]), rtol=1e-5,
+                                   err_msg=f"site {k}: sidecar scales do "
+                                           f"not match the restored-weights "
+                                           f"calibration")
+
+
 def test_qat_composes_with_ema_and_grad_accum(tmp_path, capsys):
     """--qat --ema_decay --grad_accum together: the checkpoint carries BOTH
-    extras (raw live weights for resume + QAT ranges), serves the EMA
-    average, and exports the sidecar — the exact combination serving
-    consumes (EMA params + live-tracked scales)."""
+    extras (raw live weights for resume + QAT running ranges), serves the
+    EMA average, and exports a sidecar whose scales are MEASURED ON THE
+    SERVED (EMA) WEIGHTS — not the live-forward running statistic, which
+    describes a network the checkpoint does not serve (r3 review)."""
     pytest.importorskip("cv2")
+    from mri_superresolution_tpu.data.dataset import (BatchLoader,
+                                                      PairedSliceDataset,
+                                                      train_val_split)
     from mri_superresolution_tpu.train import checkpoint as ckpt
     from mri_superresolution_tpu.train.trainer import train
 
@@ -453,15 +503,29 @@ def test_qat_composes_with_ema_and_grad_accum(tmp_path, capsys):
     sidecar = final[:-len(".ckpt")] + ".calib.json"
     scales, mtype = qf.load_scales(sidecar)
     assert mtype == "unet" and len(scales) == 20
-    _, _, _, extras = ckpt.load_checkpoint(final, return_extras=True)
+    params_srv, _, _meta, extras = ckpt.load_checkpoint(final,
+                                                        return_extras=True)
     assert "raw_params" in extras and "qat_amax" in extras
     assert len(extras["qat_amax"]) == 20
-    # sidecar scales derive from the stored ranges (amax/127)
-    k = "inc.conv1"
-    stored = np.asarray(extras["qat_amax"][k], np.float32)
-    np.testing.assert_allclose(np.asarray(scales[k]),
-                               np.where(stored > 0, stored / 127.0, 1.0),
-                               rtol=1e-6)
+
+    # by hand: calibrate the checkpoint's SERVING (EMA) params on the
+    # trainer's retained calibration batch — the first train batch of
+    # epoch 0 (batch_size rounds 8 -> 16 for the 8-way mesh x 2
+    # microbatches; loader order is (seed, epoch)-deterministic)
+    dataset = PairedSliceDataset(str(hr_dir), str(lr_dir))
+    lr_arr, hr_arr = dataset.load_all()
+    train_idx, _ = train_val_split(len(dataset), cfg.validation_split,
+                                   cfg.seed)
+    fb = next(iter(BatchLoader(lr_arr, hr_arr, train_idx, 16,
+                               shuffle=True, seed=cfg.seed).epoch(0)))
+    amax = qf.calib_amax(params_srv, jnp.asarray(fb["lr"]),
+                         "unet", jnp.float32)
+    want = qf.scales_from_amax(jax.device_get(amax))
+    assert set(scales) == set(want)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(scales[k]), np.asarray(want[k]), rtol=1e-5,
+            err_msg=f"site {k}: sidecar not measured on the EMA weights")
 
 
 def test_qat_validation_errors(tmp_path):

@@ -132,7 +132,10 @@ def main():
                 rows[f"{mt}/final_{tag}"] = engine_metrics(final, mt, pairs)
                 raw_ckpt = os.path.join(wd, f"ckpt_{tag}",
                                         f"rawfinal_model_{mt}")
-                assert save_raw_as_params(final, raw_ckpt)
+                wrote_raw = save_raw_as_params(final, raw_ckpt)
+                if not wrote_raw:
+                    raise RuntimeError(
+                        f"{final} carries no raw_params extras")
                 rows[f"{mt}/finalraw_{tag}"] = engine_metrics(
                     raw_ckpt + ".ckpt", mt, pairs)
         for k in sorted(k for k in rows if k.startswith(mt + "/")):
