@@ -377,10 +377,16 @@ def train(cfg: TrainConfig,
 
     spatial = cfg.spatial_shards > 1
     if spatial and multihost_on:
-        raise ValueError(
-            "--spatial_shards with --multihost is not yet validated "
-            "(the row-sharded shard_map topology would halo-exchange "
-            "across hosts); train spatial single-host or multihost dense.")
+        # Composes: the (data, space) mesh spans the global device list,
+        # so when a space-neighbor pair straddles a process boundary the
+        # shard_map halo ppermutes (and the space-axis GN/loss psums) ride
+        # the cross-host transport — validated with two real coordinated
+        # processes vs a single-process run on the same global mesh
+        # (tests/test_multihost.py::test_multihost_spatial_training).
+        log_message(f"Multi-host spatially-sharded training: space-axis "
+                    f"halo exchanges and statistic reductions cross host "
+                    f"boundaries where the {cfg.spatial_shards}-way space "
+                    f"axis spans processes")
     if spatial:
         if cfg.model.model_type not in ("unet", "unet_tpu"):
             raise ValueError(

@@ -33,6 +33,20 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _json_lines(text):
+    """Protocol lines from stdout; raw_decode tolerates a line where an
+    unsynchronized write (e.g. a gloo banner) landed after the object."""
+    out = []
+    dec = json.JSONDecoder()
+    for l in text.splitlines():
+        if l.startswith("{"):
+            try:
+                out.append(dec.raw_decode(l)[0])
+            except json.JSONDecodeError:
+                pass
+    return out
+
+
 def _train_cmd(ws, ckpt_dir, log_dir, extra):
     # --opt_shard / --ema_decay / --grad_accum ride along so the run pins
     # their multi-host composition too: ZeRO-1 moments shard ACROSS hosts
@@ -156,3 +170,77 @@ def test_multihost_train_matches_single_process(workspace):
         x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
         assert x.shape == y.shape
         assert float(np.max(np.abs(x - y))) < 0.05
+
+
+def _spatial_cmd(ckpt_dir, log_dir, extra):
+    # space=4 over 4 global devices (data=1): with 2 processes x 2 local
+    # devices the space axis SPANS the process boundary, so the shard_map
+    # halo ppermutes and space-axis psums (GroupNorm stats, loss
+    # reductions) cross hosts over gloo — the composition the trainer
+    # rejected before it was validated here. --ema_decay/--grad_accum
+    # ride along; --opt_shard is omitted (the data axis is 1-way).
+    return [sys.executable, os.path.join(SCRIPTS, "train.py"),
+            "--full_res_dir", "./hr", "--low_res_dir", "./lr",
+            "--epochs", "2", "--batch_size", "4", "--base_filters", "16",
+            "--learning_rate", "1e-3", "--seed", "3",
+            "--validation_split", "0.25",
+            "--spatial_shards", "4", "--ema_decay", "0.9",
+            "--grad_accum", "2",
+            "--checkpoint_dir", ckpt_dir, "--log_dir", log_dir,
+            "--cpu"] + extra
+
+
+def test_multihost_spatial_training(workspace):
+    """--multihost x --spatial_shards: row-sharded forward/loss/backward
+    where halo exchanges cross the host boundary. Two real coordinated
+    processes over a (1 data x 4 space) global mesh must reproduce the
+    single-process 4-device spatial run (same data/seed) to collective
+    reduce-order noise."""
+    port = _free_port()
+    mh_flags = ["--multihost", "--coordinator", f"127.0.0.1:{port}",
+                "--num_processes", "2"]
+    procs = [subprocess.Popen(
+        _spatial_cmd("./ckpt_mhs", "./logs_mhs",
+                     mh_flags + ["--process_id", str(pid)]),
+        cwd=str(workspace), env=_env(2), text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE) for pid in (0, 1)]
+    outs = [p.communicate(timeout=1200) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out[-1500:], err[-2500:])
+
+    lines0 = _json_lines(outs[0][0])
+    assert "Multi-host spatially-sharded training" in outs[0][0]
+    assert "Spatially-sharded training: (1 data x 4 space)" in outs[0][0]
+    assert not [l for l in outs[1][0].splitlines() if l.startswith("{")]
+    assert (workspace / "ckpt_mhs" / "final_model_unet.ckpt").exists()
+
+    r = subprocess.run(
+        _spatial_cmd("./ckpt_sps", "./logs_sps", []),
+        cwd=str(workspace), env=_env(4), capture_output=True, text=True,
+        timeout=1200)
+    assert r.returncode == 0, r.stderr[-2500:]
+    lines_sp = _json_lines(r.stdout)
+
+    # epoch-0 loss: forwards at the shared init through the SAME sharded
+    # math — cross-host transport must not change the numbers beyond
+    # float reduce-order noise
+    first = [l for l in lines_sp
+             if l["type"] == "epoch_summary" and l["epoch"] == 0][0]
+    first_mh = [l for l in lines0
+                if l["type"] == "epoch_summary" and l["epoch"] == 0][0]
+    assert abs(first["train_loss"] - first_mh["train_loss"]) < 2e-3
+
+    # weights: Adam sign-noise ceiling, as in the dense multihost test
+    from mri_superresolution_tpu.train.checkpoint import load_checkpoint
+    import jax
+    p_mh, _, _ = load_checkpoint(
+        str(workspace / "ckpt_mhs" / "final_model_unet.ckpt"))
+    p_sp, _, _ = load_checkpoint(
+        str(workspace / "ckpt_sps" / "final_model_unet.ckpt"))
+    leaves = list(zip(jax.tree_util.tree_leaves(p_mh),
+                      jax.tree_util.tree_leaves(p_sp)))
+    assert len(leaves) > 0
+    worst = max(float(np.max(np.abs(np.asarray(x, np.float64)
+                                    - np.asarray(y, np.float64))))
+                for x, y in leaves)
+    assert worst < 0.02, f"spatial multihost diverged: {worst}"
