@@ -91,8 +91,10 @@ class InferenceEngine:
         if quant == "int8":
             from mri_superresolution_tpu.models import quant_forward
             if not quant_forward.supported(model_cfg.model_type):
-                raise ValueError("--quant int8 supports model types "
-                                 "'unet'/'unet_tpu' only")
+                raise ValueError(
+                    f"--quant int8 supports model types "
+                    f"{sorted(quant_forward._FORWARDS)}, not "
+                    f"{model_cfg.model_type!r}")
             if spatial_shards > 1:
                 raise ValueError("--quant int8 is incompatible with "
                                  "spatial_shards > 1")

@@ -1,6 +1,6 @@
-"""Functional U-Net forwards with int8 post-training quantization.
+"""Functional model-zoo forwards with int8 post-training quantization.
 
-Serving-side companion to models/unet.py and models/unet_tpu.py: consumes
+Serving-side companion to models/{unet,unet_tpu,edsr,simple}.py: consumes
 the SAME parameter tree as ``model.apply`` (any checkpoint works, including
 converted torch ones) but expresses the forward as plain functions so every
 conv site can run in one of three modes sharing one code path:
@@ -13,8 +13,9 @@ conv site can run in one of three modes sharing one code path:
               weight scales; the per-input-channel activation scales are
               folded into the weights (zero serving cost).
 
-The final 1x1 output conv (``final_conv2`` / ``head_out``) stays bf16: it
-feeds the sigmoid output directly, costs <1% of the FLOPs, and keeping it
+The output-head conv (``final_conv2`` / ``head_out`` / edsr's ``tail`` /
+simple's ``reconstruct``) stays bf16: it feeds the sigmoid output
+directly, costs a small fraction of the FLOPs, and keeping it
 full-precision removes the largest quality term for free. GroupNorm,
 LeakyReLU, bilinear upsampling and pixel-shuffle stay bf16 (bandwidth-bound,
 no MXU benefit) — but their writes fuse with the following site's static
@@ -205,7 +206,52 @@ def _forward_unet_tpu(ctx, params, x, dtype):
     return jax.nn.sigmoid(y.astype(jnp.float32))
 
 
-_FORWARDS = {"unet": _forward_unet, "unet_tpu": _forward_unet_tpu}
+def _forward_edsr(ctx, params, x, dtype):
+    """Mirrors EDSR.__call__ (models/edsr.py): conv head, N residual
+    blocks (conv-ReLU-conv + residual), global skip, PixelShuffle tail.
+    ``num_blocks`` is recovered from the parameter tree; ``res_scale`` is
+    the model's fixed default (1.0 — never exposed through ModelConfig,
+    models/__init__.py:_build_edsr). Every conv quantizes except the tail
+    (it feeds pixel-shuffle + sigmoid directly — the output-head rule)."""
+    x = x.astype(dtype)
+    head = _conv(ctx, "head", params["head"]["kernel"], x,
+                 bias=params["head"]["bias"])
+    y = head
+    n_blocks = sum(1 for k in params if k.startswith("block"))
+    for i in range(n_blocks):
+        p = params[f"block{i}"]
+        z = jax.nn.relu(_conv(ctx, f"block{i}.conv0",
+                              p["Conv_0"]["kernel"], y,
+                              bias=p["Conv_0"]["bias"]))
+        z = _conv(ctx, f"block{i}.conv1", p["Conv_1"]["kernel"], z,
+                  bias=p["Conv_1"]["bias"])
+        y = y + 1.0 * z                      # x + res_scale*y, res_scale=1
+    y = _conv(ctx, "body_out", params["body_out"]["kernel"], y,
+              bias=params["body_out"]["bias"])
+    y = y + head
+    y = _conv(ctx, "__out__", params["tail"]["kernel"], y,
+              bias=params["tail"]["bias"])
+    y = pixel_shuffle(y, 2)
+    return jax.nn.sigmoid(y.astype(jnp.float32))
+
+
+def _forward_simple(ctx, params, x, dtype):
+    """Mirrors SimpleSR.__call__ (models/simple.py): the SRCNN-ish 9-5-5
+    trunk + PixelShuffle tail. ``extract``/``map`` quantize; the
+    ``reconstruct`` conv is the output head (stays full precision)."""
+    x = x.astype(dtype)
+    y = jax.nn.relu(_conv(ctx, "extract", params["extract"]["kernel"], x,
+                          padding=4, bias=params["extract"]["bias"]))
+    y = jax.nn.relu(_conv(ctx, "map", params["map"]["kernel"], y,
+                          padding=2, bias=params["map"]["bias"]))
+    y = _conv(ctx, "__out__", params["reconstruct"]["kernel"], y,
+              padding=2, bias=params["reconstruct"]["bias"])
+    y = pixel_shuffle(y, 2)
+    return jax.nn.sigmoid(y.astype(jnp.float32))
+
+
+_FORWARDS = {"unet": _forward_unet, "unet_tpu": _forward_unet_tpu,
+             "edsr": _forward_edsr, "simple": _forward_simple}
 
 
 def supported(model_type: str) -> bool:
@@ -390,10 +436,15 @@ def calibrate(params, batches: Sequence[np.ndarray], model_type: str = "unet",
 #   2569->2450 all vs 2539 partial (both below bf16). XLA's fusion
 #   decisions change with the surrounding graph, so isolated-site
 #   arithmetic does not compose; trust end-to-end numbers only.
-# Default: quantize everything (best measured config for both families).
+# Default: quantize everything (best measured config for both unet
+# families; edsr/simple have no per-site measurements — their constant
+# channel width makes every trunk conv the same MXU shape, so the
+# all-sites default is the natural one there too).
 _DEFAULT_EXCLUDE = {
     "unet": frozenset(),
     "unet_tpu": frozenset(),
+    "edsr": frozenset(),
+    "simple": frozenset(),
 }
 
 
@@ -417,22 +468,36 @@ def build_int8_forward(params, scales: Dict[str, float],
         sites.append((f"{prefix}.conv1", p["conv1"]["kernel"]))
         sites.append((f"{prefix}.conv2", p["conv2"]["kernel"]))
 
-    dc("inc", params["inc"])
-    for i in (1, 2, 3):
-        dc(f"down{i}", params[f"down{i}"]["conv"])
-    for i in (1, 2, 3):
-        up = params[f"up{i}"]
-        sites.append((f"up{i}.up_conv", up["up_conv"]["kernel"]))
-        dc(f"up{i}.conv", up["conv"])
-    if model_type == "unet":
-        sites.append(("final_up_conv", params["final_up_conv"]["kernel"]))
-        sites.append(("final_up_pixelshuffle.conv",
-                      params["final_up_pixelshuffle"]["conv"]["kernel"]))
-        sites.append(("final_conv1", params["final_conv1"]["kernel"]))
-    else:
-        sites.append(("branch_a_conv", params["branch_a_conv"]["kernel"]))
-        sites.append(("branch_b_conv", params["branch_b_conv"]["kernel"]))
-        sites.append(("head_conv", params["head_conv"]["kernel"]))
+    if model_type in ("unet", "unet_tpu"):
+        dc("inc", params["inc"])
+        for i in (1, 2, 3):
+            dc(f"down{i}", params[f"down{i}"]["conv"])
+        for i in (1, 2, 3):
+            up = params[f"up{i}"]
+            sites.append((f"up{i}.up_conv", up["up_conv"]["kernel"]))
+            dc(f"up{i}.conv", up["conv"])
+        if model_type == "unet":
+            sites.append(("final_up_conv",
+                          params["final_up_conv"]["kernel"]))
+            sites.append(("final_up_pixelshuffle.conv",
+                          params["final_up_pixelshuffle"]["conv"]["kernel"]))
+            sites.append(("final_conv1", params["final_conv1"]["kernel"]))
+        else:
+            sites.append(("branch_a_conv",
+                          params["branch_a_conv"]["kernel"]))
+            sites.append(("branch_b_conv",
+                          params["branch_b_conv"]["kernel"]))
+            sites.append(("head_conv", params["head_conv"]["kernel"]))
+    elif model_type == "edsr":
+        sites.append(("head", params["head"]["kernel"]))
+        for i in range(sum(1 for k in params if k.startswith("block"))):
+            p = params[f"block{i}"]
+            sites.append((f"block{i}.conv0", p["Conv_0"]["kernel"]))
+            sites.append((f"block{i}.conv1", p["Conv_1"]["kernel"]))
+        sites.append(("body_out", params["body_out"]["kernel"]))
+    else:                                  # simple (the tail is __out__)
+        sites.append(("extract", params["extract"]["kernel"]))
+        sites.append(("map", params["map"]["kernel"]))
     sites = [(s, kp) for s, kp in sites if s not in exclude]
     for site, kp in sites:
         if site in scales:

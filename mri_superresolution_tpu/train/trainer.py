@@ -362,8 +362,9 @@ def train(cfg: TrainConfig,
         from mri_superresolution_tpu.models import quant_forward
         if not quant_forward.supported(cfg.model.model_type):
             raise ValueError(
-                f"--qat supports model types 'unet'/'unet_tpu' (the int8 "
-                f"serving families, models/quant_forward.py), not "
+                f"--qat supports the int8 serving families "
+                f"{sorted(quant_forward._FORWARDS)} "
+                f"(models/quant_forward.py), not "
                 f"{cfg.model.model_type!r}")
         if cfg.spatial_shards > 1:
             raise ValueError(

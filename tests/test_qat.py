@@ -90,7 +90,11 @@ def test_fake_quant_zero_channel_guard():
 
 # ------------------------------------------------------------ whole-model
 
-@pytest.mark.parametrize("model_type", ["unet", "unet_tpu"])
+N_QAT_SITES = {"unet": 20, "unet_tpu": 20, "edsr": 18, "simple": 2}
+
+
+@pytest.mark.parametrize("model_type",
+                         ["unet", "unet_tpu", "edsr", "simple"])
 def test_fakequant_forward_tracks_int8_forward(model_type, rng):
     """The QAT forward and the int8 serving forward share scales, so their
     outputs track closely; per-site they are summation-order-equal (test
@@ -99,7 +103,7 @@ def test_fakequant_forward_tracks_int8_forward(model_type, rng):
     _, params = _model_and_params(model_type)
     x = jnp.asarray(rng.random((2, 32, 32, 1), np.float32))
     amax = qf.calib_amax(params, x, model_type, jnp.float32)
-    assert len(amax) == 20 and "__out__" not in amax
+    assert len(amax) == N_QAT_SITES[model_type] and "__out__" not in amax
 
     scales = qf.scales_from_amax(jax.device_get(amax))
     y_int8 = np.asarray(jax.jit(qf.build_int8_forward(
@@ -114,8 +118,10 @@ def test_fakequant_forward_tracks_int8_forward(model_type, rng):
     # the FIRST site's input is the raw image in both forwards, so its
     # batch statistic matches the calib forward's exactly; downstream
     # sites see quantized activations and legitimately differ
-    np.testing.assert_allclose(np.asarray(batch_amax["inc.conv1"]),
-                               np.asarray(amax["inc.conv1"]), rtol=1e-6)
+    first = {"unet": "inc.conv1", "unet_tpu": "inc.conv1",
+             "edsr": "head", "simple": "extract"}[model_type]
+    np.testing.assert_allclose(np.asarray(batch_amax[first]),
+                               np.asarray(amax[first]), rtol=1e-6)
 
 
 def test_fakequant_gradients_flow_to_all_conv_kernels(rng):
@@ -532,11 +538,6 @@ def test_qat_validation_errors(tmp_path):
     from mri_superresolution_tpu.train.trainer import train
 
     d = str(tmp_path)
-
-    cfg = _tiny_config(tmp_path, d, d, qat=True)
-    cfg.model = ModelConfig(model_type="edsr", base_filters=16)
-    with pytest.raises(ValueError, match="qat supports"):
-        train(cfg)
 
     cfg = _tiny_config(tmp_path, d, d, qat=True, spatial_shards=2)
     with pytest.raises(ValueError, match="spatial_shards"):

@@ -85,7 +85,11 @@ def test_quantize_tensor_saturates():
     np.testing.assert_array_equal(np.asarray(q), [-127, -100, 0, 40, 127])
 
 
-@pytest.mark.parametrize("model_type", ["unet", "unet_tpu"])
+N_QUANT_SITES = {"unet": 20, "unet_tpu": 20, "edsr": 18, "simple": 2}
+
+
+@pytest.mark.parametrize("model_type",
+                         ["unet", "unet_tpu", "edsr", "simple"])
 def test_ref_forward_bit_identical_to_model_apply(model_type, rng):
     model, params = _model_and_params(model_type)
     x = jnp.asarray(rng.random((2, 40, 48, 1), np.float32))
@@ -94,13 +98,15 @@ def test_ref_forward_bit_identical_to_model_apply(model_type, rng):
     assert bool(jnp.all(want == got))
 
 
-@pytest.mark.parametrize("model_type", ["unet", "unet_tpu"])
+@pytest.mark.parametrize("model_type",
+                         ["unet", "unet_tpu", "edsr", "simple"])
 def test_calibrate_covers_all_sites(model_type, rng):
     _, params = _model_and_params(model_type)
     x = rng.random((2, 32, 32, 1), np.float32)
     scales = qf.calibrate(params, [x], model_type)
-    # 2 (inc) + 6 (downs) + 9 (ups) + 3 family-specific quantized convs
-    assert len(scales) == 20
+    # unet families: 2 (inc) + 6 (downs) + 9 (ups) + 3 family-specific
+    # quantized convs; edsr: head + 2 per block + body_out; simple: 2
+    assert len(scales) == N_QUANT_SITES[model_type]
     assert all(np.all(np.asarray(s) > 0) for s in scales.values())
     assert "__out__" not in scales
     fn = qf.build_int8_forward(params, scales, model_type)
@@ -108,7 +114,8 @@ def test_calibrate_covers_all_sites(model_type, rng):
     assert y.shape == (2, 64, 64, 1)
 
 
-@pytest.mark.parametrize("model_type", ["unet", "unet_tpu"])
+@pytest.mark.parametrize("model_type",
+                         ["unet", "unet_tpu", "edsr", "simple"])
 def test_int8_forward_close_and_bounded(model_type, rng):
     model, params = _model_and_params(model_type)
     x = jnp.asarray(rng.random((2, 40, 40, 1), np.float32))
