@@ -121,9 +121,12 @@ class InferenceEngine:
             # split over `spatial_shards` devices with ppermute halos; the
             # remaining devices form the batch axis.
             from mri_superresolution_tpu.parallel import make_spatial_mesh
-            if model_cfg.model_type not in ("unet", "unet_tpu"):
-                raise ValueError("spatial_shards > 1 supports the "
-                                 "'unet'/'unet_tpu' topologies only")
+            from mri_superresolution_tpu.parallel import spatial as _sp
+            if model_cfg.model_type not in _sp._LOCAL_FORWARDS:
+                raise ValueError(
+                    f"spatial_shards > 1 supports the "
+                    f"{sorted(_sp._LOCAL_FORWARDS)} topologies, not "
+                    f"{model_cfg.model_type!r}")
             from mri_superresolution_tpu.utils import backend
             n_vis = (num_devices if num_devices and num_devices > 0
                      else len(backend.devices()))

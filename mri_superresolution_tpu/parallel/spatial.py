@@ -279,7 +279,69 @@ def _local_forward_tpu(params, x, row_mats_by_h, w_mats_by_w, dtype,
     return jax.nn.sigmoid(y.astype(jnp.float32))
 
 
-_LOCAL_FORWARDS = {"unet": _local_forward, "unet_tpu": _local_forward_tpu}
+def _conv_halo(x, kernel, bias=None):
+    """General kxk conv on a row-sharded block: (kh//2)-row halos replace
+    the dense row padding (zeros at the global edges), columns pad
+    locally. Needs h_local >= kh//2, guaranteed by the H % (8*n_space)
+    build-time check (h_local >= 8 and the zoo's largest kernel is 9)."""
+    ph, pw = kernel.shape[0] // 2, kernel.shape[1] // 2
+    x = _halo_exchange(x, ph, ph)
+    y = lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), ((0, 0), (pw, pw)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def _local_forward_edsr(params, x, row_mats_by_h, w_mats_by_w, dtype,
+                        remat=False):
+    """EDSR forward on one row block (models/edsr.py): a constant-
+    resolution trunk — the ONLY collectives are the 3x3 halo exchanges
+    (no GroupNorm psums, no upsample matmuls; the terminal depth-to-space
+    doubles rows within the shard). row/w mats are accepted for signature
+    uniformity and unused. res_scale is the model's fixed default (1.0)."""
+    del row_mats_by_h, w_mats_by_w
+    x = x.astype(dtype)
+
+    def block(p, y):
+        z = jax.nn.relu(_conv_halo(y, p["Conv_0"]["kernel"],
+                                   p["Conv_0"]["bias"]))
+        z = _conv_halo(z, p["Conv_1"]["kernel"], p["Conv_1"]["bias"])
+        return y + 1.0 * z                   # x + res_scale*y, res_scale=1
+
+    head = _conv_halo(x, params["head"]["kernel"], params["head"]["bias"])
+    y = head
+    blk = _maybe_ckpt(block, remat)
+    for i in range(sum(1 for k in params if k.startswith("block"))):
+        y = blk(params[f"block{i}"], y)
+    y = _conv_halo(y, params["body_out"]["kernel"],
+                   params["body_out"]["bias"])
+    y = y + head
+    y = _conv_halo(y, params["tail"]["kernel"], params["tail"]["bias"])
+    y = pixel_shuffle(y, 2)
+    return jax.nn.sigmoid(y.astype(jnp.float32))
+
+
+def _local_forward_simple(params, x, row_mats_by_h, w_mats_by_w, dtype,
+                          remat=False):
+    """SimpleSR forward on one row block (models/simple.py): the 9-5-5
+    trunk's halos are 4/2/2 rows; everything else is shard-local."""
+    del row_mats_by_h, w_mats_by_w
+    x = x.astype(dtype)
+    y = jax.nn.relu(_conv_halo(x, params["extract"]["kernel"],
+                               params["extract"]["bias"]))
+    y = jax.nn.relu(_conv_halo(y, params["map"]["kernel"],
+                               params["map"]["bias"]))
+    y = _conv_halo(y, params["reconstruct"]["kernel"],
+                   params["reconstruct"]["bias"])
+    y = pixel_shuffle(y, 2)
+    return jax.nn.sigmoid(y.astype(jnp.float32))
+
+
+_LOCAL_FORWARDS = {"unet": _local_forward, "unet_tpu": _local_forward_tpu,
+                   "edsr": _local_forward_edsr,
+                   "simple": _local_forward_simple}
 
 
 def _make_local_forward(mesh: Mesh, input_hw, dtype, model_type: str,

@@ -389,11 +389,12 @@ def train(cfg: TrainConfig,
                     f"boundaries where the {cfg.spatial_shards}-way space "
                     f"axis spans processes")
     if spatial:
-        if cfg.model.model_type not in ("unet", "unet_tpu"):
+        from mri_superresolution_tpu.parallel import spatial as _sp
+        if cfg.model.model_type not in _sp._LOCAL_FORWARDS:
             raise ValueError(
-                f"spatial_shards > 1 supports model types 'unet'/'unet_tpu' "
-                f"(parallel/spatial.py topologies), not "
-                f"{cfg.model.model_type!r}")
+                f"spatial_shards > 1 supports model types "
+                f"{sorted(_sp._LOCAL_FORWARDS)} (parallel/spatial.py "
+                f"topologies), not {cfg.model.model_type!r}")
         base = make_mesh(cfg.num_data_devices)
         n_all = base.devices.size
         if n_all % cfg.spatial_shards != 0:

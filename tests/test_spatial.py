@@ -54,6 +54,28 @@ def test_matches_dense_forward(dense_and_params, tpu_dense_and_params,
                                rtol=1e-4, atol=3e-5)
 
 
+@pytest.mark.parametrize("model_type", ["edsr", "simple"])
+def test_trunk_families_match_dense_forward(model_type):
+    """edsr/simple row-sharded forwards: constant-resolution trunks whose
+    only collectives are kxk halo exchanges (simple's 9x9 extract takes
+    4-row halos; edsr has no GroupNorm, so no psums at all)."""
+    model = build_model(ModelConfig(model_type=model_type, base_filters=16),
+                        dtype=jnp.float32)
+    params = init_params(model, jax.random.key(2), (32, 32))
+    mesh = make_spatial_mesh(2, 4)
+    h = 8 * 4                    # 8 local rows > simple's 4-row halo
+    x = _rand_batch(4, h, 64, seed=3)
+
+    dense = jax.jit(lambda p, a: model.apply({"params": p}, a))(params, x)
+    fwd = build_spatial_forward(mesh, (h, 64), dtype=jnp.float32,
+                                model_type=model_type)
+    sharded = fwd(params, x)
+
+    assert sharded.shape == (4, 2 * h, 128, 1)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               rtol=1e-4, atol=3e-5)
+
+
 def test_bf16_as_accurate_as_dense_bf16(dense_and_params):
     """bf16 reduction orders differ between the sharded and dense paths, so
     outputs aren't bitwise equal — the meaningful property is that the
@@ -391,9 +413,12 @@ class TestSpatialTraining:
                     log_dir=str(tmp_path / "logs"))
         with pytest.raises(ValueError, match="must divide"):
             train(TrainConfig(spatial_shards=3, **base))
-        with pytest.raises(ValueError, match="unet"):
+        # every registered family now has a spatial topology (edsr/simple
+        # included), so only an unknown type rejects
+        with pytest.raises(ValueError, match="supports model types"):
             train(TrainConfig(spatial_shards=4,
-                              model=ModelConfig(model_type="edsr"), **base))
+                              model=ModelConfig(model_type="hourglass"),
+                              **base))
 
 
 def test_engine_spatial_padding_warns(caplog, dense_and_params):
