@@ -93,7 +93,7 @@ class InferenceEngine:
             if not quant_forward.supported(model_cfg.model_type):
                 raise ValueError(
                     f"--quant int8 supports model types "
-                    f"{sorted(quant_forward._FORWARDS)}, not "
+                    f"{quant_forward.supported_types()}, not "
                     f"{model_cfg.model_type!r}")
             if spatial_shards > 1:
                 raise ValueError("--quant int8 is incompatible with "
@@ -122,10 +122,10 @@ class InferenceEngine:
             # remaining devices form the batch axis.
             from mri_superresolution_tpu.parallel import make_spatial_mesh
             from mri_superresolution_tpu.parallel import spatial as _sp
-            if model_cfg.model_type not in _sp._LOCAL_FORWARDS:
+            if model_cfg.model_type not in _sp.supported_types():
                 raise ValueError(
                     f"spatial_shards > 1 supports the "
-                    f"{sorted(_sp._LOCAL_FORWARDS)} topologies, not "
+                    f"{_sp.supported_types()} topologies, not "
                     f"{model_cfg.model_type!r}")
             from mri_superresolution_tpu.utils import backend
             n_vis = (num_devices if num_devices and num_devices > 0

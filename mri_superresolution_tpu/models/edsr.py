@@ -44,6 +44,12 @@ class EDSR(nn.Module):
     out_channels: int = 1
     base_filters: int = 64
     num_blocks: int = 8
+    # CAUTION: res_scale is not stored in the param tree, and the
+    # functional serving paths (models/quant_forward._forward_edsr,
+    # parallel/spatial._local_forward_edsr) assume this default — nothing
+    # in the framework's configs/CLIs can change it, but a programmatic
+    # caller overriding it must not route the checkpoint through
+    # --quant int8 / --qat / --spatial_shards.
     res_scale: float = 1.0
     # per-ResBlock rematerialization (see models/unet.py UNetSuperRes.remat)
     remat: bool = False

@@ -258,6 +258,12 @@ def supported(model_type: str) -> bool:
     return model_type in _FORWARDS
 
 
+def supported_types():
+    """Model types with a quantizable functional forward (the
+    engine/trainer gates read this instead of the private registry)."""
+    return sorted(_FORWARDS)
+
+
 def reference_forward(params, x, model_type: str = "unet",
                       dtype: Any = jnp.bfloat16):
     """bf16 functional forward, numerically identical to model.apply."""

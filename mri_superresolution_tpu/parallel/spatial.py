@@ -344,6 +344,12 @@ _LOCAL_FORWARDS = {"unet": _local_forward, "unet_tpu": _local_forward_tpu,
                    "simple": _local_forward_simple}
 
 
+def supported_types():
+    """Model types with a row-sharded topology (the engine/trainer gates
+    read this instead of the private registry)."""
+    return sorted(_LOCAL_FORWARDS)
+
+
 def _make_local_forward(mesh: Mesh, input_hw, dtype, model_type: str,
                         remat: bool = False):
     """Validate shapes and return the per-shard forward closure with its
@@ -360,16 +366,19 @@ def _make_local_forward(mesh: Mesh, input_hw, dtype, model_type: str,
 
     # Static per-resolution upsample operators (keyed by LOCAL row count /
     # global column count): decoder stages at H/8, H/4, H/2 and the final
-    # stage at H; all built once at trace time.
+    # stage at H; all built once at trace time. The trunk families
+    # (edsr/simple) have no bilinear upsamples — skip the device arrays
+    # their forwards would never read.
     row_mats_by_h = {}
     w_mats_by_w = {}
-    for s in (8, 4, 2, 1):
-        hl = h // s // n_space
-        row_mats_by_h[hl] = jnp.asarray(
-            _upsample_rows_matrices(h // s, n_space), jnp.float32)
-        w_mats_by_w[w // s] = jnp.asarray(
-            np.asarray(_align_corners_matrix(w // s, 2 * (w // s))),
-            jnp.float32)
+    if model_type in ("unet", "unet_tpu"):
+        for s in (8, 4, 2, 1):
+            hl = h // s // n_space
+            row_mats_by_h[hl] = jnp.asarray(
+                _upsample_rows_matrices(h // s, n_space), jnp.float32)
+            w_mats_by_w[w // s] = jnp.asarray(
+                np.asarray(_align_corners_matrix(w // s, 2 * (w // s))),
+                jnp.float32)
 
     return partial(_LOCAL_FORWARDS[model_type], row_mats_by_h=row_mats_by_h,
                    w_mats_by_w=w_mats_by_w, dtype=dtype, remat=remat)

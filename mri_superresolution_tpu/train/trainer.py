@@ -363,7 +363,7 @@ def train(cfg: TrainConfig,
         if not quant_forward.supported(cfg.model.model_type):
             raise ValueError(
                 f"--qat supports the int8 serving families "
-                f"{sorted(quant_forward._FORWARDS)} "
+                f"{quant_forward.supported_types()} "
                 f"(models/quant_forward.py), not "
                 f"{cfg.model.model_type!r}")
         if cfg.spatial_shards > 1:
@@ -390,10 +390,10 @@ def train(cfg: TrainConfig,
                     f"axis spans processes")
     if spatial:
         from mri_superresolution_tpu.parallel import spatial as _sp
-        if cfg.model.model_type not in _sp._LOCAL_FORWARDS:
+        if cfg.model.model_type not in _sp.supported_types():
             raise ValueError(
                 f"spatial_shards > 1 supports model types "
-                f"{sorted(_sp._LOCAL_FORWARDS)} (parallel/spatial.py "
+                f"{_sp.supported_types()} (parallel/spatial.py "
                 f"topologies), not {cfg.model.model_type!r}")
         base = make_mesh(cfg.num_data_devices)
         n_all = base.devices.size
@@ -819,9 +819,15 @@ def train(cfg: TrainConfig,
     n_train_batches = len(train_loader)
     hyper_meta = {"config": to_dict(cfg)}
     final_val_loss, final_val_ssim = float("inf"), 0.0
-    # QAT+EMA: per-epoch scales measured on the served (averaged) weights;
-    # stays None otherwise (save_state then exports the running statistic)
-    serving_amax = None
+    # QAT+EMA: scales measured on the served (averaged) weights — seeded
+    # here so even a zero-epoch resume re-save exports EMA-consistent
+    # scales, then re-measured each epoch before validation. Stays None
+    # without EMA (save_state then exports the running statistic, which
+    # IS the served network's). Computed OUTSIDE save_state's
+    # main-process gate: the calibration jit is a collective under
+    # --multihost.
+    serving_amax = (qat_serving_calib(state.ema_params)
+                    if qat_serving_calib is not None else None)
 
     # optional profiler trace of the first post-warmup epoch (SURVEY.md §5:
     # the reference only has wall-clock timing; we expose a real trace)

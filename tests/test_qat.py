@@ -533,6 +533,23 @@ def test_qat_composes_with_ema_and_grad_accum(tmp_path, capsys):
             np.asarray(scales[k]), np.asarray(want[k]), rtol=1e-5,
             err_msg=f"site {k}: sidecar not measured on the EMA weights")
 
+    # Zero-extra-epoch re-save (epochs == start_epoch, the epoch loop
+    # never runs): serving_amax is seeded at setup, so the re-exported
+    # sidecar must STILL describe the served EMA weights — which did not
+    # train, so the scales equal the first run's by-hand calibration
+    # (r3 review: the fallback used to export the live-weights running
+    # statistic here).
+    cfg2 = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=2, qat=True,
+                        qat_decay=0.9, ema_decay=0.5, grad_accum=2)
+    cfg2.resume = True
+    train(cfg2)
+    capsys.readouterr()
+    scales2, _ = qf.load_scales(sidecar)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(scales2[k]), np.asarray(want[k]), rtol=1e-5,
+            err_msg=f"site {k}: zero-epoch re-save exported non-EMA scales")
+
 
 def test_qat_validation_errors(tmp_path):
     from mri_superresolution_tpu.train.trainer import train

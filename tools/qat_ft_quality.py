@@ -61,7 +61,10 @@ def main():
     for mt in args.models:
         base = os.path.join(wd, "ckpt", f"final_model_{mt}")
         with open(base + ".json") as f:
-            base_epochs = int(json.load(f)["config"]["epochs"])
+            # resume continues from the LAST COMPLETED epoch, not the
+            # configured count — an early-stopped baseline would otherwise
+            # silently fine-tune for more than ft_epochs
+            base_epochs = int(json.load(f)["epoch"]) + 1
         ft_dir = os.path.join(wd, f"ckpt_ft{args.suffix}_{mt}")
         if not args.skip_train:
             os.makedirs(ft_dir, exist_ok=True)
