@@ -239,8 +239,12 @@ def test_engine_quant_validation(rng):
     with pytest.raises(ValueError, match="unknown quant"):
         InferenceEngine(ModelConfig(model_type="unet", base_filters=16),
                         params, quant="fp8")
-    with pytest.raises(ValueError, match="unet"):
-        InferenceEngine(ModelConfig(model_type="edsr", base_filters=16),
+    # every registered family now has a quantizable forward, so the only
+    # rejectable model type is an unknown one (build_model raises first;
+    # the engine's supported() gate stays as defense for future families)
+    with pytest.raises(ValueError, match="Unknown model type"):
+        InferenceEngine(ModelConfig(model_type="hourglass",
+                                    base_filters=16),
                         params, quant="int8")
     with pytest.raises(ValueError, match="calib_slices"):
         InferenceEngine(ModelConfig(model_type="unet", base_filters=16),

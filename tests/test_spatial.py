@@ -135,8 +135,11 @@ def test_engine_spatial_rejects_bad_config(dense_and_params):
     with pytest.raises(ValueError, match="must divide"):
         InferenceEngine(ModelConfig(model_type="unet", base_filters=16),
                         params, num_devices=8, spatial_shards=3)
-    with pytest.raises(ValueError, match="topologies"):
-        InferenceEngine(ModelConfig(model_type="edsr", base_filters=16),
+    # edsr/simple now have spatial topologies; only unknown types reject
+    # (build_model raises before the engine's topology gate)
+    with pytest.raises(ValueError, match="Unknown model type"):
+        InferenceEngine(ModelConfig(model_type="hourglass",
+                                    base_filters=16),
                         params, num_devices=8, spatial_shards=4)
 
 
