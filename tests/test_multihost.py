@@ -172,6 +172,41 @@ def test_multihost_train_matches_single_process(workspace):
         assert float(np.max(np.abs(x - y))) < 0.05
 
 
+def test_multihost_qat_ema_training(workspace):
+    """--multihost x --qat x --ema_decay: the QAT running ranges are
+    replicated state, and the per-epoch EMA-weights recalibration (and
+    its setup-time seeding) is a COLLECTIVE jit over the global mesh —
+    every process must execute it outside the main-process write gate or
+    the run deadlocks. One two-process run: completes, rank 0 exports
+    the EMA-scales sidecar, int8 serving loads it."""
+    port = _free_port()
+    cmd = [sys.executable, os.path.join(SCRIPTS, "train.py"),
+           "--full_res_dir", "./hr", "--low_res_dir", "./lr",
+           "--epochs", "1", "--batch_size", "4", "--base_filters", "16",
+           "--learning_rate", "1e-3", "--seed", "3",
+           "--validation_split", "0.25",
+           "--qat", "--qat_decay", "0.9", "--ema_decay", "0.9",
+           "--checkpoint_dir", "./ckpt_mhq", "--log_dir", "./logs_mhq",
+           "--cpu", "--multihost", "--coordinator", f"127.0.0.1:{port}",
+           "--num_processes", "2"]
+    procs = [subprocess.Popen(cmd + ["--process_id", str(pid)],
+                              cwd=str(workspace), env=_env(2), text=True,
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+             for pid in (0, 1)]
+    outs = [p.communicate(timeout=1200) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out[-1500:], err[-2500:])
+    assert "QAT enabled" in outs[0][0]
+    ckpt = workspace / "ckpt_mhq" / "final_model_unet.ckpt"
+    sidecar = workspace / "ckpt_mhq" / "final_model_unet.calib.json"
+    assert ckpt.exists() and sidecar.exists()
+
+    from mri_superresolution_tpu.models import quant_forward as qf
+    scales, mtype = qf.load_scales(str(sidecar))
+    assert mtype == "unet" and len(scales) == 20
+    assert all(np.all(np.asarray(s) > 0) for s in scales.values())
+
+
 def _spatial_cmd(ckpt_dir, log_dir, extra):
     # space=4 over 4 global devices (data=1): with 2 processes x 2 local
     # devices the space axis SPANS the process boundary, so the shard_map
