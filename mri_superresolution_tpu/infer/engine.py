@@ -80,9 +80,13 @@ class InferenceEngine:
                  tta: bool = False):
         self.model_cfg = model_cfg
         # test-time augmentation: average the forward over the dihedral
-        # flips (8 transforms for square inputs, 4 otherwise) — same
-        # compiled program (shape-preserving), n_transforms x the compute
+        # flips (8 transforms for square inputs, 4 otherwise). Batches
+        # with no spatial padding run the ON-DEVICE ensemble (ops/tta.py:
+        # one jitted program, one host<->device round trip); padded /
+        # int8 / spatial batches fall back to the host-side loop over the
+        # single-forward program (shape-preserving transforms)
         self.tta = tta
+        self._tta_fwd: dict = {}     # square? -> jitted device ensemble
         self._dtype = jnp.bfloat16 if bf16 else jnp.float32
         self.model = build_model(model_cfg, dtype=self._dtype)
         self.spatial_shards = spatial_shards
@@ -112,6 +116,7 @@ class InferenceEngine:
         self.quant_calib_slices = quant_calib_slices
         self.quant_min_foreground = quant_min_foreground
         self._quant_fwd = None       # built once calibration completes
+        self._quant_fn_raw = None    # its unjitted body (TTA wraps it)
         self._calib_fwd = None       # bf16 forward that also records amax
         self._calib_amax: dict = {}
         self._calib_seen = 0         # real (un-padded) slices calibrated on
@@ -170,8 +175,11 @@ class InferenceEngine:
         fn = quant_forward.build_int8_forward(
             jax.device_get(self.params), scales,
             self.model_cfg.model_type, dtype=self._dtype)
+        # raw (unjitted) clipped forward, kept for the on-device TTA
+        # ensemble to wrap once scales are frozen (_tta_once)
+        self._quant_fn_raw = lambda p, a: jnp.clip(fn(p, a), 0.0, 1.0)
         self._quant_fwd = jax.jit(
-            lambda p, a: jnp.clip(fn(p, a), 0.0, 1.0),
+            self._quant_fn_raw,
             in_shardings=(self._rsh, self._dsh),
             out_shardings=self._dsh)
 
@@ -305,17 +313,33 @@ class InferenceEngine:
 
         With ``tta=True`` the result is the mean over the dihedral
         transforms of t⁻¹(upscale(t(x))) — 8 transforms when h == w, the 4
-        flips otherwise. Every transform preserves the input shape, so ONE
-        compiled program serves all of them; composes with bucketing,
-        int8 and spatial sharding. int8 caveat: during streaming
-        calibration only the untransformed pass feeds the amax statistics
-        (each real slice counts once, not n_transforms times) and the
-        remaining transforms follow the same precision the identity pass
-        was served at — one ensemble never mixes bf16 and int8 members.
+        flips otherwise; composes with bucketing, int8 and spatial
+        sharding. Dense bf16 batches that need NO spatial padding run the
+        ensemble ON DEVICE (ops/tta.py): transforms + forwards + mean in
+        one jitted program, one host↔device round trip instead of
+        n_transforms serialized upload/forward/fetch trips — including
+        int8 once its scales are frozen (sidecar-loaded or calibration
+        complete), with the near-empty bf16 routing decided once per
+        batch (dihedral transforms preserve the foreground fraction).
+        Padded batches (a dihedral transform of a zero-padded array is
+        not the padding of the transformed image), int8 STILL CALIBRATING
+        (host-side routing state machine) and spatial sharding fall back
+        to the host-side loop,
+        where every transform preserves the input shape so ONE compiled
+        single-forward program serves all of them. int8 caveat: during
+        streaming calibration only the untransformed pass feeds the amax
+        statistics (each real slice counts once, not n_transforms times)
+        and the remaining transforms follow the same precision the
+        identity pass was served at — one ensemble never mixes bf16 and
+        int8 members.
         """
         if not self.tta:
             return self._upscale_once(batch)
         n, h, w = batch.shape
+        if (self.spatial_shards == 1
+                and (self.quant != "int8" or self._quant_fwd is not None)
+                and self._bucket_hw(h, w) == (h, w)):
+            return self._tta_once(batch)
         transforms = [(lambda x: x, lambda y: y),
                       (lambda x: x[:, ::-1], lambda y: y[:, ::-1]),
                       (lambda x: x[:, :, ::-1], lambda y: y[:, :, ::-1]),
@@ -333,6 +357,48 @@ class InferenceEngine:
             acc += inv(self._upscale_once(np.ascontiguousarray(t(batch)),
                                           _quant_calib_ok=(i == 0)))
         return acc / len(transforms)
+
+    def _tta_once(self, batch: np.ndarray) -> np.ndarray:
+        """On-device dihedral ensemble (ops/tta.py) for unpadded dense
+        batches: numerically the host loop's math (same forwards, fp32
+        mean) in one dispatch. Costs one extra compile per square/rect
+        (x bf16/int8) variant — the program holds 8 (or 4) forward
+        bodies. With frozen int8 scales the ensemble wraps the int8
+        forward, after the same per-batch near-empty bf16 routing the
+        host path applies (the dihedral transforms preserve the
+        foreground fraction, so one routing decision serves all
+        members)."""
+        from mri_superresolution_tpu.ops.tta import build_tta_ensemble
+
+        n, h, w = batch.shape
+        nb = _round_up(max(n, 1), self.n_devices)
+        square = h == w
+        mode = "bf16"
+        if self.quant == "int8":
+            frac = float((np.abs(batch) > FOREGROUND_INTENSITY).mean())
+            if frac >= self.quant_min_foreground:
+                mode = "int8"
+            self._quant_batches[mode] += 1
+        key = (square, mode)
+        if key not in self._tta_fwd:
+            raw = (self._quant_fn_raw if mode == "int8" else
+                   lambda p, a: jnp.clip(
+                       self.model.apply({"params": p}, a), 0.0, 1.0))
+            self._tta_fwd[key] = jax.jit(
+                build_tta_ensemble(raw, square=square),
+                in_shardings=(self._rsh, self._dsh),
+                out_shardings=self._dsh)
+        if ("tta", mode, nb, h, w) not in self._compiled_shapes:
+            self._compiled_shapes.add(("tta", mode, nb, h, w))
+            logger.info(
+                f"Compiling on-device {mode} TTA ensemble "
+                f"({8 if square else 4} members, one looped forward "
+                f"body) for shape ({nb}, {h}, {w}) — one host↔device "
+                "round trip per batch instead of one per transform.")
+        x = np.zeros((nb, h, w, 1), np.float32)
+        x[:n, :, :, 0] = batch
+        y = self._tta_fwd[key](self.params, jnp.asarray(x))
+        return np.asarray(y[:n, :, :, 0])
 
     def _upscale_once(self, batch: np.ndarray,
                       _quant_calib_ok: bool = True) -> np.ndarray:

@@ -190,6 +190,90 @@ def test_tta_matches_manual_dihedral_average(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_tta_routes_on_device_vs_host(rng):
+    """Unpadded dense TTA batches run the on-device ensemble (ops/tta.py,
+    one jitted program); padded ones fall back to the host-side transform
+    loop — and both give the same math (the manual-average test covers
+    values; this pins the ROUTING so a regression can't silently send
+    everything down the 8-round-trip host path)."""
+    eng = _engine(tta=True)
+    # %8 square input, bucket=1: no spatial padding -> device ensemble
+    y = eng.upscale_batch(rng.random((2, 16, 16), dtype=np.float32))
+    assert y.shape == (2, 32, 32)
+    assert (True, "bf16") in eng._tta_fwd       # square ensemble built
+    assert ("tta", "bf16", 2, 16, 16) in eng._compiled_shapes
+    # rect input: 4-flip device ensemble (bucket=1 never pads spatially,
+    # so every size is on-device here — the model's own internal %8
+    # padding sees the same transformed input on either path)
+    eng.upscale_batch(rng.random((2, 16, 24), dtype=np.float32))
+    assert (False, "bf16") in eng._tta_fwd
+    # bucket>1 pads non-aligned sizes -> host loop (single-forward program)
+    eng2 = _engine(tta=True, bucket=32)
+    y2 = eng2.upscale_batch(rng.random((2, 10, 10), dtype=np.float32))
+    assert y2.shape == (2, 20, 20)
+    assert eng2._tta_fwd == {}                  # device path never built
+    assert any(s[0] != "tta" for s in eng2._compiled_shapes)
+    # but a bucket-aligned size under bucket>1 is unpadded -> on-device
+    eng2.upscale_batch(rng.random((2, 32, 32), dtype=np.float32))
+    assert (True, "bf16") in eng2._tta_fwd
+
+
+def test_tta_on_device_over_mesh(rng):
+    """The on-device ensemble compiles and runs data-sharded over the
+    8-device mesh (batch axis sharded; the stacked transform axis and the
+    fori_loop carry must not break GSPMD propagation)."""
+    eng = _engine(num_devices=8, tta=True)
+    x = rng.random((8, 16, 16), dtype=np.float32)
+    y = eng.upscale_batch(x)
+    assert y.shape == (8, 32, 32) and np.isfinite(y).all()
+    assert (True, "bf16") in eng._tta_fwd
+
+
+def test_tta_int8_frozen_routes_on_device(rng, tmp_path):
+    """Once int8 scales are frozen (here: via a saved sidecar), TTA runs
+    the on-device ensemble over the int8 forward — and matches the
+    host-side loop over the same frozen int8 program exactly. Near-empty
+    batches still route to the bf16 ensemble."""
+    from mri_superresolution_tpu.models import quant_forward
+
+    eng0 = _engine()
+    calib = rng.random((4, 16, 16, 1), dtype=np.float32)
+    scales = quant_forward.calibrate(jax.device_get(eng0.params), [calib],
+                                     "unet", dtype=jnp.float32)
+    path = str(tmp_path / "scales.json")
+    quant_forward.save_scales(path, scales, "unet")
+
+    eng = InferenceEngine(eng0.model_cfg, eng0.params, bf16=False,
+                          quant="int8", quant_calib_path=path,
+                          quant_min_foreground=0.05, tta=True)
+    x = rng.random((2, 16, 16), dtype=np.float32)
+    y = eng.upscale_batch(x)
+    assert (True, "int8") in eng._tta_fwd       # int8 ensemble compiled
+    assert eng._quant_batches["int8"] == 1
+
+    # oracle: host loop over the jitted frozen-int8 single forward
+    flips = [(lambda a: a, lambda b: b),
+             (lambda a: a[:, ::-1], lambda b: b[:, ::-1]),
+             (lambda a: a[:, :, ::-1], lambda b: b[:, :, ::-1]),
+             (lambda a: a[:, ::-1, ::-1], lambda b: b[:, ::-1, ::-1])]
+    tr = lambda a: np.ascontiguousarray(a.transpose(0, 2, 1))
+    eight = flips + [(lambda a, f=f: f(tr(a)), lambda b, f=f: tr(f(b)))
+                     for f, _ in flips]
+    acc = np.zeros((2, 32, 32), np.float32)
+    for t, inv in eight:
+        out = eng._quant_fwd(eng.params,
+                             jnp.asarray(np.ascontiguousarray(
+                                 t(x))[..., None]))
+        acc += inv(np.asarray(out[..., 0]))
+    np.testing.assert_allclose(y, acc / 8, rtol=1e-5, atol=1e-6)
+
+    # near-empty batch: bf16 ensemble, not int8
+    bg = np.zeros((2, 16, 16), np.float32)
+    eng.upscale_batch(bg)
+    assert (True, "bf16") in eng._tta_fwd
+    assert eng._quant_batches["bf16"] == 1
+
+
 def test_tta_composes_with_bucketing(rng):
     """tta + bucket>1: transforms run through the padded/cropped path
     unchanged — output shape exact, finite, and flip-equivariant."""
