@@ -362,8 +362,9 @@ class InferenceEngine:
         """On-device dihedral ensemble (ops/tta.py) for unpadded dense
         batches: numerically the host loop's math (same forwards, fp32
         mean) in one dispatch. Costs one extra compile per square/rect
-        (x bf16/int8) variant — the program holds 8 (or 4) forward
-        bodies. With frozen int8 scales the ensemble wraps the int8
+        (x bf16/int8) variant — ONE forward body under a lax.fori_loop
+        (ops/tta.py; inlining all members OOMs HBM at serving batch
+        sizes). With frozen int8 scales the ensemble wraps the int8
         forward, after the same per-batch near-empty bf16 routing the
         host path applies (the dihedral transforms preserve the
         foreground fraction, so one routing decision serves all
