@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--hw", type=int, default=256)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--model", default="unet",
+                    choices=("unet", "unet_tpu", "edsr", "simple"))
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -51,11 +53,12 @@ def main():
 
     from mri_superresolution_tpu.config import ModelConfig
     from mri_superresolution_tpu.infer.engine import InferenceEngine
-    from mri_superresolution_tpu.models import UNetSuperRes, init_params
+    from mri_superresolution_tpu.models import build_model, init_params
 
-    model = UNetSuperRes(base_filters=32, dtype=jnp.bfloat16)
+    cfg = ModelConfig(model_type=args.model, base_filters=32)
+    model = build_model(cfg, dtype=jnp.bfloat16)
     params = init_params(model, jax.random.key(0), (64, 64))
-    eng = InferenceEngine(ModelConfig(base_filters=32), params, tta=True)
+    eng = InferenceEngine(cfg, params, tta=True)
 
     batch = np.random.default_rng(0).random(
         (args.batch, args.hw, args.hw), dtype=np.float32)
@@ -128,7 +131,7 @@ def main():
 
     n = args.batch
     res = {
-        "batch": n, "hw": args.hw,
+        "model": args.model, "batch": n, "hw": args.hw,
         "wall_plain_ms": round(t_plain * 1e3, 1),
         "wall_tta_host_ms": round(t_host * 1e3, 1),
         "wall_tta_device_ms": round(t_dev * 1e3, 1),
