@@ -121,6 +121,8 @@ class InferenceEngine:
         self._calib_amax: dict = {}
         self._calib_seen = 0         # real (un-padded) slices calibrated on
         self._quant_batches = {"int8": 0, "bf16": 0}
+        self._last_quant_mode = None  # precision the last int8-path batch
+        #                               was actually served at (TTA reads it)
         if spatial_shards > 1:
             # Row-sharded forwards (parallel/spatial.py): each slice is
             # split over `spatial_shards` devices with ppermute halos; the
@@ -194,12 +196,15 @@ class InferenceEngine:
             bw = _round_up(bw, 8)
         return bh, bw
 
-    def _route_bf16(self, x) -> jnp.ndarray:
-        self._quant_batches["bf16"] += 1
+    def _route_bf16(self, x, count: bool = True) -> jnp.ndarray:
+        self._last_quant_mode = "bf16"
+        if count:
+            self._quant_batches["bf16"] += 1
         return self._forward(self.params, jnp.asarray(x))
 
     def _quant_upscale(self, x: np.ndarray, n_real_slices: int,
-                       foreground_frac: float, calib_ok: bool = True):
+                       foreground_frac: float, calib_ok: bool = True,
+                       count: bool = True, force_bf16: bool = False):
         """int8 PTQ serving with streaming self-calibration
         (models/quant_forward.py): content-rich batches run a full-bf16
         forward that simultaneously records each conv site's
@@ -218,17 +223,24 @@ class InferenceEngine:
         slices at a volume's edges would freeze scales that hard-clip
         later anatomy — and are always served on the exact bf16 path,
         where the int8 noise floor (~26 dB PSNR, tools/quant_quality.py)
-        would otherwise dominate their much-lower bf16 error."""
+        would otherwise dominate their much-lower bf16 error.
+
+        ``count=False`` suppresses the ``_quant_batches`` bookkeeping
+        (TTA's non-identity members: one ensemble counts as ONE batch,
+        matching the on-device path). ``force_bf16`` pins the exact path
+        regardless of calibration state — the host TTA loop uses it so an
+        ensemble whose identity pass was served bf16 stays uniformly bf16
+        even when that pass itself froze the scales mid-ensemble."""
         from mri_superresolution_tpu.models import quant_forward
 
-        if foreground_frac < self.quant_min_foreground:
-            return self._route_bf16(x)
+        if force_bf16 or foreground_frac < self.quant_min_foreground:
+            return self._route_bf16(x, count=count)
         if self._quant_fwd is None and not calib_ok:
             # TTA's non-identity transforms while calibrating: serve bf16
             # WITHOUT feeding the statistics (the identity pass already
             # counted these slices — 8 flips of one slice are not 8
             # calibration slices)
-            return self._route_bf16(x)
+            return self._route_bf16(x, count=count)
 
         if self._quant_fwd is None:
             if self._calib_fwd is None:
@@ -251,7 +263,9 @@ class InferenceEngine:
                 logger.info(f"int8 PTQ: calibrating "
                             f"({self._calib_seen}/{self.quant_calib_slices} "
                             "slices seen); serving bf16 meanwhile")
-                self._quant_batches["bf16"] += 1
+                self._last_quant_mode = "bf16"
+                if count:
+                    self._quant_batches["bf16"] += 1
                 return jnp.clip(y, 0.0, 1.0)
             scales = quant_forward.scales_from_amax(self._calib_amax)
             logger.info(f"int8 PTQ: froze {len(scales)} activation scales "
@@ -267,11 +281,15 @@ class InferenceEngine:
                 # this batch already has a bf16 result from the calib
                 # forward — serve it (no second forward); int8 starts with
                 # the next batch
-                self._quant_batches["bf16"] += 1
+                self._last_quant_mode = "bf16"
+                if count:
+                    self._quant_batches["bf16"] += 1
                 return jnp.clip(y, 0.0, 1.0)
             # single-batch calibration: re-serve this batch int8
 
-        self._quant_batches["int8"] += 1
+        self._last_quant_mode = "int8"
+        if count:
+            self._quant_batches["int8"] += 1
         return self._quant_fwd(self.params, jnp.asarray(x))
 
     def quant_summary(self) -> str:
@@ -340,22 +358,21 @@ class InferenceEngine:
                 and (self.quant != "int8" or self._quant_fwd is not None)
                 and self._bucket_hw(h, w) == (h, w)):
             return self._tta_once(batch)
-        transforms = [(lambda x: x, lambda y: y),
-                      (lambda x: x[:, ::-1], lambda y: y[:, ::-1]),
-                      (lambda x: x[:, :, ::-1], lambda y: y[:, :, ::-1]),
-                      (lambda x: x[:, ::-1, ::-1],
-                       lambda y: y[:, ::-1, ::-1])]
-        if h == w:
-            # transpose composes with each flip: t = f∘T, t⁻¹ = T∘f
-            # (both are involutions)
-            tr = lambda a: np.ascontiguousarray(a.transpose(0, 2, 1))
-            transforms += [(lambda x, f=f: f(tr(x)),
-                            lambda y, f=f: tr(f(y)))
-                           for f, _ in list(transforms)]
+        from mri_superresolution_tpu.ops.tta import dihedral_pairs
+        transforms = dihedral_pairs(square=(h == w))
         acc = np.zeros((n, 2 * h, 2 * w), np.float32)
+        force_bf16 = False
         for i, (t, inv) in enumerate(transforms):
-            acc += inv(self._upscale_once(np.ascontiguousarray(t(batch)),
-                                          _quant_calib_ok=(i == 0)))
+            acc += np.asarray(
+                inv(self._upscale_once(np.ascontiguousarray(t(batch)),
+                                       _quant_calib_ok=(i == 0),
+                                       _quant_count=(i == 0),
+                                       _quant_force_bf16=force_bf16)))
+            if i == 0 and self.quant == "int8":
+                # the remaining members follow the identity pass's served
+                # precision — one ensemble never mixes bf16 and int8, even
+                # when the identity pass itself completes calibration
+                force_bf16 = self._last_quant_mode == "bf16"
         return acc / len(transforms)
 
     def _tta_once(self, batch: np.ndarray) -> np.ndarray:
@@ -402,7 +419,9 @@ class InferenceEngine:
         return np.asarray(y[:n, :, :, 0])
 
     def _upscale_once(self, batch: np.ndarray,
-                      _quant_calib_ok: bool = True) -> np.ndarray:
+                      _quant_calib_ok: bool = True,
+                      _quant_count: bool = True,
+                      _quant_force_bf16: bool = False) -> np.ndarray:
         n, h, w = batch.shape
         bh, bw = self._bucket_hw(h, w)
         nb = _round_up(max(n, 1), self.n_devices)
@@ -434,7 +453,8 @@ class InferenceEngine:
             y = self._quant_upscale(
                 x, n,
                 float((np.abs(batch) > FOREGROUND_INTENSITY).mean()),
-                calib_ok=_quant_calib_ok)
+                calib_ok=_quant_calib_ok, count=_quant_count,
+                force_bf16=_quant_force_bf16)
         else:
             y = self._forward(self.params, jnp.asarray(x))
         y = np.asarray(y[:n, :2 * h, :2 * w, 0])

@@ -60,18 +60,22 @@ def _flip_hw(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _transpose(x: jnp.ndarray) -> jnp.ndarray:
-    # NHWC: swap the spatial axes only
-    return x.transpose(0, 2, 1, 3)
+    # swap the spatial axes only; works for NHWC and channel-less NHW
+    # (pure method call, so numpy arrays stay numpy)
+    return x.swapaxes(1, 2)
 
 
 def dihedral_pairs(square: bool):
-    """(transform, inverse) pairs on NHWC arrays.
+    """(transform, inverse) pairs on batched spatial arrays.
 
     The 4 axis flips are involutions (inverse == transform). With
     ``square`` the 4 transpose-composed elements are added: t = f . T has
-    t^-1 = T . f (both f and T are involutions), mirroring the host-side
-    list in infer/engine.py ``upscale_batch``. The first pair is always
+    t^-1 = T . f (both f and T are involutions). The first pair is always
     the identity (the engine's int8-calibration contract keys on it).
+    Every pair is pure indexing/axis-swapping on axes 1–2, so the SAME
+    list serves the traced NHWC ensemble below and the engine's host-side
+    numpy (N, H, W) loop (infer/engine.py ``upscale_batch``) — one copy,
+    one member order.
     """
     pairs = [(_identity, _identity), (_flip_h, _flip_h),
              (_flip_w, _flip_w), (_flip_hw, _flip_hw)]

@@ -819,15 +819,19 @@ def train(cfg: TrainConfig,
     n_train_batches = len(train_loader)
     hyper_meta = {"config": to_dict(cfg)}
     final_val_loss, final_val_ssim = float("inf"), 0.0
-    # QAT+EMA: scales measured on the served (averaged) weights — seeded
-    # here so even a zero-epoch resume re-save exports EMA-consistent
-    # scales, then re-measured each epoch before validation. Stays None
-    # without EMA (save_state then exports the running statistic, which
-    # IS the served network's). Computed OUTSIDE save_state's
-    # main-process gate: the calibration jit is a collective under
-    # --multihost.
+    # QAT+EMA: scales measured on the served (averaged) weights. Any run
+    # with epochs left re-measures this each epoch BEFORE its first use
+    # (pre-validation, ahead of every save_state), so the startup seed is
+    # only needed — and only paid — when the epoch loop never runs (a
+    # zero-epoch resume re-save must still export EMA-consistent scales).
+    # Stays None without EMA (save_state then exports the running
+    # statistic, which IS the served network's). Computed OUTSIDE
+    # save_state's main-process gate: the calibration jit is a collective
+    # under --multihost, and start_epoch/cfg.epochs agree on every
+    # process so the gate cannot deadlock.
     serving_amax = (qat_serving_calib(state.ema_params)
-                    if qat_serving_calib is not None else None)
+                    if qat_serving_calib is not None
+                    and start_epoch >= cfg.epochs else None)
 
     # optional profiler trace of the first post-warmup epoch (SURVEY.md §5:
     # the reference only has wall-clock timing; we expose a real trace)

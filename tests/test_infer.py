@@ -301,3 +301,31 @@ def test_tta_int8_calibration_counts_slices_once(rng):
     plain = InferenceEngine(eng.model_cfg, eng.params, bf16=False, tta=True)
     np.testing.assert_allclose(y, plain.upscale_batch(x), rtol=1e-6,
                                atol=1e-7)
+
+
+def test_tta_int8_calibration_completing_mid_ensemble_stays_bf16(rng):
+    """The hard uniformity case: a TTA batch whose IDENTITY pass completes
+    streaming calibration (freezing the scales, but itself served bf16 from
+    the calibration forward) must serve the remaining 7 members bf16 too —
+    r3 review: they used to find the freshly-frozen _quant_fwd and serve
+    int8, mixing precisions inside one averaged ensemble. Also pins the
+    batch accounting: one ensemble counts as ONE batch on both TTA routes.
+    """
+    eng = _engine(quant="int8", quant_calib_slices=3,
+                  quant_min_foreground=0.0, tta=True)
+    x1 = rng.random((2, 16, 16), dtype=np.float32)
+    x2 = rng.random((2, 16, 16), dtype=np.float32)
+    plain = InferenceEngine(eng.model_cfg, eng.params, bf16=False, tta=True)
+
+    eng.upscale_batch(x1)                  # 2/3 slices: still calibrating
+    assert eng._quant_fwd is None
+    y2 = eng.upscale_batch(x2)             # identity pass completes (4/3)
+    assert eng._quant_fwd is not None      # scales froze mid-ensemble...
+    np.testing.assert_allclose(            # ...but the ensemble stayed bf16
+        y2, plain.upscale_batch(x2), rtol=1e-6, atol=1e-7)
+    assert eng._quant_batches == {"bf16": 2, "int8": 0}
+
+    # next batch: frozen scales + unpadded -> on-device int8 ensemble,
+    # counted once per batch just like the host loop
+    eng.upscale_batch(rng.random((2, 16, 16), dtype=np.float32))
+    assert eng._quant_batches == {"bf16": 2, "int8": 1}

@@ -563,3 +563,10 @@ def test_qat_validation_errors(tmp_path):
     cfg = _tiny_config(tmp_path, d, d, qat=True, qat_decay=1.5)
     with pytest.raises(ValueError, match="qat_decay"):
         train(cfg)
+
+    # every registered family now has a fake-quant forward, so the gate's
+    # remaining job is rejecting model types quant_forward doesn't know
+    cfg = _tiny_config(tmp_path, d, d, qat=True)
+    cfg.model.model_type = "hourglass"
+    with pytest.raises(ValueError, match="int8 serving families"):
+        train(cfg)

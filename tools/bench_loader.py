@@ -73,6 +73,10 @@ def main():
         def run_native():
             out = native.decode_batch(paths, (args.hw, args.hw))
             assert out is not None and out.shape[0] == args.n
+            # the real pipeline converts to float on host right after
+            # decode (data/dataset.py _assemble); every row must include
+            # it for an apples-to-apples comparison
+            _ = out.astype(np.float32) / 255.0
         rows["native"] = timeit(run_native, args.repeats)
     else:
         print("[bench_loader] native lib unavailable (build failed?)",
