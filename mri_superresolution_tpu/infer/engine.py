@@ -332,15 +332,16 @@ class InferenceEngine:
         With ``tta=True`` the result is the mean over the dihedral
         transforms of t⁻¹(upscale(t(x))) — 8 transforms when h == w, the 4
         flips otherwise; composes with bucketing, int8 and spatial
-        sharding. Dense bf16 batches that need NO spatial padding run the
-        ensemble ON DEVICE (ops/tta.py): transforms + forwards + mean in
-        one jitted program, one host↔device round trip instead of
-        n_transforms serialized upload/forward/fetch trips — including
-        int8 once its scales are frozen (sidecar-loaded or calibration
-        complete), with the near-empty bf16 routing decided once per
-        batch (dihedral transforms preserve the foreground fraction).
-        Padded batches (a dihedral transform of a zero-padded array is
-        not the padding of the transformed image), int8 STILL CALIBRATING
+        sharding. Dense batches run the ensemble ON DEVICE (ops/tta.py):
+        transforms + forwards + mean in one jitted program, one
+        host↔device round trip instead of n_transforms serialized
+        upload/forward/fetch trips — including under shape bucketing
+        (each member is zero-padded AFTER its dihedral transform inside
+        the traced body and cropped before its inverse, the host loop's
+        exact order) and including int8 once its scales are frozen
+        (sidecar-loaded or calibration complete), with the near-empty
+        bf16 routing decided once per batch (dihedral transforms
+        preserve the foreground fraction). int8 STILL CALIBRATING
         (host-side routing state machine) and spatial sharding fall back
         to the host-side loop,
         where every transform preserves the input shape so ONE compiled
@@ -355,8 +356,7 @@ class InferenceEngine:
             return self._upscale_once(batch)
         n, h, w = batch.shape
         if (self.spatial_shards == 1
-                and (self.quant != "int8" or self._quant_fwd is not None)
-                and self._bucket_hw(h, w) == (h, w)):
+                and (self.quant != "int8" or self._quant_fwd is not None)):
             return self._tta_once(batch)
         from mri_superresolution_tpu.ops.tta import dihedral_pairs
         transforms = dihedral_pairs(square=(h == w))
@@ -376,19 +376,22 @@ class InferenceEngine:
         return acc / len(transforms)
 
     def _tta_once(self, batch: np.ndarray) -> np.ndarray:
-        """On-device dihedral ensemble (ops/tta.py) for unpadded dense
-        batches: numerically the host loop's math (same forwards, fp32
-        mean) in one dispatch. Costs one extra compile per square/rect
-        (x bf16/int8) variant — ONE forward body under a lax.fori_loop
-        (ops/tta.py; inlining all members OOMs HBM at serving batch
-        sizes). With frozen int8 scales the ensemble wraps the int8
-        forward, after the same per-batch near-empty bf16 routing the
-        host path applies (the dihedral transforms preserve the
-        foreground fraction, so one routing decision serves all
-        members)."""
+        """On-device dihedral ensemble (ops/tta.py) for dense batches:
+        numerically the host loop's math (same forwards, transform-then-
+        pad order, fp32 mean) in one dispatch. Costs one extra compile
+        per square/rect (x bf16/int8) variant — ONE forward body under a
+        lax.fori_loop (ops/tta.py; inlining all members OOMs HBM at
+        serving batch sizes). Shape buckets are honored inside the traced
+        body (each member is padded AFTER its transform and cropped
+        before its inverse, via bucket_fn=self._bucket_hw). With frozen
+        int8 scales the ensemble wraps the int8 forward, after the same
+        per-batch near-empty bf16 routing the host path applies (the
+        dihedral transforms preserve the foreground fraction, so one
+        routing decision serves all members)."""
         from mri_superresolution_tpu.ops.tta import build_tta_ensemble
 
         n, h, w = batch.shape
+        bh, bw = self._bucket_hw(h, w)
         nb = _round_up(max(n, 1), self.n_devices)
         square = h == w
         mode = "bf16"
@@ -403,16 +406,20 @@ class InferenceEngine:
                    lambda p, a: jnp.clip(
                        self.model.apply({"params": p}, a), 0.0, 1.0))
             self._tta_fwd[key] = jax.jit(
-                build_tta_ensemble(raw, square=square),
+                build_tta_ensemble(raw, square=square,
+                                   bucket_fn=self._bucket_hw),
                 in_shardings=(self._rsh, self._dsh),
                 out_shardings=self._dsh)
         if ("tta", mode, nb, h, w) not in self._compiled_shapes:
             self._compiled_shapes.add(("tta", mode, nb, h, w))
+            padded = ("" if (bh, bw) == (h, w) else
+                      f" (members padded to {bh}x{bw} in-program)")
             logger.info(
                 f"Compiling on-device {mode} TTA ensemble "
                 f"({8 if square else 4} members, one looped forward "
-                f"body) for shape ({nb}, {h}, {w}) — one host↔device "
-                "round trip per batch instead of one per transform.")
+                f"body) for shape ({nb}, {h}, {w}){padded} — one "
+                "host↔device round trip per batch instead of one per "
+                "transform.")
         x = np.zeros((nb, h, w, 1), np.float32)
         x[:n, :, :, 0] = batch
         y = self._tta_fwd[key](self.params, jnp.asarray(x))

@@ -26,14 +26,17 @@ Two equivalent evaluation strategies exist and the engine picks per batch:
   fp32 accumulate, so peak memory is one forward + one (N,2H,2W,C)
   accumulator.
 
-Exactness: a dihedral transform of a zero-PADDED array is not the
-padding of the transformed image (the pad rows land on the wrong side,
-shifting pooling-grid alignment), so the engine only routes batches with
-NO spatial padding here (bh == h, bw == w) and falls back to the host
-loop otherwise — where it transforms the unpadded image before padding.
-Within that contract the two strategies are the same math evaluated in
-the same precision: forward (with its [0,1] clip) per transform, fp32
-accumulate, divide.
+Exactness under shape bucketing: a dihedral transform of a zero-PADDED
+array is not the padding of the transformed image (the pad rows land on
+the wrong side, shifting pooling-grid alignment), so the ensemble NEVER
+transforms a padded buffer — it takes the unpadded batch, transforms each
+member, and zero-pads to the bucket INSIDE the traced body (then crops
+the forward's output back to 2h x 2w before the inverse), which is
+exactly the host loop's transform-then-pad order in
+``infer/engine.py _upscale_once``. Within that contract the two
+strategies are the same math evaluated in the same precision: forward
+(with its [0,1] clip) per transform, crop, inverse, fp32 accumulate,
+divide.
 """
 
 from typing import Callable
@@ -86,7 +89,8 @@ def dihedral_pairs(square: bool):
     return pairs
 
 
-def build_tta_ensemble(forward: Callable, square: bool) -> Callable:
+def build_tta_ensemble(forward: Callable, square: bool,
+                       bucket_fn: Callable = None) -> Callable:
     """Wrap ``forward(params, x)`` into the traced dihedral mean.
 
     ``forward`` must be shape-preserving up to the 2x upscale and include
@@ -97,6 +101,15 @@ def build_tta_ensemble(forward: Callable, square: bool) -> Callable:
     sequentially under ``lax.fori_loop`` so only ONE forward's
     intermediates are ever live (see module docstring for the measured
     OOM the inlined form hits).
+
+    ``bucket_fn(h, w) -> (bh, bw)`` (the engine passes ``_bucket_hw``)
+    sets the spatial shape the forward actually runs at: each transformed
+    member is zero-padded to the bucket inside the loop body — AFTER its
+    dihedral transform, matching the host loop's order — and the output
+    is cropped back to (2h, 2w) before the inverse. The pad target is
+    resolved from the static input shape at trace time, so one ensemble
+    callable serves every shape jit specializes on. With no ``bucket_fn``
+    (or one that returns (h, w)) the pad/crop trace away entirely.
     """
     from jax import lax
 
@@ -105,13 +118,20 @@ def build_tta_ensemble(forward: Callable, square: bool) -> Callable:
 
     def ensemble(params, x):
         n, h, w, c = x.shape
+        bh, bw = bucket_fn(h, w) if bucket_fn is not None else (h, w)
+        # stack the transforms UNPADDED (pad after transform, like the
+        # host loop; also keeps the (T, ...) buffer at input size)
         xs = jnp.stack([t(x) for t, _ in pairs])      # (T, N, H, W, C)
 
         def body(i, acc):
-            y = forward(params, xs[i]).astype(jnp.float32)
+            xi = xs[i]
+            if (bh, bw) != (h, w):
+                xi = jnp.pad(xi, ((0, 0), (0, bh - h), (0, bw - w), (0, 0)))
+            y = forward(params, xi).astype(jnp.float32)
+            # crop to the real region BEFORE the inverse (host-loop order);
             # all inverse branches preserve (N, 2H, 2W, C): flips reverse
             # axes; the transpose members only occur when h == w
-            return acc + lax.switch(i, invs, y)
+            return acc + lax.switch(i, invs, y[:, :2 * h, :2 * w])
 
         acc = lax.fori_loop(
             0, len(pairs), body,

@@ -191,11 +191,11 @@ def test_tta_matches_manual_dihedral_average(rng):
 
 
 def test_tta_routes_on_device_vs_host(rng):
-    """Unpadded dense TTA batches run the on-device ensemble (ops/tta.py,
-    one jitted program); padded ones fall back to the host-side transform
-    loop — and both give the same math (the manual-average test covers
-    values; this pins the ROUTING so a regression can't silently send
-    everything down the 8-round-trip host path)."""
+    """Dense TTA batches — including bucketed/padded ones — run the
+    on-device ensemble (ops/tta.py, one jitted program); only spatial
+    sharding and a still-calibrating int8 engine fall back to the
+    host-side transform loop. Pins the ROUTING so a regression can't
+    silently send everything down the 8-round-trip host path."""
     eng = _engine(tta=True)
     # %8 square input, bucket=1: no spatial padding -> device ensemble
     y = eng.upscale_batch(rng.random((2, 16, 16), dtype=np.float32))
@@ -203,19 +203,45 @@ def test_tta_routes_on_device_vs_host(rng):
     assert (True, "bf16") in eng._tta_fwd       # square ensemble built
     assert ("tta", "bf16", 2, 16, 16) in eng._compiled_shapes
     # rect input: 4-flip device ensemble (bucket=1 never pads spatially,
-    # so every size is on-device here — the model's own internal %8
-    # padding sees the same transformed input on either path)
+    # so the model's own internal %8 padding sees the same transformed
+    # input on either path)
     eng.upscale_batch(rng.random((2, 16, 24), dtype=np.float32))
     assert (False, "bf16") in eng._tta_fwd
-    # bucket>1 pads non-aligned sizes -> host loop (single-forward program)
+    # bucket>1 pads non-aligned sizes INSIDE the traced body (transform-
+    # then-pad) — still the device ensemble, never the host loop
     eng2 = _engine(tta=True, bucket=32)
     y2 = eng2.upscale_batch(rng.random((2, 10, 10), dtype=np.float32))
     assert y2.shape == (2, 20, 20)
-    assert eng2._tta_fwd == {}                  # device path never built
-    assert any(s[0] != "tta" for s in eng2._compiled_shapes)
-    # but a bucket-aligned size under bucket>1 is unpadded -> on-device
-    eng2.upscale_batch(rng.random((2, 32, 32), dtype=np.float32))
     assert (True, "bf16") in eng2._tta_fwd
+    assert ("tta", "bf16", 2, 10, 10) in eng2._compiled_shapes
+    assert all(s[0] == "tta" for s in eng2._compiled_shapes)
+    # spatial sharding: host loop (the device ensemble is dense-only)
+    eng3 = _engine(num_devices=2, spatial_shards=2, tta=True)
+    eng3.upscale_batch(rng.random((2, 16, 16), dtype=np.float32))
+    assert eng3._tta_fwd == {}
+
+
+def test_tta_padded_bucket_matches_host_loop(rng):
+    """Under bucket>1 the on-device ensemble pads each member AFTER its
+    dihedral transform and crops before the inverse — exactly the host
+    loop's _upscale_once order, so a hand-run host loop over a non-TTA
+    engine with the SAME bucket is an exact oracle (square: 8 members,
+    rect: 4)."""
+    from mri_superresolution_tpu.ops.tta import dihedral_pairs
+
+    for shape in ((2, 10, 10), (3, 10, 14)):
+        eng_tta = _engine(tta=True, bucket=32)
+        eng = InferenceEngine(eng_tta.model_cfg, eng_tta.params, bf16=False,
+                              bucket=32)
+        x = rng.random(shape, dtype=np.float32)
+        transforms = dihedral_pairs(square=(shape[1] == shape[2]))
+        acc = np.zeros((shape[0], 2 * shape[1], 2 * shape[2]), np.float32)
+        for t, inv in transforms:
+            acc += np.asarray(
+                inv(eng.upscale_batch(np.ascontiguousarray(t(x)))))
+        np.testing.assert_allclose(eng_tta.upscale_batch(x),
+                                   acc / len(transforms),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_tta_on_device_over_mesh(rng):

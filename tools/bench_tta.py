@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--model", default="unet",
                     choices=("unet", "unet_tpu", "edsr", "simple"))
+    ap.add_argument("--bucket", type=int, default=1,
+                    help="engine shape bucket; with a non-aligned --hw this "
+                         "measures the PADDED on-device ensemble (members "
+                         "padded in-program) vs the padded host loop")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -58,7 +62,7 @@ def main():
     cfg = ModelConfig(model_type=args.model, base_filters=32)
     model = build_model(cfg, dtype=jnp.bfloat16)
     params = init_params(model, jax.random.key(0), (64, 64))
-    eng = InferenceEngine(cfg, params, tta=True)
+    eng = InferenceEngine(cfg, params, tta=True, bucket=args.bucket)
 
     batch = np.random.default_rng(0).random(
         (args.batch, args.hw, args.hw), dtype=np.float32)
@@ -103,7 +107,7 @@ def main():
     # --- 2) compute-only, chained (bench.py pattern) -------------------
     from mri_superresolution_tpu.ops.tta import build_tta_ensemble
     fwd = lambda p, x: jnp.clip(model.apply({"params": p}, x), 0.0, 1.0)
-    ens = build_tta_ensemble(fwd, square=True)
+    ens = build_tta_ensemble(fwd, square=True, bucket_fn=eng._bucket_hw)
 
     def chain_time(f):
         @jax.jit
