@@ -355,8 +355,7 @@ class InferenceEngine:
         if not self.tta:
             return self._upscale_once(batch)
         n, h, w = batch.shape
-        if (self.spatial_shards == 1
-                and (self.quant != "int8" or self._quant_fwd is not None)):
+        if self._tta_on_device():
             return self._tta_once(batch)
         from mri_superresolution_tpu.ops.tta import dihedral_pairs
         transforms = dihedral_pairs(square=(h == w))
@@ -375,7 +374,19 @@ class InferenceEngine:
                 force_bf16 = self._last_quant_mode == "bf16"
         return acc / len(transforms)
 
+    def _tta_on_device(self) -> bool:
+        """True when a --tta batch runs as ONE device dispatch (ops/tta.py):
+        dense sharding and, under int8, frozen scales. Host-loop ensembles
+        (spatial sharding, still-calibrating int8) need a host round trip
+        per member. May flip host→device mid-stream when calibration
+        completes; never the other way."""
+        return (self.spatial_shards == 1
+                and (self.quant != "int8" or self._quant_fwd is not None))
+
     def _tta_once(self, batch: np.ndarray) -> np.ndarray:
+        return np.asarray(self._tta_dispatch(batch))
+
+    def _tta_dispatch(self, batch: np.ndarray) -> jnp.ndarray:
         """On-device dihedral ensemble (ops/tta.py) for dense batches:
         numerically the host loop's math (same forwards, transform-then-
         pad order, fp32 mean) in one dispatch. Costs one extra compile
@@ -423,12 +434,26 @@ class InferenceEngine:
         x = np.zeros((nb, h, w, 1), np.float32)
         x[:n, :, :, 0] = batch
         y = self._tta_fwd[key](self.params, jnp.asarray(x))
-        return np.asarray(y[:n, :, :, 0])
+        # device slice enqueued NOW (before any later batch's forward) so a
+        # pipelined caller's deferred fetch never waits on newer work
+        return y[:n, :, :, 0]
 
     def _upscale_once(self, batch: np.ndarray,
                       _quant_calib_ok: bool = True,
                       _quant_count: bool = True,
                       _quant_force_bf16: bool = False) -> np.ndarray:
+        return np.asarray(self._dispatch_once(
+            batch, _quant_calib_ok=_quant_calib_ok,
+            _quant_count=_quant_count,
+            _quant_force_bf16=_quant_force_bf16))
+
+    def _dispatch_once(self, batch: np.ndarray,
+                       _quant_calib_ok: bool = True,
+                       _quant_count: bool = True,
+                       _quant_force_bf16: bool = False) -> jnp.ndarray:
+        """One forward dispatched to the device, output slice enqueued,
+        NOTHING fetched — the returned array is a future a pipelined
+        caller (``upscale_batches``) materializes later."""
         n, h, w = batch.shape
         bh, bw = self._bucket_hw(h, w)
         nb = _round_up(max(n, 1), self.n_devices)
@@ -464,8 +489,41 @@ class InferenceEngine:
                 force_bf16=_quant_force_bf16)
         else:
             y = self._forward(self.params, jnp.asarray(x))
-        y = np.asarray(y[:n, :2 * h, :2 * w, 0])
-        return y
+        # device slice (see _tta_dispatch for why it's enqueued here)
+        return y[:n, :2 * h, :2 * w, 0]
+
+    def upscale_batches(self, batches) -> "Iterator[np.ndarray]":
+        """Pipelined serving over an iterable of (N, h, w) batches: yields
+        exactly ``map(self.upscale_batch, batches)`` (same values, same
+        order, same compile/calibration/TTA state machine — the stateful
+        int8 routing runs at dispatch time in batch order) but dispatches
+        batch i+1's upload + forward to the device BEFORE fetching batch
+        i's output, so the device→host fetch — a blocking RPC moving
+        4·N·(2h·2w) bytes per batch on the axon tunnel, typically the
+        long pole of volume serving — overlaps the next batch's compute
+        instead of serializing after it (depth-1 double buffering; one
+        extra output buffer resident on device). The reference's
+        inference loop has no analogue (scripts/infer.py:230-276 is
+        strictly sequential). Host-loop TTA ensembles (spatial sharding /
+        still-calibrating int8) are inherently synchronous — those
+        batches flush the pipeline and run sequentially; a mid-stream
+        calibration freeze re-enables pipelining from the next batch.
+        """
+        pending = None
+        for b in batches:
+            if self.tta and not self._tta_on_device():
+                if pending is not None:
+                    yield np.asarray(pending)
+                    pending = None
+                yield self.upscale_batch(b)
+                continue
+            cur = (self._tta_dispatch(b) if self.tta
+                   else self._dispatch_once(b))
+            if pending is not None:
+                yield np.asarray(pending)
+            pending = cur
+        if pending is not None:
+            yield np.asarray(pending)
 
     def upscale_image(self, image01: np.ndarray) -> np.ndarray:
         return self.upscale_batch(image01[None])[0]

@@ -115,10 +115,12 @@ def main():
         for i in range(n_slices):
             outs.append(engine.upscale_tiled(norm[i], tile=args.tile))
     else:
-        for start in range(0, n_slices, args.batch_size):
-            chunk = norm[start:start + args.batch_size]
-            outs.append(engine.upscale_batch(chunk))
-            logger.info(f"Upscaled slices {start}..{start + len(chunk) - 1}")
+        starts = list(range(0, n_slices, args.batch_size))
+        # pipelined: batch i+1 computes while batch i's output downloads
+        for start, out in zip(starts, engine.upscale_batches(
+                norm[s:s + args.batch_size] for s in starts)):
+            outs.append(out)
+            logger.info(f"Upscaled slices {start}..{start + len(out) - 1}")
         outs = [np.concatenate(outs, axis=0)]
     sr = np.concatenate([o if o.ndim == 3 else o[None] for o in outs], axis=0)
     sr_vol = np.transpose(sr, (1, 2, 0)).astype(np.float32)

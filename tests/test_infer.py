@@ -355,3 +355,62 @@ def test_tta_int8_calibration_completing_mid_ensemble_stays_bf16(rng):
     # counted once per batch just like the host loop
     eng.upscale_batch(rng.random((2, 16, 16), dtype=np.float32))
     assert eng._quant_batches == {"bf16": 2, "int8": 1}
+
+
+def test_upscale_batches_matches_sequential(rng):
+    """Pipelined serving (upscale_batches): dispatch i+1 before fetching i
+    must yield exactly map(upscale_batch, ...) — values AND order — across
+    mixed shapes; the deferred fetch is a scheduling change only."""
+    eng, ref_eng = _engine(), _engine()
+    batches = [rng.random((2, 16, 16), dtype=np.float32),
+               rng.random((3, 24, 16), dtype=np.float32),
+               rng.random((1, 16, 16), dtype=np.float32)]
+    ref = [ref_eng.upscale_batch(b) for b in batches]
+    got = list(eng.upscale_batches(iter(batches)))
+    assert len(got) == len(ref)
+    for r, g in zip(ref, got):
+        assert r.shape == g.shape
+        np.testing.assert_array_equal(r, g)
+
+
+def test_upscale_batches_pipelines_on_device_tta(rng):
+    """On-device TTA ensembles are single dispatches, so they pipeline."""
+    eng, ref_eng = _engine(tta=True), _engine(tta=True)
+    batches = [rng.random((2, 16, 16), dtype=np.float32) for _ in range(3)]
+    ref = [ref_eng.upscale_batch(b) for b in batches]
+    got = list(eng.upscale_batches(iter(batches)))
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+
+
+def test_upscale_batches_int8_freeze_mid_stream(rng):
+    """The stateful int8 routing runs at DISPATCH time in batch order, so a
+    stream whose streaming calibration completes mid-stream serves the same
+    precision batch-for-batch as the sequential loop (bf16 while
+    calibrating, int8 after the freeze)."""
+    kw = dict(quant="int8", quant_calib_slices=3, quant_min_foreground=0.0)
+    eng, ref_eng = _engine(**kw), _engine(**kw)
+    batches = [rng.random((2, 16, 16), dtype=np.float32) for _ in range(4)]
+    ref = [ref_eng.upscale_batch(b) for b in batches]
+    got = list(eng.upscale_batches(iter(batches)))
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+    assert eng._quant_fwd is not None
+    assert eng._quant_batches == ref_eng._quant_batches
+
+
+def test_upscale_batches_host_loop_tta_flushes(rng):
+    """Host-loop TTA ensembles (spatial sharding) are inherently
+    synchronous: the generator flushes its pending fetch and falls back to
+    sequential upscale_batch calls — identical values, identical order."""
+    model = UNetSuperRes(base_filters=16)
+    params = init_params(model, jax.random.key(0), (16, 16))
+    cfg = ModelConfig(base_filters=16)
+    mk = lambda: InferenceEngine(cfg, params, bf16=False, num_devices=8,
+                                 spatial_shards=2, tta=True)
+    eng, ref_eng = mk(), mk()
+    batches = [rng.random((2, 16, 16), dtype=np.float32) for _ in range(2)]
+    ref = [ref_eng.upscale_batch(b) for b in batches]
+    got = list(eng.upscale_batches(iter(batches)))
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
