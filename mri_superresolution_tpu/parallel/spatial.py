@@ -147,14 +147,58 @@ def _upsample2x(x, row_mats: jnp.ndarray, w_mat: jnp.ndarray):
     return jnp.einsum("pw,bowc->bopc", w_mat.astype(x.dtype), y)
 
 
+# --------------------------------------------- QAT fake-quant (row-sharded)
+
+class _QCtx:
+    """Per-trace fake-quant context for spatially-sharded QAT training.
+
+    Spatial twin of models/quant_forward._Ctx mode='fakequant': ``scales``
+    maps the SAME site names the dense fakequant forward uses to per-Cin
+    activation scales; ``fg_mask`` is the per-sample foreground routing
+    mask (identical on every space shard of a sample — the fraction is
+    psum'd over the space axis before this ctx is built); ``amax``
+    collects each site's LOCAL per-channel |x| max, pmax'd over both mesh
+    axes by build_spatial_loss after the forward."""
+
+    def __init__(self, scales, fg_mask):
+        self.scales = scales
+        self.fg_mask = fg_mask
+        self.amax = {}
+
+
+def _fq(qctx, site: str, x, kernel):
+    """Fake-quantize a conv's (input, kernel) at a quantizable site
+    (no-op without a QAT ctx). Quantization is elementwise with
+    replicated scales, so quantizing BEFORE the halo exchange equals the
+    dense path's quantize of the full-row input — neighbor halo rows
+    arrive already quantized by the identical map. Matches
+    models/quant_forward._conv mode='fakequant' (STE gradients,
+    foreground-routed activations, fg-masked recorded statistic)."""
+    if qctx is None or site not in qctx.scales:
+        return x, kernel
+    from mri_superresolution_tpu.ops.quant import (fake_quant_act,
+                                                   fake_quant_kernel, ste)
+    ax = lax.stop_gradient(jnp.abs(x.astype(jnp.float32)))
+    if qctx.fg_mask is not None:
+        ax = jnp.where(qctx.fg_mask, ax, 0.0)
+    qctx.amax[site] = jnp.max(ax.reshape(-1, x.shape[-1]), axis=0)
+    s_a = qctx.scales[site]
+    xq = ste(x, fake_quant_act(x, s_a))
+    if qctx.fg_mask is not None:
+        xq = jnp.where(qctx.fg_mask, xq, x)
+    return xq, ste(kernel, fake_quant_kernel(kernel, s_a))
+
+
 # ------------------------------------------------------------ model blocks
 
-def _double_conv(p, x, dilation: int = 1):
+def _double_conv(p, x, dilation: int = 1, qctx=None, prefix: str = ""):
     in_ch = x.shape[-1]
-    y = _conv3x3(x, p["conv1"]["kernel"])
+    xq, k1 = _fq(qctx, f"{prefix}.conv1", x, p["conv1"]["kernel"])
+    y = _conv3x3(xq, k1)
     y = jax.nn.leaky_relu(
         _group_norm(y, p["norm1"]["scale"], p["norm1"]["bias"]), 0.2)
-    y = _conv3x3(y, p["conv2"]["kernel"], dilation)
+    yq, k2 = _fq(qctx, f"{prefix}.conv2", y, p["conv2"]["kernel"])
+    y = _conv3x3(yq, k2, dilation)
     y = jax.nn.leaky_relu(
         _group_norm(y, p["norm2"]["scale"], p["norm2"]["bias"]), 0.2)
     if in_ch == y.shape[-1]:
@@ -162,17 +206,19 @@ def _double_conv(p, x, dilation: int = 1):
     return y
 
 
-def _up_block(p, x1, x2, row_mats, w_mat):
+def _up_block(p, x1, x2, row_mats, w_mat, qctx=None, prefix: str = ""):
     """Up: 1x1 up_conv BEFORE the 2x upsample (models/unet.py Up), GN,
     lrelu, concat with the skip, DoubleConv."""
-    y = _conv1x1(x1, p["up_conv"]["kernel"])
+    xq, ku = _fq(qctx, f"{prefix}.up_conv", x1, p["up_conv"]["kernel"])
+    y = _conv1x1(xq, ku)
     y = _upsample2x(y, row_mats, w_mat)
     y = jax.nn.leaky_relu(
         _group_norm(y, p["up_norm"]["scale"], p["up_norm"]["bias"]), 0.2)
     assert y.shape[1:3] == x2.shape[1:3], (
         "spatial forward requires H % (8*n_space) == 0 and W % 8 == 0 so "
         "Up blocks never pad-to-match")
-    return _double_conv(p["conv"], jnp.concatenate([x2, y], axis=-1))
+    return _double_conv(p["conv"], jnp.concatenate([x2, y], axis=-1),
+                        qctx=qctx, prefix=f"{prefix}.conv")
 
 
 def _maybe_ckpt(fn, remat: bool):
@@ -182,51 +228,76 @@ def _maybe_ckpt(fn, remat: bool):
     return jax.checkpoint(fn) if remat else fn
 
 
-def _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype, remat=False):
+def _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype, remat=False,
+              qctx=None):
     """Shared encoder/decoder (identical in both model families):
-    returns the (B, h_local, W, f) decoder output before the final stage."""
+    returns the (B, h_local, W, f) decoder output before the final stage.
+    ``qctx`` (QAT) is mutually exclusive with ``remat``: the fake-quant
+    ctx collects tracers at trace time, which may not escape a
+    jax.checkpoint scope (the dense path has the same restriction —
+    model-side remat does not apply under QAT, train/trainer.py)."""
+    assert qctx is None or not remat
     x = x.astype(dtype)
-    dc = _maybe_ckpt(_double_conv, remat)
-    ub = _maybe_ckpt(_up_block, remat)
+    if remat:
+        # positional-only wrappers: site prefixes are strings (not JAX
+        # types) and qctx is None here, so drop both before checkpointing
+        _dcr, _ubr = jax.checkpoint(_double_conv), jax.checkpoint(_up_block)
+        dc = lambda p, x, qctx=None, prefix="": _dcr(p, x)
+        ub = (lambda p, x1, x2, rm, wm, qctx=None, prefix="":
+              _ubr(p, x1, x2, rm, wm))
+    else:
+        dc, ub = _double_conv, _up_block
 
-    x1 = dc(params["inc"], x)
-    x2 = dc(params["down1"]["conv"], max_pool2(x1))
-    x3 = dc(params["down2"]["conv"], max_pool2(x2))
-    x4 = dc(params["down3"]["conv"], max_pool2(x3))
+    x1 = dc(params["inc"], x, qctx=qctx, prefix="inc")
+    x2 = dc(params["down1"]["conv"], max_pool2(x1), qctx=qctx,
+            prefix="down1")
+    x3 = dc(params["down2"]["conv"], max_pool2(x2), qctx=qctx,
+            prefix="down2")
+    x4 = dc(params["down3"]["conv"], max_pool2(x3), qctx=qctx,
+            prefix="down3")
 
     h8, h4, _, _ = (x4.shape[1], x3.shape[1], x2.shape[1], x1.shape[1])
     w8, w4, _, _ = (x4.shape[2], x3.shape[2], x2.shape[2], x1.shape[2])
-    y = ub(params["up1"], x4, x3, row_mats_by_h[h8], w_mats_by_w[w8])
-    y = ub(params["up2"], y, x2, row_mats_by_h[h4], w_mats_by_w[w4])
+    y = ub(params["up1"], x4, x3, row_mats_by_h[h8], w_mats_by_w[w8],
+           qctx=qctx, prefix="up1")
+    y = ub(params["up2"], y, x2, row_mats_by_h[h4], w_mats_by_w[w4],
+           qctx=qctx, prefix="up2")
     y = ub(params["up3"], y, x1, row_mats_by_h[x2.shape[1]],
-           w_mats_by_w[x2.shape[2]])
+           w_mats_by_w[x2.shape[2]], qctx=qctx, prefix="up3")
     return y
 
 
 def _local_forward(params, x, row_mats_by_h, w_mats_by_w, dtype,
-                   remat=False):
+                   remat=False, qctx=None):
     """The full UNetSuperRes forward on one (B, h_local, W, 1) row block.
-    Mirrors models/unet.py UNetSuperRes.__call__ exactly."""
-    y = _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype, remat)
+    Mirrors models/unet.py UNetSuperRes.__call__ exactly. ``qctx``
+    fake-quantizes the same sites as the dense fakequant forward
+    (models/quant_forward._forward_unet; the final_conv2 output head
+    never quantizes)."""
+    y = _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype, remat,
+                  qctx=qctx)
     h1, w1 = y.shape[1], y.shape[2]
 
     def bilinear_branch(p, y):
         yb = _upsample2x(y, row_mats_by_h[h1], w_mats_by_w[w1])
-        yb = _conv3x3(yb, p["final_up_conv"]["kernel"])
+        ybq, k = _fq(qctx, "final_up_conv", yb, p["final_up_conv"]["kernel"])
+        yb = _conv3x3(ybq, k)
         return jax.nn.leaky_relu(
             _group_norm(yb, p["final_up_norm"]["scale"],
                         p["final_up_norm"]["bias"]), 0.2)
 
     def shuffle_branch(p, y):
         ps = p["final_up_pixelshuffle"]
-        yp = _conv3x3(y, ps["conv"]["kernel"]) + \
-            ps["conv"]["bias"].astype(dtype)
+        yq, k = _fq(qctx, "final_up_pixelshuffle.conv", y,
+                    ps["conv"]["kernel"])
+        yp = _conv3x3(yq, k) + ps["conv"]["bias"].astype(dtype)
         yp = pixel_shuffle(yp)
         return jax.nn.leaky_relu(
             _group_norm(yp, ps["norm"]["scale"], ps["norm"]["bias"]), 0.2)
 
     def head(p, y):
-        z = _conv3x3(y, p["final_conv1"]["kernel"])
+        yq, k = _fq(qctx, "final_conv1", y, p["final_conv1"]["kernel"])
+        z = _conv3x3(yq, k)
         z = jax.nn.leaky_relu(
             _group_norm(z, p["final_norm"]["scale"],
                         p["final_norm"]["bias"]), 0.2)
@@ -242,30 +313,34 @@ def _local_forward(params, x, row_mats_by_h, w_mats_by_w, dtype,
 
 
 def _local_forward_tpu(params, x, row_mats_by_h, w_mats_by_w, dtype,
-                       remat=False):
+                       remat=False, qctx=None):
     """UNetSuperResTPU forward on one row block (models/unet_tpu.py):
     the final stage is dual 3x3 branches + head at INPUT resolution and a
     single terminal depth-to-space — all shard-local except the GN psums
     and the 3x3 halo exchanges, so it shards more easily than the parity
-    model's bilinear branch."""
-    y = _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype, remat)
+    model's bilinear branch. ``qctx`` fake-quantizes the dense fakequant
+    sites (quant_forward._forward_unet_tpu; head_out stays bf16)."""
+    y = _backbone(params, x, row_mats_by_h, w_mats_by_w, dtype, remat,
+                  qctx=qctx)
 
     def branch_a(p, y):
+        yq, k = _fq(qctx, "branch_a_conv", y, p["branch_a_conv"]["kernel"])
         return jax.nn.leaky_relu(
-            _group_norm(_conv3x3(y, p["branch_a_conv"]["kernel"]),
+            _group_norm(_conv3x3(yq, k),
                         p["branch_a_norm"]["scale"],
                         p["branch_a_norm"]["bias"]), 0.2)
 
     def branch_b(p, y):
+        yq, k = _fq(qctx, "branch_b_conv", y, p["branch_b_conv"]["kernel"])
         return jax.nn.leaky_relu(
-            _group_norm(_conv3x3_bias(y, p["branch_b_conv"]["kernel"],
-                                      p["branch_b_conv"]["bias"]),
+            _group_norm(_conv3x3_bias(yq, k, p["branch_b_conv"]["bias"]),
                         p["branch_b_norm"]["scale"],
                         p["branch_b_norm"]["bias"]), 0.2)
 
     def head(p, y):
+        yq, k = _fq(qctx, "head_conv", y, p["head_conv"]["kernel"])
         z = jax.nn.leaky_relu(
-            _group_norm(_conv3x3(y, p["head_conv"]["kernel"]),
+            _group_norm(_conv3x3(yq, k),
                         p["head_norm"]["scale"],
                         p["head_norm"]["bias"]), 0.2)
         z = _conv1x1(z, p["head_out"]["kernel"], p["head_out"]["bias"])
@@ -295,28 +370,36 @@ def _conv_halo(x, kernel, bias=None):
 
 
 def _local_forward_edsr(params, x, row_mats_by_h, w_mats_by_w, dtype,
-                        remat=False):
+                        remat=False, qctx=None):
     """EDSR forward on one row block (models/edsr.py): a constant-
     resolution trunk — the ONLY collectives are the 3x3 halo exchanges
     (no GroupNorm psums, no upsample matmuls; the terminal depth-to-space
     doubles rows within the shard). row/w mats are accepted for signature
-    uniformity and unused. res_scale is the model's fixed default (1.0)."""
+    uniformity and unused. res_scale is the model's fixed default (1.0).
+    ``qctx`` fake-quantizes the dense fakequant sites
+    (quant_forward._forward_edsr; the tail stays bf16)."""
     del row_mats_by_h, w_mats_by_w
     x = x.astype(dtype)
 
-    def block(p, y):
-        z = jax.nn.relu(_conv_halo(y, p["Conv_0"]["kernel"],
-                                   p["Conv_0"]["bias"]))
-        z = _conv_halo(z, p["Conv_1"]["kernel"], p["Conv_1"]["bias"])
+    def block(p, y, prefix=""):
+        yq, k0 = _fq(qctx, f"{prefix}.conv0", y, p["Conv_0"]["kernel"])
+        z = jax.nn.relu(_conv_halo(yq, k0, p["Conv_0"]["bias"]))
+        zq, k1 = _fq(qctx, f"{prefix}.conv1", z, p["Conv_1"]["kernel"])
+        z = _conv_halo(zq, k1, p["Conv_1"]["bias"])
         return y + 1.0 * z                   # x + res_scale*y, res_scale=1
 
-    head = _conv_halo(x, params["head"]["kernel"], params["head"]["bias"])
+    xq, kh = _fq(qctx, "head", x, params["head"]["kernel"])
+    head = _conv_halo(xq, kh, params["head"]["bias"])
     y = head
-    blk = _maybe_ckpt(block, remat)
+    if remat:
+        _blkr = jax.checkpoint(block)                  # qctx None (str-free)
+        blk = lambda p, y, prefix="": _blkr(p, y)
+    else:
+        blk = block
     for i in range(sum(1 for k in params if k.startswith("block"))):
-        y = blk(params[f"block{i}"], y)
-    y = _conv_halo(y, params["body_out"]["kernel"],
-                   params["body_out"]["bias"])
+        y = blk(params[f"block{i}"], y, prefix=f"block{i}")
+    yq, kb = _fq(qctx, "body_out", y, params["body_out"]["kernel"])
+    y = _conv_halo(yq, kb, params["body_out"]["bias"])
     y = y + head
     y = _conv_halo(y, params["tail"]["kernel"], params["tail"]["bias"])
     y = pixel_shuffle(y, 2)
@@ -324,15 +407,17 @@ def _local_forward_edsr(params, x, row_mats_by_h, w_mats_by_w, dtype,
 
 
 def _local_forward_simple(params, x, row_mats_by_h, w_mats_by_w, dtype,
-                          remat=False):
+                          remat=False, qctx=None):
     """SimpleSR forward on one row block (models/simple.py): the 9-5-5
-    trunk's halos are 4/2/2 rows; everything else is shard-local."""
+    trunk's halos are 4/2/2 rows; everything else is shard-local.
+    ``qctx`` fake-quantizes extract/map (quant_forward._forward_simple;
+    reconstruct is the output head)."""
     del row_mats_by_h, w_mats_by_w
     x = x.astype(dtype)
-    y = jax.nn.relu(_conv_halo(x, params["extract"]["kernel"],
-                               params["extract"]["bias"]))
-    y = jax.nn.relu(_conv_halo(y, params["map"]["kernel"],
-                               params["map"]["bias"]))
+    xq, ke = _fq(qctx, "extract", x, params["extract"]["kernel"])
+    y = jax.nn.relu(_conv_halo(xq, ke, params["extract"]["bias"]))
+    yq, km = _fq(qctx, "map", y, params["map"]["kernel"])
+    y = jax.nn.relu(_conv_halo(yq, km, params["map"]["bias"]))
     y = _conv_halo(y, params["reconstruct"]["kernel"],
                    params["reconstruct"]["bias"])
     y = pixel_shuffle(y, 2)
@@ -386,6 +471,26 @@ def _make_local_forward(mesh: Mesh, input_hw, dtype, model_type: str,
 
 # ------------------------------------------------------------- public API
 
+def build_spatial_forward_raw(mesh: Mesh, input_hw,
+                              dtype: Any = jnp.bfloat16,
+                              model_type: str = "unet"):
+    """Unjitted row-sharded forward: the ``shard_map``-wrapped per-shard
+    closure for a FIXED (H, W), traceable inside a larger jitted program
+    (the engine's on-device TTA ensemble wraps it in a ``lax.fori_loop``
+    body; GSPMD reshards the loop-carried member to the in_specs)."""
+    fwd = _make_local_forward(mesh, input_hw, dtype, model_type)
+    return shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, SPACE_AXIS, None, None)),
+        out_specs=P(DATA_AXIS, SPACE_AXIS, None, None))
+
+
+def spatial_input_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W, C) sharding on a (data, space) mesh: batch over the data
+    axis, rows over the space axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS, None, None))
+
+
 def build_spatial_forward(mesh: Mesh, input_hw, dtype: Any = jnp.bfloat16,
                           model_type: str = "unet"):
     """Compile a row-sharded forward over a (data, space) mesh.
@@ -396,13 +501,8 @@ def build_spatial_forward(mesh: Mesh, input_hw, dtype: Any = jnp.bfloat16,
     ``model.apply`` with the same params. ``model_type`` selects the
     family: 'unet' (parity topology) or 'unet_tpu' (models/unet_tpu.py).
     """
-    fwd = _make_local_forward(mesh, input_hw, dtype, model_type)
-    sharded = shard_map(
-        fwd, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS, SPACE_AXIS, None, None)),
-        out_specs=P(DATA_AXIS, SPACE_AXIS, None, None))
-
-    x_sh = NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS, None, None))
+    sharded = build_spatial_forward_raw(mesh, input_hw, dtype, model_type)
+    x_sh = spatial_input_sharding(mesh)
     p_sh = NamedSharding(mesh, P())
     return jax.jit(sharded, in_shardings=(p_sh, x_sh), out_shardings=x_sh)
 
@@ -494,7 +594,8 @@ _COMP_KEYS = ("l1_loss", "ssim_loss", "ssim_metric", "perceptual_loss")
 
 def build_spatial_loss(mesh: Mesh, input_hw, loss_cfg,
                        model_type: str = "unet", dtype: Any = jnp.bfloat16,
-                       vgg_params=None, remat: bool = False):
+                       vgg_params=None, remat: bool = False,
+                       qat_sites=None, qat_min_foreground: float = 0.05):
     """Row-sharded forward + CombinedLoss over a (data, space) mesh.
 
     Returns ``loss_fn(params, hr, lr, weights) -> (total, comps, out)`` —
@@ -514,17 +615,32 @@ def build_spatial_loss(mesh: Mesh, input_hw, loss_cfg,
     1/n_space, same as the model's. ``remat`` additionally recomputes the
     forward in the backward (jax.checkpoint), stacking the two memory
     levers: 1/n_space sharding x no activation tape.
+
+    ``qat_sites`` (a list of the dense fakequant forward's site names,
+    e.g. ``list(quant_forward.amax_template(...))``) switches the forward
+    to quantization-aware training: the returned function becomes
+    ``loss_fn(params, qat_amax, hr, lr, weights)`` whose comps carry the
+    trainer's QAT contract — ``qat_batch_amax`` (per-site per-channel
+    foreground-masked |x| max, pmax'd over BOTH mesh axes so it equals
+    the dense batch statistic exactly) and ``qat_any_fg``. Foreground
+    routing is per GLOBAL sample (the local fractions psum over the space
+    axis before thresholding, so every row shard of a sample takes the
+    same branch — the dense per-sample decision). Model-side remat does
+    not compose with QAT (trace-time ctx), matching the dense trainer;
+    the loss-graph checkpoint below still applies.
     """
     from mri_superresolution_tpu.losses.combined import compose_loss
 
     loss_cfg.validate()
     if loss_cfg.perceptual_weight > 0 and vgg_params is None:
         raise ValueError("perceptual_weight > 0 requires vgg_params")
+    qat_on = qat_sites is not None
     # remat segments PER BLOCK inside the local forward (_maybe_ckpt): a
     # single whole-forward jax.checkpoint was measured a no-op for peak
     # memory (tools/bench_remat_mem.py) — the recompute-and-differentiate
     # pass holds the same working set as forward+backward fused.
-    fwd = _make_local_forward(mesh, input_hw, dtype, model_type, remat)
+    fwd = _make_local_forward(mesh, input_hw, dtype, model_type,
+                              remat and not qat_on)
     cfg = loss_cfg
     h, _ = input_hw
     n_space = mesh.shape[SPACE_AXIS]
@@ -566,17 +682,64 @@ def build_spatial_loss(mesh: Mesh, input_hw, loss_cfg,
         # blurs / VGG stack (and their psums) instead of holding their tape
         loss_part = jax.checkpoint(loss_part)
 
-    def local(params, hr, lo, w):
-        out = fwd(params, lo)                      # fp32 in [0,1]
+    x4 = P(DATA_AXIS, SPACE_AXIS, None, None)
+
+    if not qat_on:
+        def local(params, hr, lo, w):
+            out = fwd(params, lo)                  # fp32 in [0,1]
+            zero = jnp.asarray(0.0, jnp.float32)
+            total, comps_in = loss_part(out.astype(jnp.float32),
+                                        hr.astype(jnp.float32), w)
+            # static comps tree: the shard_map out_specs require every key
+            comps = {k: comps_in.get(k, zero) for k in _COMP_KEYS}
+            return total, comps, out
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), x4, x4, P(DATA_AXIS)),
+            out_specs=(P(), {k: P() for k in _COMP_KEYS}, x4))
+
+    from mri_superresolution_tpu.ops.quant import FOREGROUND_INTENSITY
+
+    def local_qat(params, qat_amax, hr, lo, w):
+        # per-site scales from the trainer's running range (replicated) —
+        # same map as the dense fakequant forward
+        scales = {k: jnp.where(jnp.asarray(v, jnp.float32) > 0,
+                               jnp.asarray(v, jnp.float32) / 127.0, 1.0)
+                  for k, v in qat_amax.items()}
+        # foreground fraction of the GLOBAL sample: local count psum'd
+        # over the space axis, so all row shards route a sample together
+        lo32 = lo.astype(jnp.float32)
+        cnt = lax.psum(jnp.sum(
+            (jnp.abs(lo32) > FOREGROUND_INTENSITY).astype(jnp.float32),
+            axis=tuple(range(1, lo.ndim))), SPACE_AXIS)
+        n_px = (lo.shape[1] * lax.axis_size(SPACE_AXIS)
+                * int(np.prod(lo.shape[2:])))
+        mask = (cnt / n_px >= qat_min_foreground).reshape(
+            (lo.shape[0],) + (1,) * (lo.ndim - 1))
+        qctx = _QCtx(scales, mask)
+        out = fwd(params, lo, qctx=qctx)
         zero = jnp.asarray(0.0, jnp.float32)
         total, comps_in = loss_part(out.astype(jnp.float32),
                                     hr.astype(jnp.float32), w)
-        # static comps tree: the shard_map out_specs require every key
         comps = {k: comps_in.get(k, zero) for k in _COMP_KEYS}
+        missing = sorted(set(qat_sites) ^ set(qctx.amax))
+        assert not missing, (
+            f"spatial fakequant sites out of sync with the dense "
+            f"forward's: {missing}")
+        # batch statistic over the GLOBAL batch: pmax over both mesh axes
+        # == the dense jnp.max over all samples x pixels
+        comps["qat_batch_amax"] = {
+            k: lax.pmax(v, (DATA_AXIS, SPACE_AXIS))
+            for k, v in qctx.amax.items()}
+        comps["qat_any_fg"] = lax.pmax(
+            jnp.any(mask).astype(jnp.int32), (DATA_AXIS, SPACE_AXIS)) > 0
         return total, comps, out
 
-    x4 = P(DATA_AXIS, SPACE_AXIS, None, None)
+    comp_specs = {k: P() for k in _COMP_KEYS}
+    comp_specs["qat_batch_amax"] = {k: P() for k in qat_sites}
+    comp_specs["qat_any_fg"] = P()
     return shard_map(
-        local, mesh=mesh,
-        in_specs=(P(), x4, x4, P(DATA_AXIS)),
-        out_specs=(P(), {k: P() for k in _COMP_KEYS}, x4))
+        local_qat, mesh=mesh,
+        in_specs=(P(), {k: P() for k in qat_sites}, x4, x4, P(DATA_AXIS)),
+        out_specs=(P(), comp_specs, x4))

@@ -22,6 +22,7 @@ TPU-first design:
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from functools import partial
@@ -271,27 +272,45 @@ def build_eval_step(model, loss_fn: CombinedLoss, ssim_cfg,
 
 def build_spatial_train_step(sharded_loss, optimizer, augment_cfg,
                              grad_accum: int = 1,
-                             ema_decay: float = 0.0) -> Any:
+                             ema_decay: float = 0.0,
+                             qat: bool = False,
+                             qat_decay: float = 0.0) -> Any:
     """Spatially-sharded (SP) train step: same (state, batch, lr, key) →
     (state, metrics) contract as build_train_step, but the forward, loss
     and backward all run row-sharded under shard_map
     (parallel/spatial.build_spatial_loss) — per-device activation, VGG and
     gradient-tape memory scale 1/n_space. Augmentation runs under plain
     GSPMD before the shard_map (it rotates whole images, so it is not
-    shard-local; the input batch is small)."""
+    shard-local; the input batch is small).
 
-    def compute_loss(params, _qat_amax, hr, lo, w):
-        total, comps, _ = sharded_loss(params, hr, lo, w)
+    ``qat=True`` requires ``sharded_loss`` built with ``qat_sites``
+    (its signature then takes qat_amax and its comps carry the QAT
+    batch-statistic contract — already pmax'd over both mesh axes, so the
+    shared skeleton's EMA update sees exactly the dense statistic)."""
+
+    def compute_loss(params, qat_amax, hr, lo, w):
+        if qat:
+            total, comps, _ = sharded_loss(params, qat_amax, hr, lo, w)
+        else:
+            total, comps, _ = sharded_loss(params, hr, lo, w)
         return total, comps
 
     return _make_train_step(compute_loss, optimizer, augment_cfg,
-                            grad_accum=grad_accum, ema_decay=ema_decay)
+                            grad_accum=grad_accum, ema_decay=ema_decay,
+                            qat_decay=qat_decay)
 
 
-def build_spatial_eval_step(sharded_loss) -> Any:
+def build_spatial_eval_step(sharded_loss, qat: bool = False) -> Any:
+    """With ``qat``, ``params`` is the (params, qat_amax) pair and
+    validation scores the row-sharded fake-quant forward (same
+    serving-relevant metric as the dense QAT eval step)."""
     def eval_step(params, batch):
-        total, comps, out = sharded_loss(params, batch["hr"], batch["lr"],
-                                         batch["weight"])
+        hr, lo, w = batch["hr"], batch["lr"], batch["weight"]
+        if qat:
+            params, qat_amax = params
+            total, comps, out = sharded_loss(params, qat_amax, hr, lo, w)
+        else:
+            total, comps, out = sharded_loss(params, hr, lo, w)
         return {"loss": total, "ssim": comps["ssim_metric"]}, out
 
     return eval_step
@@ -366,12 +385,6 @@ def train(cfg: TrainConfig,
                 f"{quant_forward.supported_types()} "
                 f"(models/quant_forward.py), not "
                 f"{cfg.model.model_type!r}")
-        if cfg.spatial_shards > 1:
-            raise ValueError(
-                "--qat does not compose with --spatial_shards: the "
-                "fake-quant forward is the dense functional one "
-                "(models/quant_forward.py), not the row-sharded shard_map "
-                "topology. Train QAT dense, serve with either path.")
         if not 0.0 < cfg.qat_decay < 1.0:
             raise ValueError(
                 f"qat_decay must be in (0, 1), got {cfg.qat_decay}")
@@ -563,9 +576,31 @@ def train(cfg: TrainConfig,
     start_epoch = 0
 
     names = ckpt.checkpoint_paths(cfg.checkpoint_dir, cfg.model.model_type)
-    if cfg.resume and os.path.exists(names["final"] + ".ckpt"):
+    start_cursor = 0
+
+    def _meta_step(base: str) -> int:
+        """Optimizer step count from a checkpoint's JSON sidecar; -1 when
+        the pair is absent/unreadable (never resumed from)."""
+        if not (os.path.exists(base + ".ckpt")
+                and os.path.exists(base + ".json")):
+            return -1
+        try:
+            with open(base + ".json") as f:
+                return int(json.load(f).get("step", 0))
+        except (ValueError, OSError):
+            return -1
+
+    # Resume source: whichever of final (epoch-granular) / step (mid-epoch,
+    # cfg.save_every_steps) is further along the optimizer trajectory —
+    # a preempted run's step checkpoint outruns the last final save.
+    resume_base = None
+    if cfg.resume:
+        cands = sorted((_meta_step(names[k]), k) for k in ("final", "step"))
+        if cands[-1][0] >= 0:
+            resume_base = names[cands[-1][1]]
+    if resume_base is not None:
         params_r, opt_r, meta, extras = ckpt.load_checkpoint(
-            names["final"] + ".ckpt", opt_state_template=opt_state,
+            resume_base + ".ckpt", opt_state_template=opt_state,
             return_extras=True)
         from flax import serialization
         # EMA checkpoints store the averaged weights as "params" (what
@@ -612,8 +647,28 @@ def train(cfg: TrainConfig,
         else:
             scheduler.load_state_dict(meta["scheduler"])
             early.load_state_dict(meta["early_stopping"])
-        start_epoch = int(meta.get("epoch", -1)) + 1
-        log_message(f"Resumed from {names['final']}.ckpt at epoch {start_epoch}")
+        start_cursor = int(meta.get("batch_cursor", 0))
+        if start_cursor >= len(train_loader) > 0:
+            # cursor at/past the epoch's end (e.g. batch size changed
+            # across the resume): treat the interrupted epoch as complete
+            log_message(f"Step-checkpoint batch cursor {start_cursor} >= "
+                        f"{len(train_loader)} batches/epoch; resuming at "
+                        f"the next epoch")
+            start_cursor = 0
+            meta["epoch"] = int(meta.get("epoch", 0))  # +1 applied below
+        if start_cursor > 0:
+            # mid-epoch step checkpoint: re-enter the SAME epoch and skip
+            # its first batches — the loader order is (seed, epoch)-
+            # deterministic and augmentation keys fold (epoch, batch), so
+            # the continuation is bit-identical to an uninterrupted run
+            start_epoch = int(meta.get("epoch", 0))
+            log_message(f"Resumed from {resume_base}.ckpt mid-epoch "
+                        f"{start_epoch} at batch {start_cursor} "
+                        f"(step {int(meta.get('step', 0))})")
+        else:
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            log_message(f"Resumed from {resume_base}.ckpt at epoch "
+                        f"{start_epoch}")
 
     # --- sharding / compilation ---
     rsh = replicated_sharding(mesh)
@@ -693,18 +748,26 @@ def train(cfg: TrainConfig,
         from jax.sharding import NamedSharding, PartitionSpec as P
         x4 = NamedSharding(mesh, P("data", "space"))
         dsh = {"hr": x4, "lr": x4, "weight": NamedSharding(mesh, P("data"))}
+        if qat_on and cfg.remat:
+            log_message(
+                "QAT + spatial: model-side remat segments are disabled "
+                "(the fake-quant trace context cannot cross jax.checkpoint "
+                "scopes — same restriction as dense QAT); the loss-graph "
+                "checkpoint still applies.")
         sharded_loss = build_spatial_loss(
             mesh, sample_hw, cfg.loss, model_type=cfg.model.model_type,
-            dtype=dtype, vgg_params=vgg_params, remat=cfg.remat)
+            dtype=dtype, vgg_params=vgg_params, remat=cfg.remat,
+            qat_sites=sorted(qat_amax0) if qat_on else None)
         train_step = jax.jit(
             build_spatial_train_step(sharded_loss, optimizer, cfg.augment,
                                      grad_accum=cfg.grad_accum,
-                                     ema_decay=cfg.ema_decay),
+                                     ema_decay=cfg.ema_decay,
+                                     qat=qat_on, qat_decay=cfg.qat_decay),
             in_shardings=(state_sh, dsh, None, None),
             out_shardings=(state_sh, rsh),
             donate_argnums=(0,))
         eval_step = jax.jit(
-            build_spatial_eval_step(sharded_loss),
+            build_spatial_eval_step(sharded_loss, qat=qat_on),
             in_shardings=(rsh, dsh),
             out_shardings=({"loss": rsh, "ssim": rsh}, x4))
     else:
@@ -839,6 +902,10 @@ def train(cfg: TrainConfig,
     if cfg.profile_dir:
         os.makedirs(cfg.profile_dir, exist_ok=True)
 
+    # host-side optimizer-step counter for --save_every_steps (reading
+    # state.step each step would force a device sync; one fetch here)
+    host_step = int(state.step)
+
     epoch = start_epoch - 1
     for epoch in range(start_epoch, cfg.epochs):
         profile_epoch = min(start_epoch + 1, cfg.epochs - 1)
@@ -855,7 +922,13 @@ def train(cfg: TrainConfig,
         # serialize dispatch (costly over an async TPU tunnel, where only
         # fetches synchronize). Only the sparse batch_update log syncs.
         loss_accs, ssim_accs, clip_accs = [], [], []
+        skip_to = start_cursor if epoch == start_epoch else 0
         for batch_idx, batch in enumerate(train_loader.epoch(epoch)):
+            if batch_idx < skip_to:
+                # mid-epoch resume: fast-forward the deterministic loader
+                # to the checkpointed batch cursor (the skipped batches
+                # were trained before the preemption)
+                continue
             # keys derived from (seed, epoch, batch) — a resumed run sees the
             # same augmentation randomness a continuous run would have
             step_key = jax.random.fold_in(jax.random.fold_in(rng, epoch),
@@ -864,6 +937,7 @@ def train(cfg: TrainConfig,
             state, metrics = train_step(state, batch,
                                         jnp.asarray(scheduler.lr, jnp.float32),
                                         step_key)
+            host_step += 1
             loss_accs.append(metrics["loss"])
             ssim_accs.append(metrics["ssim"])
             if "ssim_clip_micros" in metrics:
@@ -875,6 +949,21 @@ def train(cfg: TrainConfig,
                              "loss": loss_v}, "batch_update")
                 if progress_cb:
                     progress_cb(epoch, batch_idx, loss_v)
+            if (cfg.save_every_steps > 0
+                    and host_step % cfg.save_every_steps == 0):
+                # preemption-safe mid-epoch checkpoint: next run resumes
+                # at batch_cursor of THIS epoch, bit-identically. Under
+                # QAT+EMA the serving sidecar keeps the epoch's
+                # serving_amax (re-measured at each validation).
+                save_state(
+                    names["step"],
+                    meta={**hyper_meta, "epoch": epoch,
+                          "batch_cursor": batch_idx + 1,
+                          "step": host_step,
+                          "val_loss": final_val_loss,
+                          "val_ssim": final_val_ssim,
+                          "scheduler": scheduler.state_dict(),
+                          "early_stopping": early.state_dict()})
         train_loss = float(jnp.mean(jnp.stack(loss_accs))) if loss_accs else 0.0
         train_ssim = float(jnp.mean(jnp.stack(ssim_accs))) if ssim_accs else 0.0
         if clip_accs and cfg.loss.ssim_weight > 0:
@@ -941,7 +1030,8 @@ def train(cfg: TrainConfig,
             profiling = False
 
         elapsed = time.time() - epoch_start
-        n_seen = len(train_idx)
+        # a mid-epoch-resumed epoch only ran its remaining batches
+        n_seen = max(0, len(train_idx) - skip_to * batch_size)
         log_message({
             "epoch": epoch, "total_epochs": cfg.epochs,
             "train_loss": train_loss,

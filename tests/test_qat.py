@@ -551,14 +551,126 @@ def test_qat_composes_with_ema_and_grad_accum(tmp_path, capsys):
             err_msg=f"site {k}: zero-epoch re-save exported non-EMA scales")
 
 
+def test_qat_spatial_step_matches_dense(rng):
+    """QAT composes with spatial sharding: one train step through the
+    row-sharded fake-quant forward (parallel/spatial.py _QCtx) must match
+    the dense fake-quant step — same site set, same recorded batch
+    statistic (pmax over both mesh axes == the dense global max), and
+    weights within the quantizer-boundary tolerance the grad_accum
+    equivalence test established (reassociating GN psums can flip
+    sub-noise quantizer codes; a real bug moves essentially every
+    element)."""
+    from mri_superresolution_tpu.config import LossConfig
+    from mri_superresolution_tpu.losses.combined import CombinedLoss
+    from mri_superresolution_tpu.parallel import (build_spatial_loss,
+                                                  make_spatial_mesh)
+    from mri_superresolution_tpu.train.trainer import (
+        TrainState, build_spatial_train_step, build_train_step,
+        make_optimizer)
+
+    model, params = _model_and_params("unet")
+    x = jnp.asarray(rng.random((4, 32, 32, 1), np.float32))
+    hr = jnp.asarray(rng.random((4, 64, 64, 1), np.float32))
+    amax0 = qf.calib_amax(params, x, "unet", jnp.float32)
+    cfg = LossConfig(ssim_weight=0.3)
+    batch = {"hr": hr, "lr": x, "weight": jnp.ones((4,), jnp.float32)}
+    lr, key = jnp.asarray(1e-3, jnp.float32), jax.random.key(0)
+
+    opt = make_optimizer(0.0)
+    fq = qf.build_fakequant_forward("unet", jnp.float32)
+    dense_step = jax.jit(build_train_step(
+        model, CombinedLoss(cfg), opt, None, cfg, qat_fwd=fq,
+        qat_decay=0.9))
+    s0 = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                    opt_state=opt.init(params), qat_amax=amax0)
+    sd, md = dense_step(s0, batch, lr, key)
+
+    mesh = make_spatial_mesh(2, 2)
+    sharded = build_spatial_loss(mesh, (32, 32), cfg, model_type="unet",
+                                 dtype=jnp.float32,
+                                 qat_sites=sorted(amax0))
+    sp_step = jax.jit(build_spatial_train_step(
+        sharded, opt, None, qat=True, qat_decay=0.9))
+    s0b = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                     opt_state=opt.init(params), qat_amax=amax0)
+    ss, ms = sp_step(s0b, batch, lr, key)
+
+    assert abs(float(md["loss"]) - float(ms["loss"])) < 1e-3
+    assert abs(float(md["ssim"]) - float(ms["ssim"])) < 1e-3
+    assert set(sd.qat_amax) == set(ss.qat_amax)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2),
+        sd.qat_amax, ss.qat_amax)
+    mismatch = total = 0
+    for a, b in zip(jax.tree_util.tree_leaves(sd.params),
+                    jax.tree_util.tree_leaves(ss.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert float(np.max(np.abs(a - b))) <= 2.2e-3     # Adam step-1 cap
+        mismatch += int((np.abs(a - b) > 5e-5 + 2e-3 * np.abs(b)).sum())
+        total += a.size
+    assert mismatch / total < 0.15, f"{mismatch}/{total} elements differ"
+
+
+def test_qat_spatial_foreground_routing_is_global_per_sample(rng):
+    """The spatial fakequant's foreground decision must be per GLOBAL
+    sample (fractions psum'd over the space axis): a batch of pure
+    background records a ZERO statistic with any_fg False — the trainer's
+    EMA update is then an exact no-op, matching the dense path."""
+    from mri_superresolution_tpu.config import LossConfig
+    from mri_superresolution_tpu.parallel import (build_spatial_loss,
+                                                  make_spatial_mesh)
+    from mri_superresolution_tpu.train.trainer import (
+        TrainState, build_spatial_train_step, make_optimizer)
+
+    _, params = _model_and_params("unet")
+    x = jnp.asarray(rng.random((4, 32, 32, 1), np.float32))
+    amax0 = qf.calib_amax(params, x, "unet", jnp.float32)
+    cfg = LossConfig(ssim_weight=0.3)
+    mesh = make_spatial_mesh(2, 2)
+    sharded = build_spatial_loss(mesh, (32, 32), cfg, model_type="unet",
+                                 dtype=jnp.float32,
+                                 qat_sites=sorted(amax0))
+    opt = make_optimizer(0.0)
+    step = jax.jit(build_spatial_train_step(sharded, opt, None, qat=True,
+                                            qat_decay=0.9))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=opt.init(params), qat_amax=amax0)
+    bg = {"hr": jnp.zeros((4, 64, 64, 1), jnp.float32),
+          "lr": jnp.zeros((4, 32, 32, 1), jnp.float32),
+          "weight": jnp.ones((4,), jnp.float32)}
+    new_state, metrics = step(state, bg, jnp.asarray(1e-3, jnp.float32),
+                              jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        new_state.qat_amax, amax0)
+
+
+def test_qat_spatial_train_end_to_end(tmp_path, capsys):
+    """train --qat --spatial_shards 2 runs end-to-end on the CPU mesh and
+    exports the calibration sidecar (the r3 gate is gone)."""
+    pytest.importorskip("cv2")
+    from mri_superresolution_tpu.train.trainer import train
+
+    hr_dir, lr_dir = _make_dataset(tmp_path, n=8)
+    cfg = _tiny_config(tmp_path, hr_dir, lr_dir, epochs=2, qat=True,
+                       qat_decay=0.9, spatial_shards=2)
+    final = train(cfg)
+    out = capsys.readouterr().out
+    assert "QAT enabled" in out
+    assert "Spatially-sharded training" in out
+    assert os.path.exists(final)
+    sidecar = final[:-len(".ckpt")] + ".calib.json"
+    scales, mtype = qf.load_scales(sidecar)
+    assert mtype == "unet" and len(scales) == 20
+
+
 def test_qat_validation_errors(tmp_path):
     from mri_superresolution_tpu.train.trainer import train
 
     d = str(tmp_path)
-
-    cfg = _tiny_config(tmp_path, d, d, qat=True, spatial_shards=2)
-    with pytest.raises(ValueError, match="spatial_shards"):
-        train(cfg)
 
     cfg = _tiny_config(tmp_path, d, d, qat=True, qat_decay=1.5)
     with pytest.raises(ValueError, match="qat_decay"):
