@@ -23,7 +23,7 @@ TPU-first design:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 import jax
@@ -77,14 +77,47 @@ class InferenceEngine:
                  quant: str = "none", quant_calib_slices: int = 8,
                  quant_min_foreground: float = 0.05,
                  quant_calib_path: Optional[str] = None,
-                 tta: bool = False):
+                 tta: bool = False, normalize_inputs: bool = False,
+                 out_dtype=None):
         self.model_cfg = model_cfg
+        # Serving-transfer controls (tools/bench_serve_e2e.py; the host
+        # link — PCIe, or worse a tunnel — is the volume-serving long
+        # pole, measured 20-40 MB/s here vs ~45 ms of compute per
+        # 64x256^2 batch):
+        # - normalize_inputs: batches arrive RAW (uint8/uint16/int16/
+        #   float) and the percentile-window + minmax normalize runs ON
+        #   DEVICE inside the serving program — the host uploads 1-2
+        #   bytes/pixel instead of 4, and the host never spends CPU on
+        #   percentiles (~5 ms/slice). Padding stays exact: the
+        #   normalize sees the unpadded slice, the zero-pad happens
+        #   after it in the same program.
+        # - out_dtype uint8/int16: outputs are packed on device
+        #   (round(y*255) / round(y*32767)) and fetched at 1-2
+        #   bytes/pixel. uint8 is bit-exact for the PNG path (the same
+        #   rounding the writer applies); int16 adds ~90 dB of
+        #   quantization SNR headroom over the model's ~30 dB PSNR.
+        self.normalize_inputs = bool(normalize_inputs)
+        self.out_dtype = np.dtype(out_dtype if out_dtype is not None
+                                  else np.float32)
+        if self.out_dtype not in (np.dtype(np.float32), np.dtype(np.uint8),
+                                  np.dtype(np.int16)):
+            raise ValueError(f"out_dtype must be float32/uint8/int16, got "
+                             f"{self.out_dtype}")
+        if normalize_inputs and quant == "int8":
+            raise ValueError(
+                "normalize_inputs is incompatible with --quant int8: the "
+                "engine's content-aware routing reads normalized [0,1] "
+                "pixels on the host; normalize on the host for int8 "
+                "serving")
+        self._norm_fn: dict = {}     # (dtype,nb,h,w,bh,bw) -> device program
+        self._pack_jit = None        # device-side output packing
         # test-time augmentation: average the forward over the dihedral
-        # flips (8 transforms for square inputs, 4 otherwise). Batches
-        # with no spatial padding run the ON-DEVICE ensemble (ops/tta.py:
-        # one jitted program, one host<->device round trip); padded /
-        # int8 / spatial batches fall back to the host-side loop over the
-        # single-forward program (shape-preserving transforms)
+        # flips (8 transforms for square inputs, 4 otherwise). Dense,
+        # frozen-int8 AND row-sharded batches run the ON-DEVICE ensemble
+        # (ops/tta.py: one jitted program, one host<->device round trip;
+        # the spatial variant wraps the shard_map forward in the traced
+        # loop body); only still-calibrating int8 falls back to the
+        # host-side loop over the single-forward program
         self.tta = tta
         self._tta_fwd: dict = {}     # square? -> jitted device ensemble
         self._dtype = jnp.bfloat16 if bf16 else jnp.float32
@@ -195,6 +228,54 @@ class InferenceEngine:
             bh = _round_up(bh, 8 * self.spatial_shards)
             bw = _round_up(bw, 8)
         return bh, bw
+
+    def _maybe_pack(self, y) -> jnp.ndarray:
+        """Device-side output packing (fp32 [0,1] -> uint8/int16) so the
+        fetch moves 1-2 bytes/pixel; identity at the default float32."""
+        if self.out_dtype == np.dtype(np.float32):
+            return y
+        if self._pack_jit is None:
+            scale = 255.0 if self.out_dtype == np.dtype(np.uint8) else 32767.0
+            dt = jnp.uint8 if self.out_dtype == np.dtype(np.uint8) \
+                else jnp.int16
+            self._pack_jit = jax.jit(
+                lambda t: jnp.round(
+                    jnp.clip(t, 0.0, 1.0) * scale).astype(dt))
+        return self._pack_jit(y)
+
+    def _pack_host(self, y: np.ndarray) -> np.ndarray:
+        """Host-side twin of :meth:`_maybe_pack` (host-loop TTA packs the
+        ensemble MEAN, matching the on-device ensemble's pack-after-mean)."""
+        if self.out_dtype == np.dtype(np.float32):
+            return y
+        scale = 255.0 if self.out_dtype == np.dtype(np.uint8) else 32767.0
+        return np.round(np.clip(y, 0.0, 1.0) * scale).astype(self.out_dtype)
+
+    def _normalized_input(self, batch: np.ndarray, nb: int,
+                          bh: int, bw: int) -> jnp.ndarray:
+        """Upload the RAW (n, h, w) batch and run the reference
+        percentile-window + minmax normalize (scripts/infer.py:97-130
+        semantics, ops/normalize.py) per slice ON DEVICE, zero-padding to
+        the (bh, bw) bucket afterwards — the percentiles see only real
+        pixels, so bucketed serving stays normalize-exact."""
+        from mri_superresolution_tpu.ops.normalize import (minmax_normalize,
+                                                           percentile_window)
+        n, h, w = batch.shape
+        key = (batch.dtype.str, nb, h, w, bh, bw)
+        if key not in self._norm_fn:
+            def run(x):
+                y = jax.vmap(
+                    lambda s: minmax_normalize(percentile_window(s)))(x)
+                y = y[..., None]
+                if (bh, bw) != (h, w):
+                    y = jnp.pad(y, ((0, 0), (0, bh - h), (0, bw - w),
+                                    (0, 0)))
+                return y
+            self._norm_fn[key] = jax.jit(run, in_shardings=(self._dsh,),
+                                         out_shardings=self._dsh)
+        x = np.zeros((nb, h, w), batch.dtype)
+        x[:n] = batch
+        return self._norm_fn[key](x)
 
     def _route_bf16(self, x, count: bool = True) -> jnp.ndarray:
         self._last_quant_mode = "bf16"
@@ -341,9 +422,11 @@ class InferenceEngine:
         exact order) and including int8 once its scales are frozen
         (sidecar-loaded or calibration complete), with the near-empty
         bf16 routing decided once per batch (dihedral transforms
-        preserve the foreground fraction). int8 STILL CALIBRATING
-        (host-side routing state machine) and spatial sharding fall back
-        to the host-side loop,
+        preserve the foreground fraction). Row-sharded (spatial) batches
+        ALSO run on device: the ensemble wraps the shard_map forward, so
+        halo ppermutes and the dihedral loop compile into one program.
+        Only int8 STILL CALIBRATING (host-side routing state machine)
+        falls back to the host-side loop,
         where every transform preserves the input shape so ONE compiled
         single-forward program serves all of them. int8 caveat: during
         streaming calibration only the untransformed pass feeds the amax
@@ -362,26 +445,30 @@ class InferenceEngine:
         acc = np.zeros((n, 2 * h, 2 * w), np.float32)
         force_bf16 = False
         for i, (t, inv) in enumerate(transforms):
+            # members fetch UNPACKED: the ensemble averages in fp32 and
+            # packs the mean (the on-device ensemble's order)
             acc += np.asarray(
                 inv(self._upscale_once(np.ascontiguousarray(t(batch)),
                                        _quant_calib_ok=(i == 0),
                                        _quant_count=(i == 0),
-                                       _quant_force_bf16=force_bf16)))
+                                       _quant_force_bf16=force_bf16,
+                                       _pack=False)))
             if i == 0 and self.quant == "int8":
                 # the remaining members follow the identity pass's served
                 # precision — one ensemble never mixes bf16 and int8, even
                 # when the identity pass itself completes calibration
                 force_bf16 = self._last_quant_mode == "bf16"
-        return acc / len(transforms)
+        return self._pack_host(acc / len(transforms))
 
     def _tta_on_device(self) -> bool:
         """True when a --tta batch runs as ONE device dispatch (ops/tta.py):
-        dense sharding and, under int8, frozen scales. Host-loop ensembles
-        (spatial sharding, still-calibrating int8) need a host round trip
-        per member. May flip host→device mid-stream when calibration
-        completes; never the other way."""
-        return (self.spatial_shards == 1
-                and (self.quant != "int8" or self._quant_fwd is not None))
+        dense OR row-sharded forwards and, under int8, frozen scales (the
+        spatial ensemble wraps the shard_map forward inside the traced
+        loop body; spatial+int8 is rejected at init). The one host-loop
+        ensemble left is still-calibrating int8 — its routing state
+        machine lives on the host. May flip host→device mid-stream when
+        calibration completes; never the other way."""
+        return self.quant != "int8" or self._quant_fwd is not None
 
     def _tta_once(self, batch: np.ndarray) -> np.ndarray:
         return np.asarray(self._tta_dispatch(batch))
@@ -411,46 +498,77 @@ class InferenceEngine:
             if frac >= self.quant_min_foreground:
                 mode = "int8"
             self._quant_batches[mode] += 1
-        key = (square, mode)
+        spatial = self.spatial_shards > 1
+        # the row-sharded raw forward is built per (bh, bw) — key on it;
+        # dense ensembles stay shape-polymorphic (bucket resolved at trace)
+        key = (square, mode, (bh, bw) if spatial else None)
         if key not in self._tta_fwd:
-            raw = (self._quant_fn_raw if mode == "int8" else
-                   lambda p, a: jnp.clip(
-                       self.model.apply({"params": p}, a), 0.0, 1.0))
+            if spatial:
+                from mri_superresolution_tpu.parallel.spatial import (
+                    build_spatial_forward_raw, spatial_input_sharding)
+                sp_raw = build_spatial_forward_raw(
+                    self.mesh, (bh, bw), dtype=self._dtype,
+                    model_type=self.model_cfg.model_type)
+                raw = lambda p, a: jnp.clip(sp_raw(p, a), 0.0, 1.0)
+                x_sh = spatial_input_sharding(self.mesh)
+            else:
+                raw = (self._quant_fn_raw if mode == "int8" else
+                       lambda p, a: jnp.clip(
+                           self.model.apply({"params": p}, a), 0.0, 1.0))
+                x_sh = self._dsh
             self._tta_fwd[key] = jax.jit(
                 build_tta_ensemble(raw, square=square,
                                    bucket_fn=self._bucket_hw),
-                in_shardings=(self._rsh, self._dsh),
-                out_shardings=self._dsh)
+                in_shardings=(self._rsh, x_sh),
+                out_shardings=x_sh)
         if ("tta", mode, nb, h, w) not in self._compiled_shapes:
             self._compiled_shapes.add(("tta", mode, nb, h, w))
             padded = ("" if (bh, bw) == (h, w) else
                       f" (members padded to {bh}x{bw} in-program)")
+            shard = (f", rows sharded {self.spatial_shards}-way"
+                     if spatial else "")
             logger.info(
                 f"Compiling on-device {mode} TTA ensemble "
                 f"({8 if square else 4} members, one looped forward "
-                f"body) for shape ({nb}, {h}, {w}){padded} — one "
+                f"body) for shape ({nb}, {h}, {w}){padded}{shard} — one "
                 "host↔device round trip per batch instead of one per "
                 "transform.")
-        x = np.zeros((nb, h, w, 1), np.float32)
-        x[:n, :, :, 0] = batch
-        y = self._tta_fwd[key](self.params, jnp.asarray(x))
+            if spatial and (bh > h or bw > w):
+                logger.warning(
+                    f"spatial_shards={self.spatial_shards} pads {h}x{w} "
+                    f"TTA members to {bh}x{bw}: whole-image GroupNorm "
+                    "statistics differ from the dense forward (same "
+                    "caveat as non-TTA spatial serving).")
+        if self.normalize_inputs:
+            # normalize commutes with every dihedral transform (the
+            # percentile/minmax statistics are permutation-invariant), so
+            # normalizing once before the ensemble is exact; the bucket
+            # pad still happens per member inside the traced body
+            xd = self._normalized_input(batch, nb, h, w)
+        else:
+            x = np.zeros((nb, h, w, 1), np.float32)
+            x[:n, :, :, 0] = batch
+            xd = jnp.asarray(x)
+        y = self._tta_fwd[key](self.params, xd)
         # device slice enqueued NOW (before any later batch's forward) so a
         # pipelined caller's deferred fetch never waits on newer work
-        return y[:n, :, :, 0]
+        return self._maybe_pack(y[:n, :, :, 0])
 
     def _upscale_once(self, batch: np.ndarray,
                       _quant_calib_ok: bool = True,
                       _quant_count: bool = True,
-                      _quant_force_bf16: bool = False) -> np.ndarray:
+                      _quant_force_bf16: bool = False,
+                      _pack: bool = True) -> np.ndarray:
         return np.asarray(self._dispatch_once(
             batch, _quant_calib_ok=_quant_calib_ok,
             _quant_count=_quant_count,
-            _quant_force_bf16=_quant_force_bf16))
+            _quant_force_bf16=_quant_force_bf16, _pack=_pack))
 
     def _dispatch_once(self, batch: np.ndarray,
                        _quant_calib_ok: bool = True,
                        _quant_count: bool = True,
-                       _quant_force_bf16: bool = False) -> jnp.ndarray:
+                       _quant_force_bf16: bool = False,
+                       _pack: bool = True) -> jnp.ndarray:
         """One forward dispatched to the device, output slice enqueued,
         NOTHING fetched — the returned array is a future a pipelined
         caller (``upscale_batches``) materializes later."""
@@ -477,20 +595,28 @@ class InferenceEngine:
                     "statistics now differ from the dense forward. Use "
                     f"H % {8 * self.spatial_shards} == 0, W % 8 == 0 "
                     "inputs for exact spatial serving.")
-        x = np.zeros((nb, bh, bw, 1), np.float32)
-        x[:n, :h, :w, 0] = batch
-        if self.spatial_shards > 1:
-            y = self._spatial_forward(bh, bw)(self.params, jnp.asarray(x))
-        elif self.quant == "int8":
-            y = self._quant_upscale(
-                x, n,
-                float((np.abs(batch) > FOREGROUND_INTENSITY).mean()),
-                calib_ok=_quant_calib_ok, count=_quant_count,
-                force_bf16=_quant_force_bf16)
+        if self.normalize_inputs:
+            xd = self._normalized_input(batch, nb, bh, bw)
+            y = (self._spatial_forward(bh, bw)(self.params, xd)
+                 if self.spatial_shards > 1
+                 else self._forward(self.params, xd))
         else:
-            y = self._forward(self.params, jnp.asarray(x))
+            x = np.zeros((nb, bh, bw, 1), np.float32)
+            x[:n, :h, :w, 0] = batch
+            if self.spatial_shards > 1:
+                y = self._spatial_forward(bh, bw)(self.params,
+                                                  jnp.asarray(x))
+            elif self.quant == "int8":
+                y = self._quant_upscale(
+                    x, n,
+                    float((np.abs(batch) > FOREGROUND_INTENSITY).mean()),
+                    calib_ok=_quant_calib_ok, count=_quant_count,
+                    force_bf16=_quant_force_bf16)
+            else:
+                y = self._forward(self.params, jnp.asarray(x))
         # device slice (see _tta_dispatch for why it's enqueued here)
-        return y[:n, :2 * h, :2 * w, 0]
+        y = y[:n, :2 * h, :2 * w, 0]
+        return self._maybe_pack(y) if _pack else y
 
     def upscale_batches(self, batches) -> "Iterator[np.ndarray]":
         """Pipelined serving over an iterable of (N, h, w) batches: yields
@@ -504,8 +630,8 @@ class InferenceEngine:
         instead of serializing after it (depth-1 double buffering; one
         extra output buffer resident on device). The reference's
         inference loop has no analogue (scripts/infer.py:230-276 is
-        strictly sequential). Host-loop TTA ensembles (spatial sharding /
-        still-calibrating int8) are inherently synchronous — those
+        strictly sequential). Host-loop TTA ensembles (still-calibrating
+        int8) are inherently synchronous — those
         batches flush the pipeline and run sequentially; a mid-stream
         calibration freeze re-enables pipelining from the next batch.
         """
@@ -544,6 +670,11 @@ class InferenceEngine:
         h, w = image01.shape
         if h <= tile and w <= tile:
             return self.upscale_image(image01)
+        if self.normalize_inputs:
+            raise ValueError(
+                "normalize_inputs normalizes per forward-pass input, which "
+                "under tiling would be per-TILE, not per-slice; normalize "
+                "on the host (or use spatial_shards) for tiled serving")
         stride = tile - 2 * halo
         assert stride > 0, "tile must exceed 2*halo"
         ys = list(range(0, max(h - 2 * halo, 1), stride))
@@ -557,7 +688,7 @@ class InferenceEngine:
                           for y in ys for x in xs])
         up = self.upscale_batch(tiles)  # (n, 2*tile, 2*tile)
 
-        out = np.zeros((2 * (h + pad_h), 2 * (w + pad_w)), np.float32)
+        out = np.zeros((2 * (h + pad_h), 2 * (w + pad_w)), self.out_dtype)
         i = 0
         for y in ys:
             for x in xs:
@@ -735,4 +866,6 @@ def load_engine(cfg: InferConfig, num_devices: int = 1) -> InferenceEngine:
                            quant_calib_slices=cfg.quant_calib_slices,
                            quant_min_foreground=cfg.quant_min_foreground,
                            quant_calib_path=quant_calib_path,
-                           tta=cfg.tta)
+                           tta=cfg.tta,
+                           normalize_inputs=cfg.normalize_inputs,
+                           out_dtype=cfg.out_dtype)

@@ -191,34 +191,40 @@ def test_tta_matches_manual_dihedral_average(rng):
 
 
 def test_tta_routes_on_device_vs_host(rng):
-    """Dense TTA batches — including bucketed/padded ones — run the
-    on-device ensemble (ops/tta.py, one jitted program); only spatial
-    sharding and a still-calibrating int8 engine fall back to the
-    host-side transform loop. Pins the ROUTING so a regression can't
-    silently send everything down the 8-round-trip host path."""
+    """Dense TTA batches — including bucketed/padded ones — AND
+    row-sharded (spatial) batches run the on-device ensemble (ops/tta.py,
+    one jitted program); only a still-calibrating int8 engine falls back
+    to the host-side transform loop. Pins the ROUTING so a regression
+    can't silently send everything down the 8-round-trip host path."""
     eng = _engine(tta=True)
     # %8 square input, bucket=1: no spatial padding -> device ensemble
     y = eng.upscale_batch(rng.random((2, 16, 16), dtype=np.float32))
     assert y.shape == (2, 32, 32)
-    assert (True, "bf16") in eng._tta_fwd       # square ensemble built
+    assert (True, "bf16", None) in eng._tta_fwd  # square ensemble built
     assert ("tta", "bf16", 2, 16, 16) in eng._compiled_shapes
     # rect input: 4-flip device ensemble (bucket=1 never pads spatially,
     # so the model's own internal %8 padding sees the same transformed
     # input on either path)
     eng.upscale_batch(rng.random((2, 16, 24), dtype=np.float32))
-    assert (False, "bf16") in eng._tta_fwd
+    assert (False, "bf16", None) in eng._tta_fwd
     # bucket>1 pads non-aligned sizes INSIDE the traced body (transform-
     # then-pad) — still the device ensemble, never the host loop
     eng2 = _engine(tta=True, bucket=32)
     y2 = eng2.upscale_batch(rng.random((2, 10, 10), dtype=np.float32))
     assert y2.shape == (2, 20, 20)
-    assert (True, "bf16") in eng2._tta_fwd
+    assert (True, "bf16", None) in eng2._tta_fwd
     assert ("tta", "bf16", 2, 10, 10) in eng2._compiled_shapes
     assert all(s[0] == "tta" for s in eng2._compiled_shapes)
-    # spatial sharding: host loop (the device ensemble is dense-only)
+    # spatial sharding: on-device too — the ensemble wraps the shard_map
+    # forward, keyed by the (bh, bw) it was built for
     eng3 = _engine(num_devices=2, spatial_shards=2, tta=True)
     eng3.upscale_batch(rng.random((2, 16, 16), dtype=np.float32))
-    assert eng3._tta_fwd == {}
+    assert (True, "bf16", (16, 16)) in eng3._tta_fwd
+    # still-calibrating int8: the one remaining host-loop ensemble
+    eng4 = _engine(tta=True, quant="int8", quant_calib_slices=100,
+                   quant_min_foreground=0.0)
+    eng4.upscale_batch(rng.random((2, 16, 16), dtype=np.float32))
+    assert eng4._tta_fwd == {}
 
 
 def test_tta_padded_bucket_matches_host_loop(rng):
@@ -252,7 +258,7 @@ def test_tta_on_device_over_mesh(rng):
     x = rng.random((8, 16, 16), dtype=np.float32)
     y = eng.upscale_batch(x)
     assert y.shape == (8, 32, 32) and np.isfinite(y).all()
-    assert (True, "bf16") in eng._tta_fwd
+    assert (True, "bf16", None) in eng._tta_fwd
 
 
 def test_tta_int8_frozen_routes_on_device(rng, tmp_path):
@@ -274,7 +280,7 @@ def test_tta_int8_frozen_routes_on_device(rng, tmp_path):
                           quant_min_foreground=0.05, tta=True)
     x = rng.random((2, 16, 16), dtype=np.float32)
     y = eng.upscale_batch(x)
-    assert (True, "int8") in eng._tta_fwd       # int8 ensemble compiled
+    assert (True, "int8", None) in eng._tta_fwd  # int8 ensemble compiled
     assert eng._quant_batches["int8"] == 1
 
     # oracle: host loop over the jitted frozen-int8 single forward
@@ -296,7 +302,7 @@ def test_tta_int8_frozen_routes_on_device(rng, tmp_path):
     # near-empty batch: bf16 ensemble, not int8
     bg = np.zeros((2, 16, 16), np.float32)
     eng.upscale_batch(bg)
-    assert (True, "bf16") in eng._tta_fwd
+    assert (True, "bf16", None) in eng._tta_fwd
     assert eng._quant_batches["bf16"] == 1
 
 
@@ -400,17 +406,167 @@ def test_upscale_batches_int8_freeze_mid_stream(rng):
 
 
 def test_upscale_batches_host_loop_tta_flushes(rng):
-    """Host-loop TTA ensembles (spatial sharding) are inherently
+    """Host-loop TTA ensembles (still-calibrating int8) are inherently
     synchronous: the generator flushes its pending fetch and falls back to
     sequential upscale_batch calls — identical values, identical order."""
-    model = UNetSuperRes(base_filters=16)
-    params = init_params(model, jax.random.key(0), (16, 16))
-    cfg = ModelConfig(base_filters=16)
-    mk = lambda: InferenceEngine(cfg, params, bf16=False, num_devices=8,
-                                 spatial_shards=2, tta=True)
-    eng, ref_eng = mk(), mk()
+    kw = dict(quant="int8", quant_calib_slices=100,
+              quant_min_foreground=0.0, tta=True)
+    eng, ref_eng = _engine(**kw), _engine(**kw)
     batches = [rng.random((2, 16, 16), dtype=np.float32) for _ in range(2)]
     ref = [ref_eng.upscale_batch(b) for b in batches]
     got = list(eng.upscale_batches(iter(batches)))
+    assert eng._tta_fwd == {}            # really exercised the host loop
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(r, g)
+
+
+def _spatial_engine(rng, tta=False, spatial_shards=2, num_devices=8):
+    model = UNetSuperRes(base_filters=16)
+    params = init_params(model, jax.random.key(0), (16, 16))
+    cfg = ModelConfig(base_filters=16)
+    return InferenceEngine(cfg, params, bf16=False,
+                           num_devices=num_devices,
+                           spatial_shards=spatial_shards, tta=tta)
+
+
+def test_upscale_batches_spatial_pipelines(rng):
+    """The pipelined non-TTA spatial path (deferred-fetch branch) must
+    equal map(upscale_batch, ...) — pins the shard_map forward's deferred
+    fetch too (r3 advisor finding)."""
+    eng, ref_eng = _spatial_engine(rng), _spatial_engine(rng)
+    batches = [rng.random((2, 16, 16), dtype=np.float32),
+               rng.random((3, 32, 16), dtype=np.float32),
+               rng.random((1, 16, 16), dtype=np.float32)]
+    ref = [ref_eng.upscale_batch(b) for b in batches]
+    got = list(eng.upscale_batches(iter(batches)))
+    assert len(got) == len(ref)
+    for r, g in zip(ref, got):
+        assert r.shape == g.shape
+        np.testing.assert_array_equal(r, g)
+
+
+def test_tta_spatial_on_device_matches_host_loop(rng):
+    """Row-sharded TTA runs ON DEVICE (the ensemble wraps the shard_map
+    forward). Oracle: the hand-run host loop over a non-TTA spatial
+    engine with identical params — same transform-then-pad order, so the
+    results agree to float tolerance, for conforming (16x16), padded
+    (12x12 -> 16x16) and rectangular (16x24) shapes."""
+    from mri_superresolution_tpu.ops.tta import dihedral_pairs
+
+    for shape in ((2, 16, 16), (2, 12, 12), (3, 16, 24)):
+        eng_tta = _spatial_engine(rng, tta=True)
+        eng = _spatial_engine(rng)
+        x = rng.random(shape, dtype=np.float32)
+        y = eng_tta.upscale_batch(x)
+        assert y.shape == (shape[0], 2 * shape[1], 2 * shape[2])
+        assert len(eng_tta._tta_fwd) == 1          # on-device ensemble
+        transforms = dihedral_pairs(square=(shape[1] == shape[2]))
+        acc = np.zeros(y.shape, np.float32)
+        for t, inv in transforms:
+            acc += np.asarray(
+                inv(eng.upscale_batch(np.ascontiguousarray(t(x)))))
+        np.testing.assert_allclose(y, acc / len(transforms),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_normalize_inputs_on_device_matches_host(rng):
+    """normalize_inputs=True: the engine ingests RAW uint16/int16/uint8
+    batches, normalizes (percentile window + minmax) inside the device
+    program, and must match host preprocess_image_array + the plain
+    engine exactly — including under bucket padding (the percentiles see
+    only real pixels: normalize-then-pad)."""
+    eng_raw = _engine(normalize_inputs=True)
+    eng = _engine()
+    for dtype, hi in ((np.uint16, 4000), (np.int16, 2000), (np.uint8, 255)):
+        raw = rng.integers(0, hi, (3, 24, 24)).astype(dtype)
+        want = np.stack([preprocess_image_array(s.astype(np.float32))
+                         for s in raw])
+        got = eng_raw.upscale_batch(raw)
+        ref = eng.upscale_batch(want)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # bucketed: normalize still sees the unpadded slice
+    eng_raw_b = InferenceEngine(eng.model_cfg, eng.params, bf16=False,
+                                bucket=32, normalize_inputs=True)
+    eng_b = InferenceEngine(eng.model_cfg, eng.params, bf16=False,
+                            bucket=32)
+    raw = rng.integers(0, 4000, (2, 20, 20)).astype(np.uint16)
+    want = np.stack([preprocess_image_array(s.astype(np.float32))
+                     for s in raw])
+    np.testing.assert_allclose(eng_raw_b.upscale_batch(raw),
+                               eng_b.upscale_batch(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_normalize_inputs_composes_with_tta_and_spatial(rng):
+    """The on-device normalize commutes with the dihedral transforms and
+    the row-sharded forward: raw-input TTA == normalized-input TTA, raw
+    spatial == normalized spatial."""
+    eng = _engine()
+    raw = rng.integers(0, 4000, (2, 16, 16)).astype(np.uint16)
+    want01 = np.stack([preprocess_image_array(s.astype(np.float32))
+                       for s in raw])
+    tta_raw = InferenceEngine(eng.model_cfg, eng.params, bf16=False,
+                              tta=True, normalize_inputs=True)
+    tta = InferenceEngine(eng.model_cfg, eng.params, bf16=False, tta=True)
+    np.testing.assert_allclose(tta_raw.upscale_batch(raw),
+                               tta.upscale_batch(want01),
+                               rtol=1e-5, atol=1e-5)
+    sp_raw = InferenceEngine(eng.model_cfg, eng.params, bf16=False,
+                             num_devices=8, spatial_shards=2,
+                             normalize_inputs=True)
+    sp = InferenceEngine(eng.model_cfg, eng.params, bf16=False,
+                         num_devices=8, spatial_shards=2)
+    np.testing.assert_allclose(sp_raw.upscale_batch(raw),
+                               sp.upscale_batch(want01),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_out_dtype_packs_on_device(rng):
+    """out_dtype uint8/int16: outputs are the device-packed
+    round(y*scale) of the fp32 engine's outputs — across the dense, TTA
+    and pipelined paths (uint8 equals the PNG writer's own coding)."""
+    eng = _engine()
+    x = rng.random((2, 16, 16), dtype=np.float32)
+    y32 = eng.upscale_batch(x)
+    for dtype, scale in ((np.uint8, 255.0), (np.int16, 32767.0)):
+        eng_p = InferenceEngine(eng.model_cfg, eng.params, bf16=False,
+                                out_dtype=dtype)
+        got = eng_p.upscale_batch(x)
+        assert got.dtype == dtype
+        want = np.round(np.clip(y32, 0, 1) * scale).astype(dtype)
+        # device vs host rounding may differ by 1 code at exact halves
+        assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+        piped = list(eng_p.upscale_batches(iter([x, x])))
+        np.testing.assert_array_equal(piped[0], got)
+    # TTA: pack applies to the ensemble MEAN on both routes
+    tta_p = InferenceEngine(eng.model_cfg, eng.params, bf16=False,
+                            tta=True, out_dtype=np.uint8)
+    tta = InferenceEngine(eng.model_cfg, eng.params, bf16=False, tta=True)
+    got = tta_p.upscale_batch(x)
+    want = np.round(np.clip(tta.upscale_batch(x), 0, 1) * 255)
+    assert got.dtype == np.uint8
+    assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+
+def test_normalize_inputs_rejects_int8_and_tiled(rng):
+    eng = _engine()
+    with pytest.raises(ValueError, match="normalize_inputs"):
+        InferenceEngine(eng.model_cfg, eng.params, bf16=False,
+                        quant="int8", normalize_inputs=True)
+    eng_raw = _engine(normalize_inputs=True)
+    with pytest.raises(ValueError, match="per-TILE"):
+        eng_raw.upscale_tiled(rng.random((64, 64)).astype(np.float32),
+                              tile=32, halo=8)
+
+
+def test_tta_spatial_matches_dense_tta(rng):
+    """On conforming shapes (no bucket padding) spatial TTA must agree
+    with DENSE TTA — the shard_map forward is dense-equivalent and the
+    ensemble math is identical."""
+    eng_sp = _spatial_engine(rng, tta=True)
+    eng_dn = InferenceEngine(eng_sp.model_cfg, eng_sp.params, bf16=False,
+                             tta=True)
+    x = rng.random((2, 16, 16), dtype=np.float32)
+    np.testing.assert_allclose(eng_sp.upscale_batch(x),
+                               eng_dn.upscale_batch(x),
+                               rtol=1e-5, atol=1e-5)
