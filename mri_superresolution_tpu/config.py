@@ -159,13 +159,26 @@ class TrainConfig:
     # batch's abs-max (decay qat_decay below), validated/early-stopped on
     # the QUANTIZED forward, checkpointed for exact resume, and exported as
     # a frozen calibration sidecar (<checkpoint>.calib.json) — serve with
-    # --quant int8 --quant_calib <sidecar>. Supports the int8 families
-    # ('unet'/'unet_tpu'); composes with grad_accum/ema/opt_shard but not
-    # spatial_shards (the fake-quant forward is the dense functional one).
+    # --quant int8 --quant_calib <sidecar>. Supports every int8 serving
+    # family (models/quant_forward.supported_types()); composes with
+    # grad_accum/ema/opt_shard AND spatial_shards (the row-sharded
+    # fake-quant forward lives in parallel/spatial.py: same site set,
+    # batch statistics pmax'd over both mesh axes).
     # The reference has no quantized training (fp16 autocast only,
     # scripts/train.py:158-163).
     qat: bool = False
     qat_decay: float = 0.98    # amax EMA decay (horizon ~1/(1-d) steps)
+    # Step-granular (mid-epoch) checkpointing for preemption-safe training
+    # (SURVEY.md §5 "deterministic data order for restart"): every N
+    # optimizer steps write step_model_<type>.ckpt carrying the epoch's
+    # batch cursor; --resume restarts INSIDE the interrupted epoch at the
+    # exact next batch — the loader order is (seed, epoch)-deterministic
+    # and augmentation keys are derived from (seed, epoch, batch), so the
+    # resumed trajectory is bit-identical to the uninterrupted one
+    # (tests/test_train.py kill-and-resume). Each save fetches the full
+    # train state to the host (~1 s over the TPU tunnel) — size N to your
+    # preemption risk. 0 = epoch-granular only (default).
+    save_every_steps: int = 0
 
 
 @dataclass
@@ -232,6 +245,13 @@ class InferConfig:
     # trade the reference does not offer (measured delta in RESULTS.md).
     # Shape-preserving, so one compiled program serves all transforms.
     tta: bool = False
+    # Serving-transfer controls (host link is the volume-serving long pole;
+    # tools/bench_serve_e2e.py): normalize RAW uint8/uint16/int16 inputs on
+    # device (upload 1-2 bytes/pixel instead of fp32's 4), and/or pack
+    # outputs to uint8/int16 on device before the fetch. float32 output =
+    # exact legacy behavior.
+    normalize_inputs: bool = False
+    out_dtype: str = "float32"
 
 
 def to_dict(cfg) -> dict:

@@ -101,24 +101,42 @@ def read_header(raw: bytes) -> Tuple[NiftiHeader, str]:
     return hdr, order
 
 
-def load(path: str) -> Tuple[np.ndarray, NiftiHeader]:
+def load(path: str, raw: bool = False) -> Tuple[np.ndarray, NiftiHeader]:
     """Read a NIfTI volume → (float64 data with scaling applied, header).
 
     Matches nibabel ``get_fdata()`` semantics: output is float64,
     ``data * scl_slope + scl_inter`` applied when slope is finite and not
     the identity (slope 0 means "no scaling" per the spec).
+
+    ``raw=True`` returns the STORED voxel values in their native dtype
+    with NO scaling and NO float64 conversion — the fast path for
+    serving pipelines whose first device op is a scale-invariant
+    normalize (percentile-window + minmax is invariant under positive
+    affine intensity maps), so int16-coded volumes upload at 2
+    bytes/voxel instead of 8 (scripts/infer_volume.py --serve_raw).
     """
     with _open(path) as f:
-        raw = f.read()
-    hdr, order = read_header(raw)
+        buf = f.read()
+    hdr, order = read_header(buf)
     if hdr.datatype not in _DTYPES:
         raise ValueError(f"Unsupported NIfTI datatype code {hdr.datatype}")
     dtype = np.dtype(_DTYPES[hdr.datatype]).newbyteorder(order)
     shape = hdr.shape
     count = int(np.prod(shape)) if shape else 0
     off = int(hdr.vox_offset)
-    data = np.frombuffer(raw, dtype=dtype, count=count, offset=off)
-    data = data.reshape(shape, order="F").astype(np.float64)
+    data = np.frombuffer(buf, dtype=dtype, count=count, offset=off)
+    data = data.reshape(shape, order="F")
+    if raw:
+        slope = hdr.scl_slope
+        if np.isfinite(slope) and slope < 0:
+            raise ValueError(
+                "raw=True requires a non-negative scl_slope (a negative "
+                "slope flips intensity order, which scale-invariant "
+                "normalizes do not absorb)")
+        if dtype.byteorder == ">":
+            data = data.astype(dtype.newbyteorder("<"))
+        return data, hdr
+    data = data.astype(np.float64)
     slope, inter = hdr.scl_slope, hdr.scl_inter
     if np.isfinite(slope) and slope != 0 and (slope, inter) != (1.0, 0.0):
         data = data * slope + inter
@@ -127,8 +145,14 @@ def load(path: str) -> Tuple[np.ndarray, NiftiHeader]:
 
 def save(path: str, data: np.ndarray,
          zooms: Optional[Tuple[float, ...]] = None,
-         affine: Optional[np.ndarray] = None) -> None:
-    """Write a 3D/4D array as single-file NIfTI-1 (little-endian)."""
+         affine: Optional[np.ndarray] = None,
+         scl_slope: float = 1.0, scl_inter: float = 0.0) -> None:
+    """Write a 3D/4D array as single-file NIfTI-1 (little-endian).
+
+    ``scl_slope``/``scl_inter`` are stored in the header so integer-coded
+    volumes (e.g. int16 super-resolution output packed as round(y*32767))
+    decode back to physical values via ``load``'s nibabel-parity scaling
+    (data * slope + inter)."""
     data = np.asarray(data)
     if data.dtype not in (np.uint8, np.int16, np.int32, np.float32, np.float64,
                           np.int8, np.uint16, np.uint32):
@@ -150,7 +174,8 @@ def save(path: str, data: np.ndarray,
     struct.pack_into("<8h", hdr, 40, *dim)
     struct.pack_into("<2h", hdr, 70, code, bitpix)
     struct.pack_into("<8f", hdr, 76, *pixdim)
-    struct.pack_into("<3f", hdr, 108, 352.0, 1.0, 0.0)  # vox_offset, slope, inter
+    struct.pack_into("<3f", hdr, 108, 352.0, float(scl_slope),
+                     float(scl_inter))  # vox_offset, slope, inter
     descrip = b"mri_superresolution_tpu"[:79]
     hdr[148:148 + len(descrip)] = descrip
     struct.pack_into("<2h", hdr, 252, 0, 1)  # qform 0, sform 1

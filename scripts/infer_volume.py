@@ -66,6 +66,22 @@ def main():
                         help='Test-time augmentation: average the forward '
                              'over the dihedral flips (8 transforms for '
                              'square slices, 4 otherwise)')
+    parser.add_argument('--serve_raw', action='store_true',
+                        help='Upload the stored voxel values (e.g. int16) '
+                             'and normalize ON DEVICE inside the serving '
+                             'program — 2-4x less host->device transfer '
+                             'and no host percentile cost. Exact: the '
+                             'percentile+minmax normalize is invariant to '
+                             'the NIfTI scl_slope scaling it skips. '
+                             'Not available with --quant int8.')
+    parser.add_argument('--out_dtype', type=str, default='float32',
+                        choices=['float32', 'int16', 'uint8'],
+                        help='Output voxel coding. int16/uint8 pack '
+                             'round(y*32767 / y*255) ON DEVICE (2-4x less '
+                             'device->host transfer) and store the NIfTI '
+                             'scl_slope that decodes back to [0,1]; '
+                             'int16 adds ~90 dB quantization SNR — far '
+                             'above the model PSNR. float32 = exact.')
     args = parser.parse_args()
     force_cpu_if_requested()
 
@@ -80,7 +96,7 @@ def main():
     import jax.numpy as jnp
 
     logger = setup_logging("inference.log")
-    data, hdr = nifti.load(args.input)
+    data, hdr = nifti.load(args.input, raw=args.serve_raw)
     if data.ndim == 4:
         logger.info("4D input: super-resolving timepoint 0")
         data = data[:, :, :, 0]
@@ -88,7 +104,8 @@ def main():
         logger.error(f"Expected a 3D volume, got {data.ndim}D")
         return 1
     h, w, n_slices = data.shape
-    logger.info(f"Volume {args.input}: {h}x{w}, {n_slices} slices")
+    logger.info(f"Volume {args.input}: {h}x{w}, {n_slices} slices"
+                + (f" (raw {data.dtype} served)" if args.serve_raw else ""))
 
     engine = load_engine(
         InferConfig(model=ModelConfig(model_type=args.model_type,
@@ -98,20 +115,30 @@ def main():
                     bf16=not args.no_bf16, bucket=args.bucket,
                     spatial_shards=args.spatial_shards, quant=args.quant,
                     quant_calib_slices=args.quant_calib_slices,
-                    quant_calib_path=args.quant_calib, tta=args.tta),
+                    quant_calib_path=args.quant_calib, tta=args.tta,
+                    normalize_inputs=args.serve_raw,
+                    out_dtype=args.out_dtype),
         num_devices=args.num_devices)
 
-    # per-slice percentile window + minmax, batched on device
-    stack = np.ascontiguousarray(np.transpose(data, (2, 0, 1))).astype(
-        np.float32)
-    norm = np.asarray(jax.jit(jax.vmap(
-        lambda s: minmax_normalize(percentile_window(s))))(
-            jnp.asarray(stack)))
+    stack = np.ascontiguousarray(np.transpose(data, (2, 0, 1)))
+    if args.serve_raw:
+        norm = stack        # normalize runs on device inside the engine
+    else:
+        # per-slice percentile window + minmax, batched on device
+        stack = stack.astype(np.float32)
+        norm = np.asarray(jax.jit(jax.vmap(
+            lambda s: minmax_normalize(percentile_window(s))))(
+                jnp.asarray(stack)))
 
     outs = []
     if max(h, w) > args.tile:
         logger.info(f"Slice {h}x{w} exceeds tile={args.tile}; "
                     "using halo-tiled inference")
+        if args.serve_raw:
+            logger.error("--serve_raw does not support the tiled path "
+                         "(per-tile normalize would differ); rerun "
+                         "without it or use --spatial_shards")
+            return 1
         for i in range(n_slices):
             outs.append(engine.upscale_tiled(norm[i], tile=args.tile))
     else:
@@ -123,12 +150,18 @@ def main():
             logger.info(f"Upscaled slices {start}..{start + len(out) - 1}")
         outs = [np.concatenate(outs, axis=0)]
     sr = np.concatenate([o if o.ndim == 3 else o[None] for o in outs], axis=0)
-    sr_vol = np.transpose(sr, (1, 2, 0)).astype(np.float32)
+    sr_vol = np.transpose(sr, (1, 2, 0))
 
     zooms = list(hdr.zooms) + [1.0] * 3
     out_zooms = (zooms[0] / 2.0, zooms[1] / 2.0, zooms[2])
-    nifti.save(args.output, sr_vol, zooms=out_zooms)
-    logger.info(f"Wrote {args.output}: {sr_vol.shape} at spacing {out_zooms}")
+    # integer-coded outputs carry the slope that decodes back to [0,1]
+    slope = {np.dtype(np.uint8): 1.0 / 255.0,
+             np.dtype(np.int16): 1.0 / 32767.0}.get(sr_vol.dtype, 1.0)
+    if sr_vol.dtype == np.float32 or sr_vol.dtype == np.float64:
+        sr_vol = sr_vol.astype(np.float32)
+    nifti.save(args.output, sr_vol, zooms=out_zooms, scl_slope=slope)
+    logger.info(f"Wrote {args.output}: {sr_vol.shape} {sr_vol.dtype} at "
+                f"spacing {out_zooms}")
     if args.quant != "none":
         logger.info(engine.quant_summary())
 
@@ -136,10 +169,14 @@ def main():
         import cv2
         os.makedirs(args.save_png_dir, exist_ok=True)
         base = os.path.splitext(os.path.basename(args.input))[0]
+        to_u8 = {np.dtype(np.uint8): lambda s: s,
+                 np.dtype(np.int16): lambda s: (s // 129).astype(np.uint8)}
+        conv = to_u8.get(sr.dtype,
+                         lambda s: np.clip(s * 255, 0, 255).astype(np.uint8))
         for i in range(sr.shape[0]):
             cv2.imwrite(os.path.join(args.save_png_dir,
                                      f"{base}_s{i:03d}.png"),
-                        np.clip(sr[i] * 255, 0, 255).astype(np.uint8))
+                        conv(sr[i]))
         logger.info(f"Wrote {sr.shape[0]} PNGs to {args.save_png_dir}")
     return 0
 

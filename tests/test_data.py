@@ -70,6 +70,28 @@ def test_nifti_reads_nibabel_style_int16_scaled(tmp_path):
     np.testing.assert_allclose(data, vol.astype(np.float64) * 2.5 - 1.0)
 
 
+def test_nifti_raw_load_and_slope_save(tmp_path):
+    """raw=True returns the stored integers untouched (serving fast path);
+    save(scl_slope=...) writes a header load() decodes with get_fdata
+    semantics — the int16-packed SR output round-trips to [0,1]."""
+    vol = (np.arange(4 * 4 * 2) % 100).astype(np.int16).reshape(4, 4, 2)
+    path = str(tmp_path / "raw.nii")
+    nifti.save(path, vol, scl_slope=1.0 / 32767.0)
+    data_raw, hdr = nifti.load(path, raw=True)
+    assert data_raw.dtype == np.int16
+    np.testing.assert_array_equal(data_raw, vol)
+    data, _ = nifti.load(path)
+    np.testing.assert_allclose(data, vol.astype(np.float64) / 32767.0,
+                               rtol=1e-6)
+    # negative slope flips intensity order -> raw load must refuse
+    import struct
+    buf = bytearray(open(path, "rb").read())
+    struct.pack_into("<3f", buf, 108, 352.0, -1.0, 0.0)
+    open(path, "wb").write(bytes(buf))
+    with pytest.raises(ValueError, match="non-negative scl_slope"):
+        nifti.load(path, raw=True)
+
+
 # --------------------------------------------------------------- extraction
 
 def test_bids_identifier():
