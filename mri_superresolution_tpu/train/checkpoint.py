@@ -93,6 +93,10 @@ def checkpoint_paths(checkpoint_dir: str, model_type: str) -> Dict[str, str]:
     return {
         "best": os.path.join(checkpoint_dir, f"best_model_{model_type}"),
         "final": os.path.join(checkpoint_dir, f"final_model_{model_type}"),
+        # mid-epoch step checkpoint (TrainConfig.save_every_steps): carries
+        # a "batch_cursor" in its meta; resume prefers whichever of
+        # final/step has the greater optimizer step count
+        "step": os.path.join(checkpoint_dir, f"step_model_{model_type}"),
     }
 
 

@@ -105,10 +105,19 @@ def parse_args():
                              'frozen calibration sidecar '
                              '(<checkpoint>.calib.json) — serve with '
                              '--quant int8 --quant_calib <sidecar>. '
-                             'unet/unet_tpu only')
+                             'Composes with --spatial_shards (row-sharded '
+                             'fake-quant forward)')
     parser.add_argument('--qat_decay', type=float, default=0.98,
                         help='EMA decay of the QAT running per-channel '
                              'activation ranges (horizon ~1/(1-d) steps)')
+    parser.add_argument('--save_every_steps', type=int, default=0,
+                        help='Mid-epoch checkpoint cadence for '
+                             'preemption-safe training: every N optimizer '
+                             'steps write step_model_<type>.ckpt with the '
+                             'batch cursor; --resume restarts inside the '
+                             'interrupted epoch bit-identically '
+                             '(deterministic loader order + per-(epoch,'
+                             'batch) augmentation keys). 0 = off')
     parser.add_argument('--multihost', action='store_true',
                         help='Multi-host data-parallel training: one '
                              'process per host, connected via '
@@ -213,6 +222,7 @@ def main():
         opt_shard=args.opt_shard,
         qat=args.qat,
         qat_decay=args.qat_decay,
+        save_every_steps=args.save_every_steps,
     )
     train(cfg)
 
