@@ -222,8 +222,15 @@ def main():
     parser.add_argument("--ablation_train_configs", type=str,
                         help="JSON list of dicts with loss weights; "
                              "subprocess-trains each config")
+    parser.add_argument("--device", type=str, default=None,
+                        help="reference-parity alias (evaluate.py:139): "
+                             "'cpu' maps to --cpu; 'cuda'/'tpu' keep the "
+                             "default accelerator backend")
     parser.add_argument("--train_epochs", type=int, default=100)
     parser.add_argument("--train_batch_size", type=int, default=8)
+    parser.add_argument("--train_num_workers", type=int, default=4,
+                        help="reference-parity flag (evaluate.py:145); the "
+                             "streaming loader sizes its prefetch from it")
     parser.add_argument("--train_learning_rate", type=float, default=1e-4)
     parser.add_argument("--train_full_res_dir", type=str,
                         default="./training_data")
@@ -239,7 +246,9 @@ def main():
                              "metrics then reflect --tta inference)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
-    force_cpu_if_requested()
+    if args.device and args.device.lower() == "cpu":
+        args.cpu = True
+    force_cpu_if_requested(sys.argv + (["--cpu"] if args.cpu else []))
 
     import pandas as pd
     from mri_superresolution_tpu.data import PairedSliceDataset
@@ -273,6 +282,7 @@ def main():
                    "--epochs", str(args.train_epochs),
                    "--batch_size", str(args.train_batch_size),
                    "--learning_rate", str(args.train_learning_rate),
+                   "--num_workers", str(args.train_num_workers),
                    "--ssim_weight", str(ssim_w),
                    "--perceptual_weight", str(perc_w)]
             if args.cpu:

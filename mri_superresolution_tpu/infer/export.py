@@ -1,0 +1,151 @@
+"""Portable serving artifacts via jax.export (VERDICT r3 item 9).
+
+An artifact is ONE file containing the AOT-lowered (StableHLO) serving
+forward with the weights baked in as constants — loadable and runnable
+WITHOUT the model code, checkpoint format, or even this package's models/
+tree (only jax + this module's ~100 lines of container parsing). The
+nearest reference analogue is ``load_model`` rebuilding the architecture
+in Python and loading a state dict (/root/reference/scripts/infer.py:41-72);
+this is the TPU-native improvement: the compiler IR is the interchange
+format, so serving hosts need no torch/flax model zoo and cannot drift
+from the training-time architecture.
+
+Design:
+- the batch dimension is SYMBOLIC (one program serves any batch size);
+- H and W are specialized per shape — the U-Net's pad-to-match logic is
+  Python control flow on concrete dims (symbolic H/W fails to trace), so
+  an artifact carries one program per requested (H, W), mirroring the
+  engine's shape-bucket design;
+- programs are exported for both 'cpu' and 'tpu' lowering platforms, so
+  one artifact serves a TPU pod and a CPU fallback host;
+- container format: magic + JSON header + length-prefixed serialized
+  programs (no pickle anywhere).
+
+Exactness: the exported program is the SAME jitted clipped forward the
+engine runs (tests/test_export.py pins artifact output == engine output).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+MAGIC = b"MRISRX1\n"
+
+
+def export_artifact(path: str, params, model_cfg,
+                    shapes: Sequence[Tuple[int, int]],
+                    bf16: bool = True,
+                    platforms: Sequence[str] = ("cpu", "tpu")) -> None:
+    """AOT-lower the clipped serving forward at each (H, W) in ``shapes``
+    (batch symbolic) and write the single-file artifact."""
+    from jax import export as jexport
+
+    from mri_superresolution_tpu.models import build_model
+
+    model = build_model(model_cfg, dtype=jnp.bfloat16 if bf16
+                        else jnp.float32)
+    fn = jax.jit(lambda x: jnp.clip(
+        model.apply({"params": params}, x), 0.0, 1.0))
+
+    blobs = []
+    for h, w in shapes:
+        if h % 8 or w % 8:
+            raise ValueError(f"artifact shapes must be %8 (got {h}x{w}); "
+                             "the engine's bucket padding is a host-side "
+                             "concern the artifact does not carry")
+        b, = jexport.symbolic_shape("b")
+        exp = jexport.export(fn, platforms=tuple(platforms))(
+            jax.ShapeDtypeStruct((b, h, w, 1), jnp.float32))
+        blobs.append(exp.serialize())
+
+    header = {
+        "format": "mri-sr-serving-artifact-v1",
+        "model_type": model_cfg.model_type,
+        "base_filters": model_cfg.base_filters,
+        "bf16": bool(bf16),
+        "scale": 2,
+        "platforms": list(platforms),
+        "shapes": [[int(h), int(w)] for h, w in shapes],
+        "jax_version": jax.__version__,
+    }
+    hdr = json.dumps(header, sort_keys=True).encode()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", len(hdr)))
+        f.write(hdr)
+        for blob in blobs:
+            f.write(struct.pack("<Q", len(blob)))
+            f.write(blob)
+    os.replace(tmp, path)
+
+
+class ServingArtifact:
+    """A loaded artifact: shape-keyed AOT programs with a symbolic batch.
+
+    ``upscale_batch`` mirrors the engine's contract ((N, h, w) float [0,1]
+    -> (N, 2h, 2w)) for the shapes the artifact was exported at.
+    """
+
+    def __init__(self, header: Dict, programs: Dict[Tuple[int, int], object]):
+        self.header = header
+        self.model_type = header["model_type"]
+        self._programs = programs
+
+    @property
+    def shapes(self):
+        return sorted(self._programs)
+
+    def upscale_batch(self, batch: np.ndarray) -> np.ndarray:
+        n, h, w = batch.shape
+        if (h, w) not in self._programs:
+            raise ValueError(
+                f"artifact has no program for {h}x{w}; exported shapes: "
+                f"{self.shapes} (re-export with this shape included)")
+        y = self._programs[(h, w)].call(
+            np.ascontiguousarray(batch, np.float32)[..., None])
+        return np.asarray(y)[:, :, :, 0]
+
+    def upscale_image(self, image01: np.ndarray) -> np.ndarray:
+        return self.upscale_batch(image01[None])[0]
+
+    def process_single_image(self, *args, **kwargs):
+        """The engine's full single-image pipeline (preprocess, histogram
+        matching, metrics, figures) driven by the artifact's AOT forward.
+        The engine class is imported LAZILY here — plain artifact
+        loading/serving never touches the model zoo (pinned by
+        tests/test_export.py)."""
+        from mri_superresolution_tpu.infer.engine import InferenceEngine
+        cls = type(self)
+        if not hasattr(cls, "calculate_metrics"):
+            # re-wrap: class-attribute assignment of a bare function would
+            # create an instance method (self would leak into the call)
+            cls.calculate_metrics = staticmethod(
+                InferenceEngine.calculate_metrics)
+            cls._save_figures = staticmethod(InferenceEngine._save_figures)
+        return InferenceEngine.process_single_image(self, *args, **kwargs)
+
+
+def load_artifact(path: str) -> ServingArtifact:
+    """Parse + deserialize an artifact. Never imports the model zoo."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        if f.read(len(MAGIC)) != MAGIC:
+            raise ValueError(f"{path} is not a serving artifact")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        header = json.loads(f.read(hlen).decode())
+        if header.get("format") != "mri-sr-serving-artifact-v1":
+            raise ValueError(f"unknown artifact format in {path}")
+        programs = {}
+        for h, w in header["shapes"]:
+            (blen,) = struct.unpack("<Q", f.read(8))
+            programs[(h, w)] = jexport.deserialize(f.read(blen))
+    return ServingArtifact(header, programs)

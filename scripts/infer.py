@@ -60,6 +60,12 @@ def parse_args():
                              'over the dihedral flips (8 transforms for '
                              'square inputs, 4 otherwise) — higher quality '
                              'for n_transforms x the compute (RESULTS.md)')
+    parser.add_argument('--artifact', type=str, default=None,
+                        help='Serve from a portable AOT artifact '
+                             '(tools/export_serving.py) instead of a '
+                             'checkpoint: weights + StableHLO program in '
+                             'one file, no model code needed. Input size '
+                             'must be among the exported shapes.')
     return parser.parse_args()
 
 
@@ -73,15 +79,23 @@ def main():
 
     logger = setup_logging("inference.log")
     try:
-        cfg = InferConfig(
-            model=ModelConfig(model_type=args.model_type,
-                              base_filters=args.base_filters),
-            checkpoint_dir=args.checkpoint_dir,
-            checkpoint_path=args.checkpoint_path,
-            bf16=not args.no_bf16, bucket=args.bucket,
-            quant=args.quant, quant_calib_slices=args.quant_calib_slices,
-            quant_calib_path=args.quant_calib, tta=args.tta)
-        engine = load_engine(cfg)
+        if args.artifact:
+            from mri_superresolution_tpu.infer.export import load_artifact
+            engine = load_artifact(args.artifact)
+            logger.info(f"Serving from artifact {args.artifact}: "
+                        f"{engine.model_type}, shapes {engine.shapes} "
+                        f"(no model code loaded)")
+        else:
+            cfg = InferConfig(
+                model=ModelConfig(model_type=args.model_type,
+                                  base_filters=args.base_filters),
+                checkpoint_dir=args.checkpoint_dir,
+                checkpoint_path=args.checkpoint_path,
+                bf16=not args.no_bf16, bucket=args.bucket,
+                quant=args.quant,
+                quant_calib_slices=args.quant_calib_slices,
+                quant_calib_path=args.quant_calib, tta=args.tta)
+            engine = load_engine(cfg)
         fig_path = args.save_figure
         if (args.show_comparison or args.show_diff) and not fig_path:
             fig_path = os.path.splitext(args.output)[0] + "_comparison.png"

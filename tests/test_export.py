@@ -1,0 +1,93 @@
+"""Portable AOT serving artifacts (infer/export.py, jax.export)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mri_superresolution_tpu.config import ModelConfig
+from mri_superresolution_tpu.infer.engine import InferenceEngine
+from mri_superresolution_tpu.infer.export import (ServingArtifact,
+                                                  export_artifact,
+                                                  load_artifact)
+from mri_superresolution_tpu.models import UNetSuperRes, init_params
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    model = UNetSuperRes(base_filters=16)
+    params = init_params(model, jax.random.key(0), (16, 16))
+    cfg = ModelConfig(base_filters=16)
+    path = str(tmp_path_factory.mktemp("art") / "model.mrisrx")
+    export_artifact(path, params, cfg, shapes=[(16, 16), (16, 24)],
+                    bf16=False, platforms=("cpu",))
+    return path, cfg, params
+
+
+def test_artifact_matches_engine(artifact, rng):
+    """Artifact output == the engine's clipped forward, at every exported
+    shape and across batch sizes (batch is symbolic: ONE program)."""
+    path, cfg, params = artifact
+    art = load_artifact(path)
+    eng = InferenceEngine(cfg, params, bf16=False)
+    assert art.shapes == [(16, 16), (16, 24)]
+    for shape in ((1, 16, 16), (5, 16, 16), (3, 16, 24)):
+        x = rng.random(shape, dtype=np.float32)
+        np.testing.assert_allclose(art.upscale_batch(x),
+                                   eng.upscale_batch(x),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_artifact_needs_no_model_code(artifact, rng, monkeypatch):
+    """Loading + serving an artifact must never touch the model zoo — the
+    whole point of shipping StableHLO with baked-in weights."""
+    path, _cfg, _params = artifact
+    import mri_superresolution_tpu.models as models
+
+    def boom(*a, **k):
+        raise AssertionError("model zoo touched during artifact serving")
+
+    monkeypatch.setattr(models, "build_model", boom)
+    monkeypatch.setattr(models, "init_params", boom)
+    art = load_artifact(path)
+    y = art.upscale_batch(rng.random((2, 16, 16), dtype=np.float32))
+    assert y.shape == (2, 32, 32) and np.isfinite(y).all()
+
+
+def test_artifact_rejects_unexported_shape(artifact, rng):
+    path, _cfg, _params = artifact
+    art = load_artifact(path)
+    with pytest.raises(ValueError, match="no program for 24x24"):
+        art.upscale_batch(rng.random((1, 24, 24), dtype=np.float32))
+
+
+def test_artifact_single_image_pipeline(artifact, tmp_path, rng):
+    """The engine's full single-image pipeline (normalize, histogram
+    matching, metrics, PNG out) runs off the artifact's forward."""
+    cv2 = pytest.importorskip("cv2")
+    path, _cfg, _params = artifact
+    art = load_artifact(path)
+    inp = rng.integers(0, 255, (16, 16), dtype=np.uint8)
+    tgt = rng.integers(0, 255, (32, 32), dtype=np.uint8)
+    ip, tp = str(tmp_path / "in.png"), str(tmp_path / "tgt.png")
+    op = str(tmp_path / "out.png")
+    cv2.imwrite(ip, inp)
+    cv2.imwrite(tp, tgt)
+    out, metrics = art.process_single_image(ip, op, tp)
+    assert out.shape == (32, 32)
+    assert metrics and "ssim" in metrics
+
+
+def test_artifact_rejects_garbage(tmp_path):
+    p = str(tmp_path / "bad.mrisrx")
+    open(p, "wb").write(b"not an artifact")
+    with pytest.raises(ValueError, match="not a serving artifact"):
+        load_artifact(p)
+
+
+def test_export_rejects_non_mod8_shape(artifact):
+    _path, cfg, params = artifact
+    with pytest.raises(ValueError, match="%8"):
+        export_artifact("/tmp/never.mrisrx", params, cfg, shapes=[(10, 16)],
+                        bf16=False, platforms=("cpu",))

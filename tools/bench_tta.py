@@ -45,6 +45,14 @@ def main():
                     help="engine shape bucket; with a non-aligned --hw this "
                          "measures the PADDED on-device ensemble (members "
                          "padded in-program) vs the padded host loop")
+    ap.add_argument("--spatial", type=int, default=1,
+                    help="row-shard each slice over this many mesh devices "
+                         "and measure the SPATIAL on-device ensemble (r4: "
+                         "the lax.fori_loop wraps the shard_map forward) "
+                         "vs the spatial host loop. Needs spatial | "
+                         "visible devices — use --cpu with "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count"
+                         "=8 on a 1-chip host")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -62,7 +70,9 @@ def main():
     cfg = ModelConfig(model_type=args.model, base_filters=32)
     model = build_model(cfg, dtype=jnp.bfloat16)
     params = init_params(model, jax.random.key(0), (64, 64))
-    eng = InferenceEngine(cfg, params, tta=True, bucket=args.bucket)
+    eng = InferenceEngine(cfg, params, tta=True, bucket=args.bucket,
+                          num_devices=0 if args.spatial > 1 else 1,
+                          spatial_shards=args.spatial)
 
     batch = np.random.default_rng(0).random(
         (args.batch, args.hw, args.hw), dtype=np.float32)
@@ -106,7 +116,15 @@ def main():
 
     # --- 2) compute-only, chained (bench.py pattern) -------------------
     from mri_superresolution_tpu.ops.tta import build_tta_ensemble
-    fwd = lambda p, x: jnp.clip(model.apply({"params": p}, x), 0.0, 1.0)
+    if args.spatial > 1:
+        from mri_superresolution_tpu.parallel.spatial import (
+            build_spatial_forward_raw)
+        bh, bw = eng._bucket_hw(args.hw, args.hw)
+        sp_raw = build_spatial_forward_raw(eng.mesh, (bh, bw),
+                                           model_type=args.model)
+        fwd = lambda p, x: jnp.clip(sp_raw(p, x), 0.0, 1.0)
+    else:
+        fwd = lambda p, x: jnp.clip(model.apply({"params": p}, x), 0.0, 1.0)
     ens = build_tta_ensemble(fwd, square=True, bucket_fn=eng._bucket_hw)
 
     def chain_time(f):
@@ -136,6 +154,7 @@ def main():
     n = args.batch
     res = {
         "model": args.model, "batch": n, "hw": args.hw,
+        "spatial_shards": args.spatial,
         "wall_plain_ms": round(t_plain * 1e3, 1),
         "wall_tta_host_ms": round(t_host * 1e3, 1),
         "wall_tta_device_ms": round(t_dev * 1e3, 1),

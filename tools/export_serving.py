@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Export a checkpoint as a portable AOT serving artifact (jax.export).
+
+The artifact bakes the weights into the StableHLO program, so serving
+needs NO model code (infer/export.py; tests/test_export.py proves the
+model zoo is never imported on load). Batch size is symbolic; pass every
+(H, W) you will serve via --shapes.
+
+Usage:
+  python tools/export_serving.py --checkpoint_dir ./ckpt \
+      --out model.mrisrx [--shapes 256x256,128x128] [--model_type unet]
+      [--no_bf16] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..", "scripts")))
+from _bootstrap import force_cpu_if_requested  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint_dir", default="./checkpoints")
+    ap.add_argument("--checkpoint_path", default=None)
+    ap.add_argument("--model_type", default="unet",
+                    choices=("unet", "unet_tpu", "edsr", "simple"))
+    ap.add_argument("--base_filters", type=int, default=32)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--shapes", default="256x256",
+                    help="comma-separated HxW list to specialize "
+                         "(batch stays symbolic)")
+    ap.add_argument("--platforms", default="cpu,tpu")
+    ap.add_argument("--no_bf16", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    force_cpu_if_requested()
+
+    from mri_superresolution_tpu.config import InferConfig, ModelConfig
+    from mri_superresolution_tpu.infer.engine import load_engine
+    from mri_superresolution_tpu.infer.export import export_artifact
+
+    shapes = []
+    for tok in args.shapes.split(","):
+        h, w = tok.lower().split("x")
+        shapes.append((int(h), int(w)))
+
+    engine = load_engine(InferConfig(
+        model=ModelConfig(model_type=args.model_type,
+                          base_filters=args.base_filters),
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_path=args.checkpoint_path,
+        bf16=not args.no_bf16))
+    export_artifact(args.out, engine.params, engine.model_cfg, shapes,
+                    bf16=not args.no_bf16,
+                    platforms=tuple(args.platforms.split(",")))
+    print(f"Wrote {args.out} ({os.path.getsize(args.out) / 2**20:.1f} MiB): "
+          f"{engine.model_cfg.model_type} bf={engine.model_cfg.base_filters} "
+          f"shapes={shapes} platforms={args.platforms} (batch symbolic)")
+
+
+if __name__ == "__main__":
+    main()
