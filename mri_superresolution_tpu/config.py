@@ -252,6 +252,11 @@ class InferConfig:
     # exact legacy behavior.
     normalize_inputs: bool = False
     out_dtype: str = "float32"
+    # Zero-copy volume layout: batches arrive (N, w, h) — the free C-view
+    # of a NIfTI F-order buffer — and outputs return (N, 2w, 2h); both
+    # swaps run on device. Requires normalize_inputs; infer_volume's
+    # --serve_raw sets it automatically.
+    transpose_io: bool = False
 
 
 def to_dict(cfg) -> dict:

@@ -78,7 +78,7 @@ class InferenceEngine:
                  quant_min_foreground: float = 0.05,
                  quant_calib_path: Optional[str] = None,
                  tta: bool = False, normalize_inputs: bool = False,
-                 out_dtype=None):
+                 out_dtype=None, transpose_io: bool = False):
         self.model_cfg = model_cfg
         # Serving-transfer controls (tools/bench_serve_e2e.py; the host
         # link — PCIe, or worse a tunnel — is the volume-serving long
@@ -96,7 +96,19 @@ class InferenceEngine:
         #   bytes/pixel. uint8 is bit-exact for the PNG path (the same
         #   rounding the writer applies); int16 adds ~90 dB of
         #   quantization SNR headroom over the model's ~30 dB PSNR.
+        # transpose_io: batches arrive (N, w, h) — the TRANSPOSED slice
+        # layout a NIfTI volume's F-order buffer exposes as a free
+        # C-contiguous view (volume (h, w, n) F-order == buffer (n, w, h)
+        # C-order) — and outputs return (N, 2w, 2h), which the host
+        # writes back F-order byte-for-byte. Both swaps run ON DEVICE
+        # (an XLA transpose), so whole-volume serving does ZERO host
+        # copies on either side: measured 360 -> thousands of slices/s
+        # on the host decode stage (tools/bench_serve_e2e.py).
+        self.transpose_io = bool(transpose_io)
         self.normalize_inputs = bool(normalize_inputs)
+        if transpose_io and not normalize_inputs:
+            raise ValueError("transpose_io requires normalize_inputs (the "
+                             "device-side input path does the swap)")
         self.out_dtype = np.dtype(out_dtype if out_dtype is not None
                                   else np.float32)
         if self.out_dtype not in (np.dtype(np.float32), np.dtype(np.uint8),
@@ -109,6 +121,11 @@ class InferenceEngine:
                 "engine's content-aware routing reads normalized [0,1] "
                 "pixels on the host; normalize on the host for int8 "
                 "serving")
+        if transpose_io and tta:
+            raise ValueError(
+                "transpose_io does not compose with tta (the ensemble's "
+                "transform table is defined on (N, h, w) batches); serve "
+                "TTA volumes through the standard layout")
         self._norm_fn: dict = {}     # (dtype,nb,h,w,bh,bw) -> device program
         self._pack_jit = None        # device-side output packing
         # test-time augmentation: average the forward over the dihedral
@@ -260,10 +277,17 @@ class InferenceEngine:
         pixels, so bucketed serving stays normalize-exact."""
         from mri_superresolution_tpu.ops.normalize import (minmax_normalize,
                                                            percentile_window)
-        n, h, w = batch.shape
+        n = batch.shape[0]
+        h, w = ((batch.shape[2], batch.shape[1]) if self.transpose_io
+                else (batch.shape[1], batch.shape[2]))
         key = (batch.dtype.str, nb, h, w, bh, bw)
         if key not in self._norm_fn:
             def run(x):
+                if self.transpose_io:
+                    # (nb, w, h) -> (nb, h, w): an XLA transpose on device
+                    # replaces the cache-hostile host transpose of the
+                    # volume's F-order buffer
+                    x = x.swapaxes(1, 2)
                 y = jax.vmap(
                     lambda s: minmax_normalize(percentile_window(s)))(x)
                 y = y[..., None]
@@ -273,7 +297,7 @@ class InferenceEngine:
                 return y
             self._norm_fn[key] = jax.jit(run, in_shardings=(self._dsh,),
                                          out_shardings=self._dsh)
-        x = np.zeros((nb, h, w), batch.dtype)
+        x = np.zeros((nb,) + batch.shape[1:], batch.dtype)
         x[:n] = batch
         return self._norm_fn[key](x)
 
@@ -572,7 +596,9 @@ class InferenceEngine:
         """One forward dispatched to the device, output slice enqueued,
         NOTHING fetched — the returned array is a future a pipelined
         caller (``upscale_batches``) materializes later."""
-        n, h, w = batch.shape
+        n = batch.shape[0]
+        h, w = ((batch.shape[2], batch.shape[1]) if self.transpose_io
+                else (batch.shape[1], batch.shape[2]))
         bh, bw = self._bucket_hw(h, w)
         nb = _round_up(max(n, 1), self.n_devices)
         if (nb, bh, bw) not in self._compiled_shapes:
@@ -616,6 +642,10 @@ class InferenceEngine:
                 y = self._forward(self.params, jnp.asarray(x))
         # device slice (see _tta_dispatch for why it's enqueued here)
         y = y[:n, :2 * h, :2 * w, 0]
+        if self.transpose_io:
+            # return (N, 2w, 2h): the host writes it back into the output
+            # volume's F-order buffer byte-for-byte, no transpose copy
+            y = y.swapaxes(1, 2)
         return self._maybe_pack(y) if _pack else y
 
     def upscale_batches(self, batches) -> "Iterator[np.ndarray]":
@@ -868,4 +898,5 @@ def load_engine(cfg: InferConfig, num_devices: int = 1) -> InferenceEngine:
                            quant_calib_path=quant_calib_path,
                            tta=cfg.tta,
                            normalize_inputs=cfg.normalize_inputs,
-                           out_dtype=cfg.out_dtype)
+                           out_dtype=cfg.out_dtype,
+                           transpose_io=cfg.transpose_io)

@@ -117,13 +117,22 @@ def main():
                     quant_calib_slices=args.quant_calib_slices,
                     quant_calib_path=args.quant_calib, tta=args.tta,
                     normalize_inputs=args.serve_raw,
+                    transpose_io=args.serve_raw and not args.tta,
                     out_dtype=args.out_dtype),
         num_devices=args.num_devices)
 
-    stack = np.ascontiguousarray(np.transpose(data, (2, 0, 1)))
-    if args.serve_raw:
-        norm = stack        # normalize runs on device inside the engine
+    if args.serve_raw and not args.tta:
+        # ZERO-copy host path: the volume's F-order (h, w, n) buffer IS a
+        # C-order (n, w, h) array — data.T is already contiguous — and the
+        # engine (transpose_io) swaps on DEVICE both ways, returning
+        # (N, 2w, 2h) outputs that transpose back into the output volume's
+        # F-order for free (measured: the host transpose was the decode
+        # bottleneck, tools/bench_serve_e2e.py)
+        norm = np.ascontiguousarray(data.T)   # no copy when F-contiguous
+    elif args.serve_raw:
+        norm = np.ascontiguousarray(np.transpose(data, (2, 0, 1)))
     else:
+        stack = np.ascontiguousarray(np.transpose(data, (2, 0, 1)))
         # per-slice percentile window + minmax, batched on device
         stack = stack.astype(np.float32)
         norm = np.asarray(jax.jit(jax.vmap(
@@ -150,7 +159,10 @@ def main():
             logger.info(f"Upscaled slices {start}..{start + len(out) - 1}")
         outs = [np.concatenate(outs, axis=0)]
     sr = np.concatenate([o if o.ndim == 3 else o[None] for o in outs], axis=0)
-    sr_vol = np.transpose(sr, (1, 2, 0))
+    # transpose_io outputs are (n, 2w, 2h): .T is the F-contiguous
+    # (2h, 2w, n) volume with no copy; standard outputs transpose normally
+    sr_vol = (sr.T if args.serve_raw and not args.tta
+              else np.transpose(sr, (1, 2, 0)))
 
     zooms = list(hdr.zooms) + [1.0] * 3
     out_zooms = (zooms[0] / 2.0, zooms[1] / 2.0, zooms[2])
@@ -173,10 +185,12 @@ def main():
                  np.dtype(np.int16): lambda s: (s // 129).astype(np.uint8)}
         conv = to_u8.get(sr.dtype,
                          lambda s: np.clip(s * 255, 0, 255).astype(np.uint8))
+        transposed = args.serve_raw and not args.tta
         for i in range(sr.shape[0]):
+            plane = sr[i].T if transposed else sr[i]
             cv2.imwrite(os.path.join(args.save_png_dir,
                                      f"{base}_s{i:03d}.png"),
-                        conv(sr[i]))
+                        conv(plane))
         logger.info(f"Wrote {sr.shape[0]} PNGs to {args.save_png_dir}")
     return 0
 

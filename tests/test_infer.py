@@ -548,6 +548,40 @@ def test_out_dtype_packs_on_device(rng):
     assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
 
 
+def test_transpose_io_zero_copy_layout(rng):
+    """transpose_io: batches arrive (N, w, h) (a NIfTI F-order buffer's
+    free C-view), outputs return (N, 2w, 2h) — both swaps on device —
+    and the values equal the standard layout's exactly. Composes with
+    spatial sharding; rejected without normalize_inputs and with tta."""
+    eng = _engine()
+    raw = rng.integers(0, 4000, (3, 24, 16)).astype(np.uint16)  # (n, w, h)
+    want01 = np.stack([preprocess_image_array(s.T.astype(np.float32))
+                       for s in raw])                           # (n, h, w)
+    ref = _engine().upscale_batch(want01)                       # (n, 2h, 2w)
+    eng_t = InferenceEngine(eng.model_cfg, eng.params, bf16=False,
+                            normalize_inputs=True, transpose_io=True)
+    got = eng_t.upscale_batch(raw)                              # (n, 2w, 2h)
+    assert got.shape == (3, 48, 32)
+    np.testing.assert_allclose(got.swapaxes(1, 2), ref,
+                               rtol=1e-5, atol=1e-5)
+    # spatial + transpose_io + packed int16
+    sp = InferenceEngine(eng.model_cfg, eng.params, bf16=False,
+                         num_devices=8, spatial_shards=2,
+                         normalize_inputs=True, transpose_io=True,
+                         out_dtype=np.int16)
+    got_sp = sp.upscale_batch(raw)
+    assert got_sp.dtype == np.int16 and got_sp.shape == (3, 48, 32)
+    want_sp = np.round(np.clip(ref, 0, 1) * 32767).astype(np.int32)
+    assert np.abs(got_sp.swapaxes(1, 2).astype(np.int32)
+                  - want_sp).max() <= 1
+    with pytest.raises(ValueError, match="transpose_io requires"):
+        InferenceEngine(eng.model_cfg, eng.params, bf16=False,
+                        transpose_io=True)
+    with pytest.raises(ValueError, match="does not compose with tta"):
+        InferenceEngine(eng.model_cfg, eng.params, bf16=False,
+                        normalize_inputs=True, transpose_io=True, tta=True)
+
+
 def test_normalize_inputs_rejects_int8_and_tiled(rng):
     eng = _engine()
     with pytest.raises(ValueError, match="normalize_inputs"):

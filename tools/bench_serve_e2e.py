@@ -70,7 +70,9 @@ def main():
                     choices=("unet", "unet_tpu", "edsr", "simple"))
     ap.add_argument("--hw", type=int, default=256)
     ap.add_argument("--slices", type=int, default=256)
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=128,
+                    help="128 is the measured single-chip throughput "
+                         "optimum for both unet families (CLAUDE.md)")
     ap.add_argument("--out_dtype", default="int16",
                     choices=("float32", "int16", "uint8"))
     ap.add_argument("--no_serve_raw", action="store_true",
@@ -115,6 +117,12 @@ def main():
         return InferenceEngine(
             cfg, params, bf16=True,
             normalize_inputs=serve_raw,
+            # serve_raw also flips to the zero-copy layout: the volume's
+            # F-order buffer IS a C-order (n, w, h) array, the engine
+            # transposes on DEVICE both ways (transpose_io), and outputs
+            # write back F-order byte-for-byte — the host transpose was
+            # the measured decode bottleneck (360 slices/s)
+            transpose_io=serve_raw,
             out_dtype=args.out_dtype if args.out_dtype != "float32"
             else None)
 
@@ -124,15 +132,15 @@ def main():
     # --- segment: decode ---------------------------------------------------
     def decode():
         data, hdr = nifti.load(vol_path, raw=serve_raw)
-        if not serve_raw:
-            data = data.astype(np.float32)
+        if serve_raw:
+            return np.ascontiguousarray(data.T), hdr   # no copy: F-order
+        data = data.astype(np.float32)
         stack = np.ascontiguousarray(np.transpose(data, (2, 0, 1)))
-        if not serve_raw:
-            lo = np.percentile(stack, 0.5, axis=(1, 2), keepdims=True)
-            hi = np.percentile(stack, 99.5, axis=(1, 2), keepdims=True)
-            stack = np.clip(stack, lo, hi)
-            rng_ = np.maximum(hi - lo, 1e-12)
-            stack = ((stack - lo) / rng_).astype(np.float32)
+        lo = np.percentile(stack, 0.5, axis=(1, 2), keepdims=True)
+        hi = np.percentile(stack, 99.5, axis=(1, 2), keepdims=True)
+        stack = np.clip(stack, lo, hi)
+        rng_ = np.maximum(hi - lo, 1e-12)
+        stack = ((stack - lo) / rng_).astype(np.float32)
         return stack, hdr
 
     t0 = time.perf_counter()
@@ -156,7 +164,9 @@ def main():
              np.dtype(np.int16): 1 / 32767.0}.get(out_np_dtype, 1.0)
 
     def encode(sr_arr):
-        vol = np.transpose(sr_arr, (1, 2, 0))
+        # transpose_io outputs are (n, 2w, 2h): .T is the F-contiguous
+        # (2h, 2w, n) volume — nifti.save's asfortranarray is then a no-op
+        vol = sr_arr.T if serve_raw else np.transpose(sr_arr, (1, 2, 0))
         nifti.save(out_path, np.ascontiguousarray(vol, dtype=out_np_dtype)
                    if vol.dtype != out_np_dtype else vol,
                    zooms=(0.5, 0.5, 1.0), scl_slope=slope)
@@ -180,8 +190,13 @@ def main():
                 item = q.get()
                 if item is None:
                     return
-                for plane in item:          # (2h, 2w) -> F-order bytes
-                    f.write(plane.T.tobytes())
+                if serve_raw:
+                    # transpose_io planes are (2w, 2h) C-order == the
+                    # volume's F-order plane: write the batch verbatim
+                    f.write(item.tobytes())
+                else:
+                    for plane in item:      # (2h, 2w) -> F-order bytes
+                        f.write(plane.T.tobytes())
 
         wt = threading.Thread(target=writer)
         wt.start()
@@ -196,9 +211,10 @@ def main():
     # verify the streamed file decodes to the batch output (exactness of
     # the overlapped writer, not a perf number)
     streamed, shdr = nifti.load(out_path, raw=True)
-    np.testing.assert_array_equal(
-        np.transpose(streamed, (2, 0, 1)),
-        sr if sr.dtype == out_np_dtype else sr.astype(out_np_dtype))
+    want = sr if sr.dtype == out_np_dtype else sr.astype(out_np_dtype)
+    got = (streamed.T if serve_raw
+           else np.transpose(streamed, (2, 0, 1)))
+    np.testing.assert_array_equal(got, want)
 
     bytes_up = stack.dtype.itemsize * hw * hw
     bytes_down = out_np_dtype.itemsize * 4 * hw * hw

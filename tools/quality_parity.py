@@ -119,7 +119,7 @@ def torch_infer_metrics(ckpt_path, pairs):
     return per
 
 
-def ours_infer_metrics(ckpt_path, pairs):
+def ours_infer_metrics(ckpt_path, pairs, model_type="unet"):
     import numpy as np
     import cv2
     import jax.numpy as jnp
@@ -129,7 +129,7 @@ def ours_infer_metrics(ckpt_path, pairs):
     from mri_superresolution_tpu.ops.metrics import metric_suite
 
     engine = load_engine(InferConfig(
-        model=ModelConfig(base_filters=32),
+        model=ModelConfig(model_type=model_type, base_filters=32),
         checkpoint_dir=os.path.dirname(ckpt_path),
         checkpoint_path=ckpt_path, bf16=False))
     per = []

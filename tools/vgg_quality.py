@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--hr_size", type=int, default=128)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--models", nargs="+", default=["unet"],
+                    choices=["unet", "unet_tpu", "edsr", "simple"],
+                    help="model families to A/B (VERDICT r3 item 6 asks "
+                         "for both unet families at the full protocol)")
     ap.add_argument("--skip_train", action="store_true")
     args = ap.parse_args()
 
@@ -76,24 +80,26 @@ def main():
                      "--n_slices", args.n_slices,
                      "--target_size", args.hr_size, args.hr_size,
                      "--seed", args.seed], tag=f"extract-{split}")
-        for name, pw in CONFIGS:
-            ckpt_dir = os.path.join(wd, f"ckpt_{name}")
-            if os.path.exists(os.path.join(ckpt_dir,
-                                           "best_model_unet.ckpt")):
-                print(f"[vgg_quality] {name}: checkpoint exists — skipping "
-                      "train (resume)", flush=True)
-                continue
-            run([sys.executable, os.path.join(REPO, "scripts/train.py"),
-                 "--full_res_dir", p["hr_train"],
-                 "--low_res_dir", p["lr_train"],
-                 "--epochs", args.epochs,
-                 "--batch_size", args.batch_size,
-                 "--ssim_weight", 0.3,
-                 "--perceptual_weight", pw,
-                 "--validation_split", 0.2,
-                 "--seed", args.seed,
-                 "--model_type", "unet",
-                 "--checkpoint_dir", ckpt_dir], tag=f"train-{name}")
+        for model in args.models:
+            for name, pw in CONFIGS:
+                ckpt_dir = os.path.join(wd, f"ckpt_{model}_{name}")
+                if os.path.exists(os.path.join(
+                        ckpt_dir, f"best_model_{model}.ckpt")):
+                    print(f"[vgg_quality] {model}/{name}: checkpoint "
+                          "exists — skipping train (resume)", flush=True)
+                    continue
+                run([sys.executable, os.path.join(REPO, "scripts/train.py"),
+                     "--full_res_dir", p["hr_train"],
+                     "--low_res_dir", p["lr_train"],
+                     "--epochs", args.epochs,
+                     "--batch_size", args.batch_size,
+                     "--ssim_weight", 0.3,
+                     "--perceptual_weight", pw,
+                     "--validation_split", 0.2,
+                     "--seed", args.seed,
+                     "--model_type", model,
+                     "--checkpoint_dir", ckpt_dir],
+                    tag=f"train-{model}-{name}")
 
     lr_files = sorted(os.listdir(p["lr_test"]))
     pairs = [(os.path.join(p["lr_test"], f), os.path.join(p["hr_test"], f))
@@ -102,21 +108,26 @@ def main():
     print(f"[vgg_quality] {len(pairs)} held-out pairs", flush=True)
 
     rows = {}
-    for name, _ in CONFIGS:
-        ckpt = os.path.join(wd, f"ckpt_{name}", "best_model_unet.ckpt")
-        m = summarize(ours_infer_metrics(ckpt, pairs))
-        rows[name] = m
-        print(f"{name:<8} ssim={m['ssim']:.4f} psnr={m['psnr']:.3f} "
-              f"rmse={m['rmse']:.5f}", flush=True)
+    for model in args.models:
+        for name, _ in CONFIGS:
+            ckpt = os.path.join(wd, f"ckpt_{model}_{name}",
+                                f"best_model_{model}.ckpt")
+            m = summarize(ours_infer_metrics(ckpt, pairs,
+                                             model_type=model))
+            rows[f"{model}_{name}"] = m
+            print(f"{model}/{name:<8} ssim={m['ssim']:.4f} "
+                  f"psnr={m['psnr']:.3f} rmse={m['rmse']:.5f}", flush=True)
 
-    base = rows["perc0"]
-    print("\n| loss config | SSIM | PSNR (dB) | dSSIM | dPSNR (dB) |")
-    print("|---|---|---|---|---|")
-    for name, _ in CONFIGS:
-        m = rows[name]
-        print(f"| {name} | {m['ssim']:.4f} | {m['psnr']:.3f} | "
-              f"{m['ssim'] - base['ssim']:+.4f} | "
-              f"{m['psnr'] - base['psnr']:+.3f} |")
+    print("\n| model | loss config | SSIM | PSNR (dB) | dSSIM | dPSNR (dB) |")
+    print("|---|---|---|---|---|---|")
+    for model in args.models:
+        base = rows[f"{model}_perc0"]
+        for name, _ in CONFIGS:
+            m = rows[f"{model}_{name}"]
+            print(f"| {model} | {name} | {m['ssim']:.4f} | "
+                  f"{m['psnr']:.3f} | "
+                  f"{m['ssim'] - base['ssim']:+.4f} | "
+                  f"{m['psnr'] - base['psnr']:+.3f} |")
     with open(os.path.join(wd, "vgg_quality.json"), "w") as f:
         json.dump(rows, f, indent=2)
 
