@@ -186,4 +186,11 @@ def save(path: str, data: np.ndarray,
     with _open(path, "wb") as f:
         f.write(bytes(hdr))
         f.write(b"\x00" * 4)  # extension flag
-        f.write(np.asfortranarray(data).tobytes(order="F"))
+        if data.flags.f_contiguous:
+            # F-contiguous memory already IS the file's voxel order: write
+            # the buffer via its C-contiguous transpose view, no tobytes
+            # copy (the zero-copy serving path lands here — its outputs
+            # are .T views of C-order batches)
+            f.write(memoryview(data.T))
+        else:
+            f.write(np.asfortranarray(data).tobytes(order="F"))

@@ -16,6 +16,24 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache for the LOCAL CPU backend: the suite
+# compiles hundreds of tiny programs per run, and a warm cache cuts full-
+# suite wall-clock substantially on this 1-core host (VERDICT r3 item 7).
+# This is the opposite call from the axon TUNNEL, where a cache HIT was
+# measured 9x slower than a cold compile (CLAUDE.md / RESULTS.md 5a) —
+# deserialization into the remote server dominates there; local CPU
+# deserialization is the fast path the cache was designed for. Override
+# the location with MRI_SR_TEST_CACHE_DIR; set it empty to disable.
+_cache = os.environ.get("MRI_SR_TEST_CACHE_DIR",
+                        os.path.expanduser("~/.cache/mri_sr_test_xla"))
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # CLI subprocesses spawned by tests (always --cpu) share the cache via
+    # the bootstrap's opt-in env (scripts/_bootstrap.py) — safe here since
+    # every test subprocess runs the local CPU backend
+    os.environ.setdefault("MRI_SR_XLA_CACHE_DIR", _cache)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
