@@ -107,6 +107,17 @@ def to_uint8(img01: np.ndarray) -> np.ndarray:
 
 
 def _imwrite(path: str, img: np.ndarray) -> None:
+    """Grayscale PNG write: native stored-mode encoder
+    (native/png_loader.cpp, measured ~15-20x cv2 — standard lossless
+    PNGs at ~1.4x cv2's file size) with cv2 fallback; pixels identical
+    either way (tests/test_native.py pins decode equality). Set
+    MRI_SR_PNG_LEVEL to a zlib level 1-9 for smaller files, or to 'cv2'
+    to force the cv2 encoder (smallest files, slower)."""
+    lvl = os.environ.get("MRI_SR_PNG_LEVEL", "0")
+    if lvl != "cv2" and img.dtype == np.uint8 and img.ndim == 2:
+        from mri_superresolution_tpu import native
+        if native.encode_png(path, img, level=int(lvl)):
+            return
     import cv2
     cv2.imwrite(path, img)
 

@@ -56,6 +56,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.msrt_png_size.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int)]
+    try:
+        lib.msrt_encode_png.restype = ctypes.c_int
+        lib.msrt_encode_png.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
+        lib.msrt_encode_batch.restype = ctypes.c_int
+        lib.msrt_encode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
+    except AttributeError:
+        # a stale pre-round-4 .so without the encoder: decode still works
+        lib.msrt_encode_png = None  # type: ignore[assignment]
     _lib = lib
     return _lib
 
@@ -92,6 +105,45 @@ def decode_png(path: str) -> Optional[np.ndarray]:
     if rc != 0:
         return None
     return out
+
+
+def encode_png(path: str, img: np.ndarray, level: int = 0) -> bool:
+    """Write one (H, W) uint8 grayscale PNG (filter-None rows + one zlib
+    pass). Measured on extraction-like 256^2 content: level 0 (stored
+    deflate blocks — still a standard, lossless PNG every reader decodes)
+    runs ~9,700 img/s vs cv2's ~500-1,300, at ~1.4x cv2's file size;
+    level>=1 compresses close to cv2's size but LOSES to cv2 on speed
+    (measured ~600 vs ~500-1,300 — OpenCV's encoder is better; keep cv2
+    if you want small files). False on any failure (caller falls back to
+    cv2)."""
+    lib = get_lib()
+    if lib is None or getattr(lib, "msrt_encode_png", None) is None:
+        return False
+    img = np.ascontiguousarray(img, np.uint8)
+    rc = lib.msrt_encode_png(
+        path.encode(), img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        img.shape[0], img.shape[1], int(level))
+    return rc == 0
+
+
+def encode_batch(paths: List[str], imgs: np.ndarray, level: int = 0,
+                 n_threads: int = 0) -> bool:
+    """Write N same-sized grayscale PNGs from one (N, H, W) uint8 buffer
+    with a native thread pool; False on any failure."""
+    lib = get_lib()
+    if (lib is None or getattr(lib, "msrt_encode_png", None) is None
+            or not paths):
+        return lib is not None and not paths
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    imgs = np.ascontiguousarray(imgs, np.uint8)
+    assert imgs.ndim == 3 and imgs.shape[0] == len(paths)
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    rc = lib.msrt_encode_batch(
+        arr, len(paths),
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        imgs.shape[1], imgs.shape[2], int(level), n_threads)
+    return rc == 0
 
 
 def decode_batch(paths: List[str], item_hw: tuple,

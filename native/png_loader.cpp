@@ -149,6 +149,74 @@ int decode_gray8(const char* path, unsigned char* out, long out_capacity,
   return 0;
 }
 
+// --------------------------------------------------------------- encoder
+//
+// Grayscale-8 PNG writer: filter 0 (None) rows + one zlib deflate pass.
+// Filter None + a low zlib level is the right speed/size point for
+// training-data pipelines (the decode side accepts any filter, so this
+// is a private fast path, not a format restriction); the Sub/Up/Paeth
+// filter search cv2 runs is most of its encode cost.
+
+void put_be32(std::vector<unsigned char>& v, uint32_t x) {
+  v.push_back((unsigned char)(x >> 24));
+  v.push_back((unsigned char)(x >> 16));
+  v.push_back((unsigned char)(x >> 8));
+  v.push_back((unsigned char)x);
+}
+
+void put_chunk(std::vector<unsigned char>& out, const char* tag,
+               const unsigned char* data, size_t len) {
+  put_be32(out, (uint32_t)len);
+  size_t tag_at = out.size();
+  out.insert(out.end(), tag, tag + 4);
+  if (len) out.insert(out.end(), data, data + len);
+  uint32_t crc = crc32(0L, out.data() + tag_at, (uInt)(4 + len));
+  put_be32(out, crc);
+}
+
+// Returns 0 on success; -1 io, -4 deflate failure.
+int encode_gray8(const char* path, const unsigned char* img, int h, int w,
+                 int level) {
+  // filtered stream: one 0x00 filter byte + w gray bytes per row
+  std::vector<unsigned char> rawv(size_t(h) * (size_t(w) + 1));
+  for (int y = 0; y < h; ++y) {
+    unsigned char* row = rawv.data() + size_t(y) * (w + 1);
+    row[0] = 0;
+    std::memcpy(row + 1, img + size_t(y) * w, size_t(w));
+  }
+  uLongf bound = compressBound((uLong)rawv.size());
+  std::vector<unsigned char> comp(bound);
+  if (compress2(comp.data(), &bound, rawv.data(), (uLong)rawv.size(),
+                level) != Z_OK)
+    return -4;
+  comp.resize(bound);
+
+  std::vector<unsigned char> out;
+  out.reserve(comp.size() + 128);
+  out.insert(out.end(), kSig, kSig + 8);
+  unsigned char ihdr[13];
+  ihdr[0] = (unsigned char)(uint32_t(w) >> 24);
+  ihdr[1] = (unsigned char)(uint32_t(w) >> 16);
+  ihdr[2] = (unsigned char)(uint32_t(w) >> 8);
+  ihdr[3] = (unsigned char)w;
+  ihdr[4] = (unsigned char)(uint32_t(h) >> 24);
+  ihdr[5] = (unsigned char)(uint32_t(h) >> 16);
+  ihdr[6] = (unsigned char)(uint32_t(h) >> 8);
+  ihdr[7] = (unsigned char)h;
+  ihdr[8] = 8;   // bit depth
+  ihdr[9] = 0;   // color type: grayscale
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;  // deflate, filter 0, no interlace
+  put_chunk(out, "IHDR", ihdr, 13);
+  put_chunk(out, "IDAT", comp.data(), comp.size());
+  put_chunk(out, "IEND", nullptr, 0);
+
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  size_t wrote = std::fwrite(out.data(), 1, out.size(), f);
+  std::fclose(f);
+  return wrote == out.size() ? 0 : -1;
+}
+
 }  // namespace
 
 extern "C" {
@@ -178,6 +246,48 @@ int msrt_decode_batch(const char** paths, int n, unsigned char* out,
       int h = 0, w = 0;
       int rc = decode_gray8(paths[i], out + long(i) * item, item, &h, &w);
       if (rc == 0 && (h != item_h || w != item_w)) rc = -6;  // size mismatch
+      if (rc != 0) {
+        int expected = 0;
+        status.compare_exchange_strong(expected, rc);
+        return;
+      }
+    }
+  };
+
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads && t < n; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return status.load();
+}
+
+// Encode one (h, w) grayscale-8 image to `path` (zlib `level` 0-9).
+// Returns 0 on success; negative error code otherwise.
+int msrt_encode_png(const char* path, const unsigned char* img, int h,
+                    int w, int level) {
+  return encode_gray8(path, img, h, w, level);
+}
+
+// Encode `n` same-sized (item_h, item_w) grayscale images from one
+// contiguous buffer with `n_threads` workers. Returns 0 on success, or
+// the first error code seen.
+int msrt_encode_batch(const char** paths, int n, const unsigned char* imgs,
+                      int item_h, int item_w, int level, int n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> status(0);
+  const long item = long(item_h) * long(item_w);
+
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n || status.load() != 0) return;
+      int rc = encode_gray8(paths[i], imgs + long(i) * item, item_h,
+                            item_w, level);
       if (rc != 0) {
         int expected = 0;
         status.compare_exchange_strong(expected, rc);

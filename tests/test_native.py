@@ -84,3 +84,43 @@ def test_dataset_uses_native_batch(tmp_path):
     lr0, hr0 = ds[0]
     np.testing.assert_array_equal(lrs[0], lr0)
     np.testing.assert_array_equal(hrs[0], hr0)
+
+
+def test_encode_roundtrips_via_cv2_and_native(tmp_path, rng):
+    """Native encoder (filter-None + zlib): cv2 AND our own decoder read
+    back the exact pixels — lossless, standard PNG."""
+    for shape in ((37, 53), (64, 64), (1, 1)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        p = str(tmp_path / f"enc_{shape[0]}x{shape[1]}.png")
+        assert native.encode_png(p, img)
+        np.testing.assert_array_equal(cv2.imread(p, cv2.IMREAD_GRAYSCALE),
+                                      img)
+        np.testing.assert_array_equal(native.decode_png(p), img)
+
+
+def test_encode_batch_threaded(tmp_path, rng):
+    imgs = rng.integers(0, 256, (8, 24, 31)).astype(np.uint8)
+    paths = [str(tmp_path / f"b{i}.png") for i in range(8)]
+    assert native.encode_batch(paths, imgs, n_threads=4)
+    got = native.decode_batch(paths, (24, 31), n_threads=2)
+    np.testing.assert_array_equal(got, imgs)
+
+
+def test_extraction_imwrite_uses_native(tmp_path, rng, monkeypatch):
+    """data/extraction._imwrite routes uint8 grayscale through the native
+    encoder (cv2 fallback only on failure)."""
+    from mri_superresolution_tpu.data import extraction
+
+    calls = {"native": 0}
+    real = native.encode_png
+
+    def spy(path, img, level=1):
+        calls["native"] += 1
+        return real(path, img, level)
+
+    monkeypatch.setattr(native, "encode_png", spy)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    extraction._imwrite(p, img)
+    assert calls["native"] == 1
+    np.testing.assert_array_equal(cv2.imread(p, cv2.IMREAD_GRAYSCALE), img)
