@@ -116,7 +116,11 @@ def _imwrite(path: str, img: np.ndarray) -> None:
     lvl = os.environ.get("MRI_SR_PNG_LEVEL", "0")
     if lvl != "cv2" and img.dtype == np.uint8 and img.ndim == 2:
         from mri_superresolution_tpu import native
-        if native.encode_png(path, img, level=int(lvl)):
+        try:
+            level = int(lvl)
+        except ValueError:
+            level = None          # unparseable env value: cv2 fallback
+        if level is not None and native.encode_png(path, img, level=level):
             return
     import cv2
     cv2.imwrite(path, img)

@@ -297,6 +297,10 @@ class InferenceEngine:
                 return y
             self._norm_fn[key] = jax.jit(run, in_shardings=(self._dsh,),
                                          out_shardings=self._dsh)
+        if n == nb:
+            # already device-divisible: upload the caller's buffer as-is
+            # (the zero-copy volume path lands here every full batch)
+            return self._norm_fn[key](np.ascontiguousarray(batch))
         x = np.zeros((nb,) + batch.shape[1:], batch.dtype)
         x[:n] = batch
         return self._norm_fn[key](x)

@@ -595,9 +595,13 @@ def train(cfg: TrainConfig,
     # a preempted run's step checkpoint outruns the last final save.
     resume_base = None
     if cfg.resume:
-        cands = sorted((_meta_step(names[k]), k) for k in ("final", "step"))
+        # ties prefer FINAL: equal step counts mean the same trajectory
+        # point, but final's meta carries the last epoch's validated
+        # scheduler/early-stop state while step's predates it
+        cands = sorted((_meta_step(names[k]), k == "final", k)
+                       for k in ("final", "step"))
         if cands[-1][0] >= 0:
-            resume_base = names[cands[-1][1]]
+            resume_base = names[cands[-1][2]]
     if resume_base is not None:
         params_r, opt_r, meta, extras = ckpt.load_checkpoint(
             resume_base + ".ckpt", opt_state_template=opt_state,
@@ -1074,6 +1078,15 @@ def train(cfg: TrainConfig,
               "val_loss": final_val_loss, "val_ssim": final_val_ssim,
               "scheduler": scheduler.state_dict(),
               "early_stopping": early.state_dict()})
+    # a completed run supersedes its mid-epoch step checkpoint: leaving it
+    # would let a LATER fresh run in this dir resume from THIS run's
+    # trajectory (resume prefers the larger step count) — same staleness
+    # rule as the QAT sidecar cleanup above (r4 review)
+    if main_process:
+        for suffix in (".ckpt", ".json"):
+            stale_step = names["step"] + suffix
+            if os.path.exists(stale_step):
+                os.remove(stale_step)
     log_message(f"Training completed. Final model saved to "
                 f"{names['final']}.ckpt")
     if writer:

@@ -81,6 +81,15 @@ def main():
     try:
         if args.artifact:
             from mri_superresolution_tpu.infer.export import load_artifact
+            ignored = [name for name, on in
+                       (("--tta", args.tta), ("--quant", args.quant != "none"),
+                        ("--bucket", args.bucket != 1))
+                       if on]
+            if ignored:
+                logger.warning(
+                    f"--artifact serves the exported plain forward; "
+                    f"{', '.join(ignored)} are IGNORED (export a dedicated "
+                    "artifact or serve from a checkpoint for those modes)")
             engine = load_artifact(args.artifact)
             logger.info(f"Serving from artifact {args.artifact}: "
                         f"{engine.model_type}, shapes {engine.shapes} "

@@ -169,7 +169,7 @@ def main():
     # integer-coded outputs carry the slope that decodes back to [0,1]
     slope = {np.dtype(np.uint8): 1.0 / 255.0,
              np.dtype(np.int16): 1.0 / 32767.0}.get(sr_vol.dtype, 1.0)
-    if sr_vol.dtype == np.float32 or sr_vol.dtype == np.float64:
+    if sr_vol.dtype == np.float64:  # float32 stays a no-copy view
         sr_vol = sr_vol.astype(np.float32)
     nifti.save(args.output, sr_vol, zooms=out_zooms, scl_slope=slope)
     logger.info(f"Wrote {args.output}: {sr_vol.shape} {sr_vol.dtype} at "
@@ -182,7 +182,8 @@ def main():
         os.makedirs(args.save_png_dir, exist_ok=True)
         base = os.path.splitext(os.path.basename(args.input))[0]
         to_u8 = {np.dtype(np.uint8): lambda s: s,
-                 np.dtype(np.int16): lambda s: (s // 129).astype(np.uint8)}
+                 np.dtype(np.int16): lambda s: np.round(
+                     s * (255.0 / 32767.0)).astype(np.uint8)}
         conv = to_u8.get(sr.dtype,
                          lambda s: np.clip(s * 255, 0, 255).astype(np.uint8))
         transposed = args.serve_raw and not args.tta

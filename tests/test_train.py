@@ -511,6 +511,12 @@ def test_step_granular_kill_and_resume(tmp_path, capsys):
                                                    np.asarray(y)),
         pa, pb)
 
+    # a COMPLETED run deletes its step checkpoint (r4 review: a stale one
+    # would hijack a later fresh run's --resume via its larger step count)
+    for d in (a_dir, b_dir):
+        assert not os.path.exists(os.path.join(str(d),
+                                               "step_model_unet.ckpt"))
+
 
 def test_checkpoint_roundtrip(tmp_path):
     params = {"layer": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)}}

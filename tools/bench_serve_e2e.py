@@ -184,18 +184,25 @@ def main():
         f = open(out_path, "wb")
         f.write(hdr_buf)
 
+        werr = []
+
         def writer():
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                if serve_raw:
-                    # transpose_io planes are (2w, 2h) C-order == the
-                    # volume's F-order plane: write the batch verbatim
-                    f.write(item.tobytes())
-                else:
-                    for plane in item:      # (2h, 2w) -> F-order bytes
-                        f.write(plane.T.tobytes())
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        return
+                    if serve_raw:
+                        # transpose_io planes are (2w, 2h) C-order == the
+                        # volume's F-order plane: write the batch verbatim
+                        f.write(item.tobytes())
+                    else:
+                        for plane in item:  # (2h, 2w) -> F-order bytes
+                            f.write(plane.T.tobytes())
+            except Exception as e:  # drain so the producer never deadlocks
+                werr.append(e)
+                while q.get() is not None:
+                    pass
 
         wt = threading.Thread(target=writer)
         wt.start()
@@ -204,6 +211,8 @@ def main():
         q.put(None)
         wt.join()
         f.close()
+        if werr:
+            raise werr[0]
 
     e2e_s = min(_timed(e2e_once) for _ in range(args.repeats))
 
