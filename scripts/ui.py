@@ -66,6 +66,7 @@ DEFAULT_PARAMS = {
     "ema_decay": 0.0,
     "opt_shard": False,
     "qat": False,
+    "save_every_steps": 0,
     "use_tensorboard": False,
     "cpu": False,
     "resume": False,
@@ -94,7 +95,7 @@ MENUS = {
         "ssim_weight", "perceptual_weight", "perceptual_loss_type",
         "vgg_layer_idx", "initial_alpha", "validation_split", "patience",
         "seed", "augmentation", "remat", "spatial_shards", "grad_accum",
-        "ema_decay", "opt_shard", "qat",
+        "ema_decay", "opt_shard", "qat", "save_every_steps",
         "use_tensorboard", "resume", "cpu", "checkpoint_dir", "log_dir",
     ],
     "infer": [
@@ -186,6 +187,7 @@ def build_command(menu, p):
                "--spatial_shards", str(p["spatial_shards"]),
                "--grad_accum", str(p["grad_accum"]),
                "--ema_decay", str(p["ema_decay"]),
+               "--save_every_steps", str(p["save_every_steps"]),
                "--checkpoint_dir", p["checkpoint_dir"],
                "--log_dir", p["log_dir"]]
         for flag in ("augmentation", "remat", "opt_shard", "qat",
