@@ -42,17 +42,43 @@ MAGIC = b"MRISRX1\n"
 def export_artifact(path: str, params, model_cfg,
                     shapes: Sequence[Tuple[int, int]],
                     bf16: bool = True,
-                    platforms: Sequence[str] = ("cpu", "tpu")) -> None:
+                    platforms: Sequence[str] = ("cpu", "tpu"),
+                    mode: str = "plain",
+                    quant_scales=None) -> None:
     """AOT-lower the clipped serving forward at each (H, W) in ``shapes``
-    (batch symbolic) and write the single-file artifact."""
+    (batch symbolic) and write the single-file artifact.
+
+    ``mode`` selects which serving program is baked in:
+    - "plain": the bf16/fp32 clipped forward (default);
+    - "tta":   the full on-device dihedral ensemble (ops/tta.py — 8
+               members for square shapes, 4 otherwise) as ONE program,
+               so artifact hosts get TTA without any ensemble logic;
+    - "int8":  the frozen-scale int8 forward (requires ``quant_scales``,
+               e.g. loaded from a QAT sidecar via quant_forward
+               .load_scales) with the quantized weights baked in. The
+               engine's content-aware bf16 routing is a host-side
+               policy an artifact host must apply itself if wanted.
+    """
     from jax import export as jexport
 
     from mri_superresolution_tpu.models import build_model
 
-    model = build_model(model_cfg, dtype=jnp.bfloat16 if bf16
-                        else jnp.float32)
-    fn = jax.jit(lambda x: jnp.clip(
-        model.apply({"params": params}, x), 0.0, 1.0))
+    if mode not in ("plain", "tta", "int8"):
+        raise ValueError(f"unknown artifact mode {mode!r}")
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if mode == "int8":
+        from mri_superresolution_tpu.models import quant_forward
+        if quant_scales is None:
+            raise ValueError("mode='int8' requires quant_scales (load a "
+                             "QAT sidecar with quant_forward.load_scales)")
+        int8_fn = quant_forward.build_int8_forward(
+            jax.device_get(params), quant_scales, model_cfg.model_type,
+            dtype=dtype)
+        raw = lambda x: jnp.clip(int8_fn(params, x), 0.0, 1.0)
+    else:
+        model = build_model(model_cfg, dtype=dtype)
+        raw = lambda x: jnp.clip(
+            model.apply({"params": params}, x), 0.0, 1.0)
 
     blobs = []
     for h, w in shapes:
@@ -60,6 +86,12 @@ def export_artifact(path: str, params, model_cfg,
             raise ValueError(f"artifact shapes must be %8 (got {h}x{w}); "
                              "the engine's bucket padding is a host-side "
                              "concern the artifact does not carry")
+        if mode == "tta":
+            from mri_superresolution_tpu.ops.tta import build_tta_ensemble
+            fn = jax.jit(lambda x, _h=h, _w=w: build_tta_ensemble(
+                lambda _p, a: raw(a), square=(_h == _w))(None, x))
+        else:
+            fn = jax.jit(raw)
         b, = jexport.symbolic_shape("b")
         exp = jexport.export(fn, platforms=tuple(platforms))(
             jax.ShapeDtypeStruct((b, h, w, 1), jnp.float32))
@@ -71,6 +103,7 @@ def export_artifact(path: str, params, model_cfg,
         "base_filters": model_cfg.base_filters,
         "bf16": bool(bf16),
         "scale": 2,
+        "mode": mode,
         "platforms": list(platforms),
         "shapes": [[int(h), int(w)] for h, w in shapes],
         "jax_version": jax.__version__,
@@ -97,6 +130,7 @@ class ServingArtifact:
     def __init__(self, header: Dict, programs: Dict[Tuple[int, int], object]):
         self.header = header
         self.model_type = header["model_type"]
+        self.mode = header.get("mode", "plain")
         self._programs = programs
 
     @property

@@ -81,19 +81,23 @@ def main():
     try:
         if args.artifact:
             from mri_superresolution_tpu.infer.export import load_artifact
+            engine = load_artifact(args.artifact)
             ignored = [name for name, on in
-                       (("--tta", args.tta), ("--quant", args.quant != "none"),
+                       (("--tta", args.tta and engine.mode != "tta"),
+                        ("--quant", args.quant != "none"
+                         and engine.mode != "int8"),
                         ("--bucket", args.bucket != 1))
                        if on]
             if ignored:
                 logger.warning(
-                    f"--artifact serves the exported plain forward; "
-                    f"{', '.join(ignored)} are IGNORED (export a dedicated "
-                    "artifact or serve from a checkpoint for those modes)")
-            engine = load_artifact(args.artifact)
+                    f"--artifact serves its exported program "
+                    f"(mode={engine.mode}); {', '.join(ignored)} are "
+                    "IGNORED — export a dedicated artifact "
+                    "(tools/export_serving.py --mode tta|int8) or serve "
+                    "from a checkpoint for those modes")
             logger.info(f"Serving from artifact {args.artifact}: "
-                        f"{engine.model_type}, shapes {engine.shapes} "
-                        f"(no model code loaded)")
+                        f"{engine.model_type} mode={engine.mode}, shapes "
+                        f"{engine.shapes} (no model code loaded)")
         else:
             cfg = InferConfig(
                 model=ModelConfig(model_type=args.model_type,

@@ -91,3 +91,55 @@ def test_export_rejects_non_mod8_shape(artifact):
     with pytest.raises(ValueError, match="%8"):
         export_artifact("/tmp/never.mrisrx", params, cfg, shapes=[(10, 16)],
                         bf16=False, platforms=("cpu",))
+
+
+def test_artifact_tta_mode(artifact, tmp_path, rng):
+    """mode='tta' bakes the full dihedral ensemble into ONE program:
+    8 members for square shapes, 4 for non-square — checked against an
+    independent host-side loop over the PLAIN artifact's forward."""
+    from mri_superresolution_tpu.ops.tta import dihedral_pairs
+
+    plain_path, cfg, params = artifact
+    plain = load_artifact(plain_path)
+    path = str(tmp_path / "tta.mrisrx")
+    export_artifact(path, params, cfg, shapes=[(16, 16), (16, 24)],
+                    bf16=False, platforms=("cpu",), mode="tta")
+    art = load_artifact(path)
+    assert art.mode == "tta"
+    for shape in ((2, 16, 16), (3, 16, 24)):
+        x = rng.random(shape, dtype=np.float32)
+        square = shape[1] == shape[2]
+        acc = np.zeros((shape[0], 2 * shape[1], 2 * shape[2]), np.float64)
+        for fwd, inv in dihedral_pairs(square):
+            tx = np.ascontiguousarray(fwd(x[..., None])[..., 0])
+            acc += inv(plain.upscale_batch(tx)[..., None])[..., 0]
+        want = acc / len(dihedral_pairs(square))
+        np.testing.assert_allclose(art.upscale_batch(x), want,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_artifact_int8_mode(artifact, tmp_path, rng):
+    """mode='int8' bakes the frozen-scale quantized forward (weights
+    pre-quantized) — output == the in-process int8 forward, and the
+    scales are required."""
+    from mri_superresolution_tpu.models import quant_forward as qf
+
+    _p, cfg, params = artifact
+    calib = rng.random((2, 16, 16, 1), dtype=np.float32)
+    scales = qf.calibrate(params, [calib], cfg.model_type,
+                          dtype=jnp.float32)
+    path = str(tmp_path / "int8.mrisrx")
+    export_artifact(path, params, cfg, shapes=[(16, 16)], bf16=False,
+                    platforms=("cpu",), mode="int8", quant_scales=scales)
+    art = load_artifact(path)
+    assert art.mode == "int8"
+    x = rng.random((3, 16, 16), dtype=np.float32)
+    fn = jax.jit(qf.build_int8_forward(params, scales, cfg.model_type,
+                                       dtype=jnp.float32))
+    want = np.clip(np.asarray(fn(params, x[..., None]))[..., 0], 0.0, 1.0)
+    np.testing.assert_allclose(art.upscale_batch(x), want,
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="requires quant_scales"):
+        export_artifact(str(tmp_path / "no.mrisrx"), params, cfg,
+                        shapes=[(16, 16)], bf16=False, platforms=("cpu",),
+                        mode="int8")

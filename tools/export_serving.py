@@ -35,6 +35,16 @@ def main():
                     help="comma-separated HxW list to specialize "
                          "(batch stays symbolic)")
     ap.add_argument("--platforms", default="cpu,tpu")
+    ap.add_argument("--mode", default="plain",
+                    choices=("plain", "tta", "int8"),
+                    help="which serving program to bake in: the plain "
+                         "clipped forward, the full on-device dihedral "
+                         "TTA ensemble, or the frozen-scale int8 forward "
+                         "(scales from --quant_calib or the checkpoint's "
+                         "QAT sidecar)")
+    ap.add_argument("--quant_calib", default=None,
+                    help="int8 mode: JSON sidecar of frozen activation "
+                         "scales (defaults to <checkpoint>.calib.json)")
     ap.add_argument("--no_bf16", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -55,12 +65,29 @@ def main():
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_path=args.checkpoint_path,
         bf16=not args.no_bf16))
+    scales = None
+    if args.mode == "int8":
+        from mri_superresolution_tpu.models import quant_forward
+        from mri_superresolution_tpu.train import checkpoint as ckpt
+        calib = args.quant_calib
+        if not calib:
+            base = ckpt.find_best_checkpoint(args.checkpoint_dir,
+                                             args.model_type)
+            calib = (base[:-len(".ckpt")] if base.endswith(".ckpt")
+                     else base) + ".calib.json"
+        scales, saved_type = quant_forward.load_scales(calib)
+        if saved_type != engine.model_cfg.model_type:
+            raise SystemExit(f"{calib} holds scales for {saved_type!r}, "
+                             f"not {engine.model_cfg.model_type!r}")
+        print(f"int8 mode: {len(scales)} frozen scales from {calib}")
     export_artifact(args.out, engine.params, engine.model_cfg, shapes,
                     bf16=not args.no_bf16,
-                    platforms=tuple(args.platforms.split(",")))
+                    platforms=tuple(args.platforms.split(",")),
+                    mode=args.mode, quant_scales=scales)
     print(f"Wrote {args.out} ({os.path.getsize(args.out) / 2**20:.1f} MiB): "
           f"{engine.model_cfg.model_type} bf={engine.model_cfg.base_filters} "
-          f"shapes={shapes} platforms={args.platforms} (batch symbolic)")
+          f"mode={args.mode} shapes={shapes} platforms={args.platforms} "
+          f"(batch symbolic)")
 
 
 if __name__ == "__main__":
