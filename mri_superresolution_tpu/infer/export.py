@@ -137,15 +137,44 @@ class ServingArtifact:
     def shapes(self):
         return sorted(self._programs)
 
-    def upscale_batch(self, batch: np.ndarray) -> np.ndarray:
+    def upscale_batch(self, batch: np.ndarray,
+                      pad: bool = False) -> np.ndarray:
+        """(N, h, w) float [0,1] -> (N, 2h, 2w).
+
+        With ``pad=True`` a shape with no exact program is zero-padded to
+        the smallest exported shape that fits and the output cropped —
+        the engine's bucket-padding semantics, applied host-side (the
+        GroupNorm-statistics caveat in engine.upscale_batch applies
+        identically). Refused for 'tta'-mode artifacts: their baked
+        ensemble transforms the PADDED array, so each member would see
+        the zero margin in a different corner — pad-after-transform
+        (what the engine traces) cannot be recovered outside the
+        program; re-export at the exact shape instead.
+        """
         n, h, w = batch.shape
-        if (h, w) not in self._programs:
+        if (h, w) in self._programs:
+            y = self._programs[(h, w)].call(
+                np.ascontiguousarray(batch, np.float32)[..., None])
+            return np.asarray(y)[:, :, :, 0]
+        if not pad:
             raise ValueError(
                 f"artifact has no program for {h}x{w}; exported shapes: "
                 f"{self.shapes} (re-export with this shape included)")
-        y = self._programs[(h, w)].call(
-            np.ascontiguousarray(batch, np.float32)[..., None])
-        return np.asarray(y)[:, :, :, 0]
+        if self.mode == "tta":
+            raise ValueError(
+                f"tta-mode artifact cannot serve {h}x{w} by padding (the "
+                "baked ensemble would transform the zero margin); "
+                "re-export with this exact shape included")
+        fits = [s for s in self._programs if s[0] >= h and s[1] >= w]
+        if not fits:
+            raise ValueError(
+                f"no exported shape fits {h}x{w}; exported shapes: "
+                f"{self.shapes} (re-export with a larger shape)")
+        ph, pw = min(fits, key=lambda s: s[0] * s[1])
+        padded = np.zeros((n, ph, pw), np.float32)
+        padded[:, :h, :w] = batch
+        y = np.asarray(self._programs[(ph, pw)].call(padded[..., None]))
+        return y[:, :2 * h, :2 * w, 0]
 
     def upscale_image(self, image01: np.ndarray) -> np.ndarray:
         return self.upscale_batch(image01[None])[0]

@@ -27,6 +27,16 @@ def main():
                         help='Output .nii/.nii.gz volume')
     parser.add_argument('--checkpoint_dir', type=str, default='./checkpoints')
     parser.add_argument('--checkpoint_path', type=str, default=None)
+    parser.add_argument('--artifact', type=str, default=None,
+                        help='Serve from a portable AOT artifact '
+                             '(tools/export_serving.py) instead of a '
+                             'checkpoint — no model code loaded. Slices '
+                             'with no exact exported (H, W) program are '
+                             'zero-padded to the smallest fitting shape '
+                             '(refused for tta-mode artifacts). '
+                             'Incompatible with --quant/--spatial_shards/'
+                             '--serve_raw/--out_dtype/--tta (bake those '
+                             'into the artifact at export time).')
     parser.add_argument('--model_type', type=str,
                         choices=['unet', 'unet_tpu', 'edsr', 'simple'], default='unet')
     parser.add_argument('--base_filters', type=int, default=32)
@@ -107,19 +117,42 @@ def main():
     logger.info(f"Volume {args.input}: {h}x{w}, {n_slices} slices"
                 + (f" (raw {data.dtype} served)" if args.serve_raw else ""))
 
-    engine = load_engine(
-        InferConfig(model=ModelConfig(model_type=args.model_type,
-                                      base_filters=args.base_filters),
-                    checkpoint_dir=args.checkpoint_dir,
-                    checkpoint_path=args.checkpoint_path,
-                    bf16=not args.no_bf16, bucket=args.bucket,
-                    spatial_shards=args.spatial_shards, quant=args.quant,
-                    quant_calib_slices=args.quant_calib_slices,
-                    quant_calib_path=args.quant_calib, tta=args.tta,
-                    normalize_inputs=args.serve_raw,
-                    transpose_io=args.serve_raw and not args.tta,
-                    out_dtype=args.out_dtype),
-        num_devices=args.num_devices)
+    art = None
+    if args.artifact:
+        from mri_superresolution_tpu.infer.export import load_artifact
+        bad = [name for name, on in
+               (("--quant", args.quant != "none"),
+                ("--spatial_shards", args.spatial_shards != 1),
+                ("--serve_raw", args.serve_raw),
+                ("--out_dtype", args.out_dtype != "float32"),
+                ("--tta", args.tta))
+               if on]
+        if bad:
+            logger.error(
+                f"--artifact is incompatible with {', '.join(bad)}; bake "
+                "those modes into the artifact at export time "
+                "(tools/export_serving.py --mode tta|int8) or serve from "
+                "a checkpoint")
+            return 1
+        art = load_artifact(args.artifact)
+        logger.info(f"Serving from artifact {args.artifact}: "
+                    f"{art.model_type} mode={art.mode}, shapes "
+                    f"{art.shapes} (no model code loaded)")
+        engine = None
+    else:
+        engine = load_engine(
+            InferConfig(model=ModelConfig(model_type=args.model_type,
+                                          base_filters=args.base_filters),
+                        checkpoint_dir=args.checkpoint_dir,
+                        checkpoint_path=args.checkpoint_path,
+                        bf16=not args.no_bf16, bucket=args.bucket,
+                        spatial_shards=args.spatial_shards, quant=args.quant,
+                        quant_calib_slices=args.quant_calib_slices,
+                        quant_calib_path=args.quant_calib, tta=args.tta,
+                        normalize_inputs=args.serve_raw,
+                        transpose_io=args.serve_raw and not args.tta,
+                        out_dtype=args.out_dtype),
+            num_devices=args.num_devices)
 
     if args.serve_raw and not args.tta:
         # ZERO-copy host path: the volume's F-order (h, w, n) buffer IS a
@@ -140,7 +173,23 @@ def main():
                 jnp.asarray(stack)))
 
     outs = []
-    if max(h, w) > args.tile:
+    if art is not None:
+        if (h, w) not in art.shapes:
+            logger.warning(
+                f"No exact program for {h}x{w}; slices will be zero-padded "
+                "to the smallest fitting exported shape (same GroupNorm-"
+                "statistics caveat as the engine's bucket padding)")
+        try:
+            for s in range(0, n_slices, args.batch_size):
+                out = art.upscale_batch(norm[s:s + args.batch_size],
+                                        pad=True)
+                outs.append(out)
+                logger.info(f"Upscaled slices {s}..{s + len(out) - 1}")
+        except ValueError as e:
+            logger.error(str(e))
+            return 1
+        outs = [np.concatenate(outs, axis=0)]
+    elif max(h, w) > args.tile:
         logger.info(f"Slice {h}x{w} exceeds tile={args.tile}; "
                     "using halo-tiled inference")
         if args.serve_raw:

@@ -118,6 +118,33 @@ def test_infer_volume_cli_spatial_shards(workspace):
     assert np.isfinite(data).all()
 
 
+def test_infer_volume_cli_artifact(workspace):
+    """Volume serving from a portable AOT artifact: export at 40x40, serve
+    the (40, 36) slices via host-side pad+crop, no model code loaded."""
+    from mri_superresolution_tpu import nifti
+    r = _run([os.path.join(ROOT, "tools", "export_serving.py"),
+              "--checkpoint_dir", "./ckpt", "--out", "vol.mrisrx",
+              "--shapes", "40x40", "--base_filters", "16",
+              "--platforms", "cpu", "--cpu"], cwd=str(workspace))
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run([os.path.join(SCRIPTS, "infer_volume.py"),
+              "--input", "./datasets/s1/sub-01/anat/sub-01_T1w.nii.gz",
+              "--output", "./sr_vol_art.nii.gz", "--artifact", "vol.mrisrx",
+              "--batch_size", "8", "--cpu"], cwd=str(workspace))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "no model code loaded" in r.stderr
+    assert "zero-padded to the smallest fitting" in r.stderr
+    data, hdr = nifti.load(str(workspace / "sr_vol_art.nii.gz"))
+    assert data.shape == (80, 72, 24) and np.isfinite(data).all()
+    assert hdr.zooms[0] == 0.5
+    # incompatible engine-side modes are refused, not silently ignored
+    r = _run([os.path.join(SCRIPTS, "infer_volume.py"),
+              "--input", "./datasets/s1/sub-01/anat/sub-01_T1w.nii.gz",
+              "--output", "./nope.nii.gz", "--artifact", "vol.mrisrx",
+              "--quant", "int8", "--cpu"], cwd=str(workspace))
+    assert r.returncode == 1 and "incompatible" in r.stderr
+
+
 def test_infer_cli_bad_checkpoint_dir_exits_nonzero(workspace):
     r = _run([os.path.join(SCRIPTS, "infer.py"),
               "--input", "x.png", "--output", "y.png",

@@ -93,6 +93,36 @@ def test_export_rejects_non_mod8_shape(artifact):
                         bf16=False, platforms=("cpu",))
 
 
+def test_artifact_padded_serving(artifact, rng):
+    """pad=True zero-pads to the smallest fitting exported shape and
+    crops the output — checked against a manual pad + exact-shape call."""
+    path, _cfg, _params = artifact
+    art = load_artifact(path)
+    x = rng.random((2, 8, 20), dtype=np.float32)
+    got = art.upscale_batch(x, pad=True)
+    assert got.shape == (2, 16, 40)
+    padded = np.zeros((2, 16, 24), np.float32)   # smallest fit: (16, 24)
+    padded[:, :8, :20] = x
+    want = art.upscale_batch(padded)[:, :16, :40]
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="no exported shape fits"):
+        art.upscale_batch(rng.random((1, 32, 8), dtype=np.float32),
+                          pad=True)
+
+
+def test_artifact_tta_mode_refuses_padding(artifact, tmp_path, rng):
+    """A tta-mode artifact transforms the padded array inside its baked
+    program, so host-side padding would corrupt the ensemble — refused."""
+    _p, cfg, params = artifact
+    path = str(tmp_path / "tta_pad.mrisrx")
+    export_artifact(path, params, cfg, shapes=[(16, 16)],
+                    bf16=False, platforms=("cpu",), mode="tta")
+    art = load_artifact(path)
+    with pytest.raises(ValueError, match="tta-mode artifact cannot serve"):
+        art.upscale_batch(rng.random((1, 8, 8), dtype=np.float32),
+                          pad=True)
+
+
 def test_artifact_tta_mode(artifact, tmp_path, rng):
     """mode='tta' bakes the full dihedral ensemble into ONE program:
     8 members for square shapes, 4 for non-square — checked against an
