@@ -887,8 +887,7 @@ def load_engine(cfg: InferConfig, num_devices: int = 1) -> InferenceEngine:
         # sidecar: auto-load it so the model serves with the exact scales
         # it trained against (streaming self-calibration would otherwise
         # re-estimate them from serving data)
-        sidecar = (path[:-len(".ckpt")] if path.endswith(".ckpt")
-                   else path) + ".calib.json"
+        sidecar = ckpt.calib_sidecar_path(path)
         if os.path.exists(sidecar):
             quant_calib_path = sidecar
             logger.info(f"Found QAT calibration sidecar {sidecar}; "

@@ -82,15 +82,22 @@ def export_artifact(path: str, params, model_cfg,
 
     blobs = []
     for h, w in shapes:
-        if h % 8 or w % 8:
-            raise ValueError(f"artifact shapes must be %8 (got {h}x{w}); "
-                             "the engine's bucket padding is a host-side "
-                             "concern the artifact does not carry")
         if mode == "tta":
+            # the ensemble zero-pads each member to %8 AFTER its dihedral
+            # transform inside the traced body (the engine's exact order,
+            # ops/tta.py), so tta artifacts accept any content shape
             from mri_superresolution_tpu.ops.tta import build_tta_ensemble
+            pad8 = lambda n: -(-n // 8) * 8
             fn = jax.jit(lambda x, _h=h, _w=w: build_tta_ensemble(
-                lambda _p, a: raw(a), square=(_h == _w))(None, x))
+                lambda _p, a: raw(a), square=(_h == _w),
+                bucket_fn=lambda th, tw: (pad8(th), pad8(tw)))(None, x))
         else:
+            if h % 8 or w % 8:
+                raise ValueError(
+                    f"artifact shapes must be %8 (got {h}x{w}); the "
+                    "engine's bucket padding is a host-side concern the "
+                    "artifact does not carry (the loader's pad=True "
+                    "applies it; tta-mode artifacts pad internally)")
             fn = jax.jit(raw)
         b, = jexport.symbolic_shape("b")
         exp = jexport.export(fn, platforms=tuple(platforms))(
@@ -151,11 +158,20 @@ class ServingArtifact:
         (what the engine traces) cannot be recovered outside the
         program; re-export at the exact shape instead.
         """
+        y, (oh, ow) = self._dispatch(batch, pad)
+        return np.asarray(y)[:, :oh, :ow, 0]
+
+    def _dispatch(self, batch: np.ndarray, pad: bool):
+        """Dispatch one batch to its program WITHOUT fetching: returns
+        (device output, (crop_h, crop_w)). The output is an
+        asynchronously-dispatched jax array; ``np.asarray`` on it is the
+        synchronization point (upscale_batches exploits this to overlap
+        batch i+1's compute with batch i's fetch)."""
         n, h, w = batch.shape
         if (h, w) in self._programs:
-            y = self._programs[(h, w)].call(
-                np.ascontiguousarray(batch, np.float32)[..., None])
-            return np.asarray(y)[:, :, :, 0]
+            return (self._programs[(h, w)].call(
+                np.ascontiguousarray(batch, np.float32)[..., None]),
+                (2 * h, 2 * w))
         if not pad:
             raise ValueError(
                 f"artifact has no program for {h}x{w}; exported shapes: "
@@ -173,8 +189,24 @@ class ServingArtifact:
         ph, pw = min(fits, key=lambda s: s[0] * s[1])
         padded = np.zeros((n, ph, pw), np.float32)
         padded[:, :h, :w] = batch
-        y = np.asarray(self._programs[(ph, pw)].call(padded[..., None]))
-        return y[:, :2 * h, :2 * w, 0]
+        return (self._programs[(ph, pw)].call(padded[..., None]),
+                (2 * h, 2 * w))
+
+    def upscale_batches(self, batches, pad: bool = False):
+        """Pipelined serving: yields each batch's output, dispatching
+        batch i+1 before fetching batch i (the engine's
+        ``upscale_batches`` deferred-fetch pattern) so device compute
+        overlaps the device→host transfer."""
+        pending = None
+        for batch in batches:
+            nxt = self._dispatch(batch, pad)
+            if pending is not None:
+                y, (oh, ow) = pending
+                yield np.asarray(y)[:, :oh, :ow, 0]
+            pending = nxt
+        if pending is not None:
+            y, (oh, ow) = pending
+            yield np.asarray(y)[:, :oh, :ow, 0]
 
     def upscale_image(self, image01: np.ndarray) -> np.ndarray:
         return self.upscale_batch(image01[None])[0]

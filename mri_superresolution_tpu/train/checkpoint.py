@@ -123,6 +123,23 @@ def find_best_checkpoint(checkpoint_dir: str, model_type: str) -> str:
         f"No checkpoint found for {model_type} model in {checkpoint_dir}")
 
 
+def resolve_checkpoint(checkpoint_dir: str, model_type: str,
+                       checkpoint_path: str = None) -> str:
+    """load_engine's resolution rule, shared with the export CLI: an
+    explicit existing ``checkpoint_path`` wins; otherwise best→final→any
+    discovery in ``checkpoint_dir``."""
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        return checkpoint_path
+    return find_best_checkpoint(checkpoint_dir, model_type)
+
+
+def calib_sidecar_path(path: str) -> str:
+    """The QAT calibration sidecar written next to a checkpoint
+    (``<base>.calib.json``; trainer save_state / load_engine contract)."""
+    return (path[:-len(".ckpt")] if path.endswith(".ckpt") else path
+            ) + ".calib.json"
+
+
 def load_params_any(path: str) -> Tuple[Any, Dict]:
     """Load model params from a .ckpt, a converted .msgpack of bare params,
     or a reference torch .pth (via tools/torch_compat)."""

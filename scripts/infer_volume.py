@@ -120,12 +120,15 @@ def main():
     art = None
     if args.artifact:
         from mri_superresolution_tpu.infer.export import load_artifact
+        art = load_artifact(args.artifact)
+        # a flag whose mode IS baked into the artifact is satisfied, not
+        # incompatible (mirrors infer.py's mode-aware handling)
         bad = [name for name, on in
-               (("--quant", args.quant != "none"),
+               (("--quant", args.quant != "none" and art.mode != "int8"),
                 ("--spatial_shards", args.spatial_shards != 1),
                 ("--serve_raw", args.serve_raw),
                 ("--out_dtype", args.out_dtype != "float32"),
-                ("--tta", args.tta))
+                ("--tta", args.tta and art.mode != "tta"))
                if on]
         if bad:
             logger.error(
@@ -134,7 +137,14 @@ def main():
                 "(tools/export_serving.py --mode tta|int8) or serve from "
                 "a checkpoint")
             return 1
-        art = load_artifact(args.artifact)
+        ignored = [name for name, on in
+                   (("--bucket", args.bucket != 1),
+                    ("--num_devices", args.num_devices != 0))
+                   if on]
+        if ignored:
+            logger.warning(f"{', '.join(ignored)} are IGNORED with "
+                           "--artifact (programs run at their exported "
+                           "shapes on the default device)")
         logger.info(f"Serving from artifact {args.artifact}: "
                     f"{art.model_type} mode={art.mode}, shapes "
                     f"{art.shapes} (no model code loaded)")
@@ -175,14 +185,40 @@ def main():
     outs = []
     if art is not None:
         if (h, w) not in art.shapes:
+            if art.mode == "tta":
+                logger.error(
+                    f"tta-mode artifact has no program for {h}x{w} and "
+                    "cannot serve it by padding (the baked ensemble would "
+                    "transform the zero margin); re-export with this "
+                    f"exact shape (exported: {art.shapes})")
+                return 1
             logger.warning(
                 f"No exact program for {h}x{w}; slices will be zero-padded "
                 "to the smallest fitting exported shape (same GroupNorm-"
                 "statistics caveat as the engine's bucket padding)")
+        if art.mode == "int8":
+            # the engine's near-empty bf16 routing is a host-side policy
+            # an int8 artifact cannot carry (it holds ONE program); warn
+            # when this volume actually has such slices (engine.py:345)
+            from mri_superresolution_tpu.ops.quant import (
+                FOREGROUND_INTENSITY)
+            frac = (np.abs(norm) > FOREGROUND_INTENSITY).mean(axis=(1, 2))
+            thresh = InferConfig().quant_min_foreground
+            n_empty = int((frac < thresh).sum())
+            if n_empty:
+                logger.warning(
+                    f"{n_empty}/{n_slices} slices are <{thresh:.0%} "
+                    "foreground; an int8 artifact serves them int8 (the "
+                    "checkpoint engine would route them to bf16 — int8 "
+                    "noise floor ~26 dB on near-blank slices). Serve "
+                    "from the checkpoint if those slices matter.")
         try:
-            for s in range(0, n_slices, args.batch_size):
-                out = art.upscale_batch(norm[s:s + args.batch_size],
-                                        pad=True)
+            starts = list(range(0, n_slices, args.batch_size))
+            # pipelined: batch i+1 dispatches while batch i's output
+            # downloads (ServingArtifact.upscale_batches)
+            for s, out in zip(starts, art.upscale_batches(
+                    (norm[i:i + args.batch_size] for i in starts),
+                    pad=True)):
                 outs.append(out)
                 logger.info(f"Upscaled slices {s}..{s + len(out) - 1}")
         except ValueError as e:

@@ -145,6 +145,26 @@ def test_infer_volume_cli_artifact(workspace):
     assert r.returncode == 1 and "incompatible" in r.stderr
 
 
+def test_infer_volume_cli_tta_artifact(workspace):
+    """--tta paired with a tta-mode artifact is satisfied (not refused):
+    the baked 4-member ensemble serves the exact-shape volume."""
+    from mri_superresolution_tpu import nifti
+    r = _run([os.path.join(ROOT, "tools", "export_serving.py"),
+              "--checkpoint_dir", "./ckpt", "--out", "vol_tta.mrisrx",
+              "--shapes", "40x36", "--base_filters", "16", "--mode", "tta",
+              "--platforms", "cpu", "--cpu"], cwd=str(workspace))
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run([os.path.join(SCRIPTS, "infer_volume.py"),
+              "--input", "./datasets/s1/sub-01/anat/sub-01_T1w.nii.gz",
+              "--output", "./sr_vol_tta.nii.gz",
+              "--artifact", "vol_tta.mrisrx", "--tta",
+              "--batch_size", "8", "--cpu"], cwd=str(workspace))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mode=tta" in r.stderr and "incompatible" not in r.stderr
+    data, _ = nifti.load(str(workspace / "sr_vol_tta.nii.gz"))
+    assert data.shape == (80, 72, 24) and np.isfinite(data).all()
+
+
 def test_infer_cli_bad_checkpoint_dir_exits_nonzero(workspace):
     r = _run([os.path.join(SCRIPTS, "infer.py"),
               "--input", "x.png", "--output", "y.png",

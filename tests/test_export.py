@@ -110,6 +110,20 @@ def test_artifact_padded_serving(artifact, rng):
                           pad=True)
 
 
+def test_artifact_upscale_batches_pipelined_equivalence(artifact, rng):
+    """The pipelined generator equals per-batch upscale_batch, including
+    mixed exact/padded shapes in one stream."""
+    path, _cfg, _params = artifact
+    art = load_artifact(path)
+    batches = [rng.random((2, 16, 16), dtype=np.float32),
+               rng.random((3, 8, 20), dtype=np.float32),
+               rng.random((1, 16, 24), dtype=np.float32)]
+    outs = list(art.upscale_batches(iter(batches), pad=True))
+    assert len(outs) == 3
+    for b, got in zip(batches, outs):
+        np.testing.assert_array_equal(got, art.upscale_batch(b, pad=True))
+
+
 def test_artifact_tta_mode_refuses_padding(artifact, tmp_path, rng):
     """A tta-mode artifact transforms the padded array inside its baked
     program, so host-side padding would corrupt the ensemble — refused."""
@@ -126,23 +140,32 @@ def test_artifact_tta_mode_refuses_padding(artifact, tmp_path, rng):
 def test_artifact_tta_mode(artifact, tmp_path, rng):
     """mode='tta' bakes the full dihedral ensemble into ONE program:
     8 members for square shapes, 4 for non-square — checked against an
-    independent host-side loop over the PLAIN artifact's forward."""
+    independent host-side loop over the PLAIN artifact's forward.
+    Non-%8 shapes are legal for tta artifacts (each member pads to %8
+    AFTER its transform inside the program — the engine's order), so the
+    host check pads each transformed member and crops before inverting."""
     from mri_superresolution_tpu.ops.tta import dihedral_pairs
 
     plain_path, cfg, params = artifact
     plain = load_artifact(plain_path)
     path = str(tmp_path / "tta.mrisrx")
-    export_artifact(path, params, cfg, shapes=[(16, 16), (16, 24)],
+    export_artifact(path, params, cfg, shapes=[(16, 16), (16, 24), (12, 20)],
                     bf16=False, platforms=("cpu",), mode="tta")
     art = load_artifact(path)
     assert art.mode == "tta"
-    for shape in ((2, 16, 16), (3, 16, 24)):
+    for shape in ((2, 16, 16), (3, 16, 24), (2, 12, 20)):
+        n, h, w = shape
         x = rng.random(shape, dtype=np.float32)
-        square = shape[1] == shape[2]
-        acc = np.zeros((shape[0], 2 * shape[1], 2 * shape[2]), np.float64)
+        square = h == w
+        acc = np.zeros((n, 2 * h, 2 * w), np.float64)
         for fwd, inv in dihedral_pairs(square):
             tx = np.ascontiguousarray(fwd(x[..., None])[..., 0])
-            acc += inv(plain.upscale_batch(tx)[..., None])[..., 0]
+            th, tw = tx.shape[1:]
+            ph, pw = -(-th // 8) * 8, -(-tw // 8) * 8
+            padded = np.zeros((n, ph, pw), np.float32)
+            padded[:, :th, :tw] = tx
+            y = plain.upscale_batch(padded)[:, :2 * th, :2 * tw]
+            acc += inv(y[..., None])[..., 0]
         want = acc / len(dihedral_pairs(square))
         np.testing.assert_allclose(art.upscale_batch(x), want,
                                    rtol=1e-5, atol=1e-5)

@@ -545,6 +545,23 @@ def test_checkpoint_discovery_precedence(tmp_path):
     assert ckpt.find_best_checkpoint(d, "unet").endswith("best_model_unet.ckpt")
 
 
+def test_resolve_checkpoint_explicit_path_wins(tmp_path):
+    """resolve_checkpoint (shared by load_engine and the artifact export
+    CLI) must prefer an explicit existing path over discovery — so e.g.
+    an int8 export's default calibration sidecar is derived from the
+    checkpoint actually being exported, never a different one."""
+    d = str(tmp_path)
+    explicit = os.path.join(d, "final_model_unet.ckpt")
+    open(os.path.join(d, "best_model_unet.ckpt"), "wb").write(b"")
+    open(explicit, "wb").write(b"")
+    assert ckpt.resolve_checkpoint(d, "unet", explicit) == explicit
+    # missing explicit path falls back to discovery
+    assert ckpt.resolve_checkpoint(d, "unet", os.path.join(d, "nope.ckpt")
+                                   ).endswith("best_model_unet.ckpt")
+    assert ckpt.resolve_checkpoint(d, "unet").endswith("best_model_unet.ckpt")
+    assert ckpt.calib_sidecar_path(explicit) == explicit[:-5] + ".calib.json"
+
+
 def test_training_is_deterministic(tmp_path, capsys):
     """Two identical runs must produce identical losses (donated buffers,
     counter-based RNG, epoch-derived data order)."""

@@ -71,10 +71,12 @@ def main():
         from mri_superresolution_tpu.train import checkpoint as ckpt
         calib = args.quant_calib
         if not calib:
-            base = ckpt.find_best_checkpoint(args.checkpoint_dir,
-                                             args.model_type)
-            calib = (base[:-len(".ckpt")] if base.endswith(".ckpt")
-                     else base) + ".calib.json"
+            # the sidecar next to the checkpoint load_engine RESOLVED
+            # (explicit --checkpoint_path wins), never a different one
+            base = ckpt.resolve_checkpoint(args.checkpoint_dir,
+                                           args.model_type,
+                                           args.checkpoint_path)
+            calib = ckpt.calib_sidecar_path(base)
         scales, saved_type = quant_forward.load_scales(calib)
         if saved_type != engine.model_cfg.model_type:
             raise SystemExit(f"{calib} holds scales for {saved_type!r}, "
