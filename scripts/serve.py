@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Serving daemon: dynamic-batching HTTP inference server.
+
+Framework extension beyond the reference (whose serving story is one
+process per image, /root/reference/scripts/infer.py:398-450): concurrent
+clients' slices coalesce into batched TPU forwards
+(infer/server.DynamicBatcher). Serves from a checkpoint (full engine:
+int8/TTA/bucketing) or from a portable AOT artifact (no model code).
+
+    POST /upscale   .npy (H, W) or (N, H, W) float [0,1] -> .npy 2x
+    GET  /healthz   backend + batching stats JSON
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..")))
+
+from scripts._bootstrap import force_cpu_if_requested  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        description="Dynamic-batching HTTP inference server")
+    ap.add_argument("--checkpoint_dir", default="./checkpoints")
+    ap.add_argument("--checkpoint_path", default=None)
+    ap.add_argument("--artifact", default=None,
+                    help="serve from a portable AOT artifact instead of "
+                         "a checkpoint (no model code loaded; unexported "
+                         "shapes pad to the smallest fitting program)")
+    ap.add_argument("--model_type", default="unet",
+                    choices=["unet", "unet_tpu", "edsr", "simple"])
+    ap.add_argument("--base_filters", type=int, default=32)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8476)
+    ap.add_argument("--max_batch", type=int, default=64,
+                    help="largest coalesced device batch")
+    ap.add_argument("--batch_window_ms", type=float, default=5.0,
+                    help="linger this long after the first request for "
+                         "stragglers to coalesce")
+    ap.add_argument("--bucket", type=int, default=1)
+    ap.add_argument("--quant", choices=["none", "int8"], default="none")
+    ap.add_argument("--quant_calib", default=None)
+    ap.add_argument("--tta", action="store_true")
+    ap.add_argument("--no_bf16", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    force_cpu_if_requested()
+
+    from mri_superresolution_tpu.infer.server import serve_http
+    from mri_superresolution_tpu.utils.logging import setup_logging
+
+    logger = setup_logging("serving.log")
+    if args.artifact:
+        from mri_superresolution_tpu.infer.export import load_artifact
+        backend = load_artifact(args.artifact)
+        describe = (f"artifact {os.path.basename(args.artifact)} "
+                    f"{backend.model_type} mode={backend.mode} "
+                    f"shapes={backend.shapes}")
+        logger.info(f"Serving from artifact: {describe}")
+    else:
+        from mri_superresolution_tpu.config import InferConfig, ModelConfig
+        from mri_superresolution_tpu.infer import load_engine
+        backend = load_engine(InferConfig(
+            model=ModelConfig(model_type=args.model_type,
+                              base_filters=args.base_filters),
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_path=args.checkpoint_path,
+            bf16=not args.no_bf16, bucket=args.bucket,
+            quant=args.quant, quant_calib_path=args.quant_calib,
+            tta=args.tta))
+        describe = (f"checkpoint {backend.model_cfg.model_type} "
+                    f"bf={backend.model_cfg.base_filters} "
+                    f"quant={args.quant} tta={args.tta}")
+    try:
+        serve_http(backend, host=args.host, port=args.port,
+                   max_batch=args.max_batch,
+                   batch_window_ms=args.batch_window_ms,
+                   describe=describe)
+    except KeyboardInterrupt:
+        logger.info("Interrupted; shutting down")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,164 @@
+"""Serving daemon: dynamic batching + HTTP front end (infer/server.py)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from mri_superresolution_tpu.config import ModelConfig
+from mri_superresolution_tpu.infer.engine import InferenceEngine
+from mri_superresolution_tpu.infer.server import DynamicBatcher, serve_http
+from mri_superresolution_tpu.models import UNetSuperRes, init_params
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = UNetSuperRes(base_filters=16)
+    params = init_params(model, jax.random.key(0), (16, 16))
+    eng = InferenceEngine(ModelConfig(base_filters=16), params, bf16=False)
+    eng.upscale_batch(np.zeros((1, 16, 16), np.float32))  # warm compile
+    return eng
+
+
+def test_batcher_coalesces_concurrent_requests(engine, rng):
+    """Concurrent clients' slices must be served in coalesced device
+    batches, with outputs identical to a direct batched forward."""
+    images = [rng.random((16, 16), dtype=np.float32) for _ in range(12)]
+    want = engine.upscale_batch(np.stack(images))
+    b = DynamicBatcher(engine, max_batch=32, batch_window_ms=300.0)
+    try:
+        results = [None] * len(images)
+
+        def client(i):
+            results[i] = b.upscale(images[i], timeout=60)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(images))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(len(images)):
+            np.testing.assert_allclose(results[i], want[i],
+                                       rtol=1e-5, atol=1e-6)
+        assert b.stats["max_batch_seen"] > 1, (
+            f"no coalescing happened: {b.stats}")
+        assert b.stats["requests"] == len(images)
+    finally:
+        b.close()
+
+
+def test_batcher_groups_by_shape(engine, rng):
+    """Mixed shapes in one window are grouped into per-shape forwards."""
+    a = rng.random((16, 16), dtype=np.float32)
+    c = rng.random((16, 24), dtype=np.float32)
+    b = DynamicBatcher(engine, max_batch=8, batch_window_ms=200.0)
+    try:
+        ra, rc = b.submit(a), b.submit(c)
+        ya, yc = b.wait(ra, 60), b.wait(rc, 60)
+        np.testing.assert_allclose(ya, engine.upscale_image(a),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(yc, engine.upscale_image(c),
+                                   rtol=1e-5, atol=1e-6)
+        assert ya.shape == (32, 32) and yc.shape == (32, 48)
+    finally:
+        b.close()
+
+
+def test_batcher_artifact_backend_and_error_propagation(tmp_path, rng):
+    """A ServingArtifact serves through the batcher (pad=True inferred
+    from its signature); an unservable shape raises in the CALLER while
+    the worker keeps serving."""
+    from mri_superresolution_tpu.infer.export import (export_artifact,
+                                                      load_artifact)
+
+    model = UNetSuperRes(base_filters=16)
+    params = init_params(model, jax.random.key(0), (16, 16))
+    path = str(tmp_path / "m.mrisrx")
+    export_artifact(path, params, ModelConfig(base_filters=16),
+                    shapes=[(16, 16)], bf16=False, platforms=("cpu",))
+    art = load_artifact(path)
+    b = DynamicBatcher(art, max_batch=8, batch_window_ms=1.0)
+    try:
+        y = b.upscale(rng.random((8, 8), dtype=np.float32), timeout=60)
+        assert y.shape == (16, 16)  # padded to the 16x16 program, cropped
+        with pytest.raises(ValueError, match="no exported shape fits"):
+            b.upscale(rng.random((32, 32), dtype=np.float32), timeout=60)
+        # worker survived the error and still serves
+        assert b.upscale(rng.random((16, 16), dtype=np.float32),
+                         timeout=60).shape == (32, 32)
+    finally:
+        b.close()
+
+
+def test_http_server_roundtrip(engine, rng):
+    """POST /upscale serves .npy in/out; GET /healthz reports stats; a
+    (N, H, W) volume payload coalesces into batched forwards."""
+    import io
+
+    started = threading.Event()
+    server = serve_http(engine, host="127.0.0.1", port=0, max_batch=16,
+                        batch_window_ms=50.0, describe="test-engine",
+                        started=started)
+    assert started.is_set()
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        vol = rng.random((5, 16, 16)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, vol)
+        req = urllib.request.Request(
+            base + "/upscale", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = np.load(io.BytesIO(resp.read()))
+        np.testing.assert_allclose(out, engine.upscale_batch(vol),
+                                   rtol=1e-5, atol=1e-6)
+
+        # uint8 payloads are normalized like the CLI
+        img8 = (rng.random((16, 16)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, img8)
+        req = urllib.request.Request(base + "/upscale", data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out8 = np.load(io.BytesIO(resp.read()))
+        np.testing.assert_allclose(
+            out8, engine.upscale_image(img8.astype(np.float32) / 255.0),
+            rtol=1e-5, atol=1e-6)
+
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok"
+        assert health["backend"] == "test-engine"
+        assert health["stats"]["requests"] >= 6
+        assert health["stats"]["max_batch_seen"] > 1  # the volume coalesced
+
+        # bad payloads are a 400 with a reason, not a dead server
+        req = urllib.request.Request(base + "/upscale", data=b"garbage")
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc_info.value.code == 400
+    finally:
+        server.shutdown()
+        server.batcher.close()
+        thread.join(10)
+
+
+def test_serve_cli_help():
+    """The CLI parses (smoke: flag surface exists)."""
+    import os
+    import subprocess
+    import sys
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "serve.py"),
+         "--help"], capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0
+    for flag in ("--artifact", "--max_batch", "--batch_window_ms",
+                 "--quant", "--tta", "--port"):
+        assert flag in r.stdout
