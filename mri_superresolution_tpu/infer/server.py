@@ -63,7 +63,8 @@ class DynamicBatcher:
     """
 
     def __init__(self, backend, max_batch: int = 64,
-                 batch_window_ms: float = 5.0):
+                 batch_window_ms: float = 5.0,
+                 pad_batches: Optional[bool] = None):
         import inspect
         self._backend = backend
         # artifact backends need pad=True for unexported shapes; the
@@ -71,6 +72,18 @@ class DynamicBatcher:
         self._kwargs = (
             {"pad": True} if "pad" in inspect.signature(
                 backend.upscale_batch).parameters else {})
+        # Engines compile one program per (batch, H, W) — a stream of
+        # arbitrary coalesced sizes would recompile per size (minutes
+        # each on the TPU tunnel). Pad each group to the next power of
+        # two (outputs for the zero rows are dropped), bounding compiles
+        # to log2(max_batch) programs per shape. Artifacts have a
+        # SYMBOLIC batch (no recompiles) and their compute scales with
+        # the padded size, so they default to exact sizes.
+        # NB: zero pad rows lower the engine's int8 foreground fraction,
+        # which can only route a batch to bf16 — the quality-safe side.
+        if pad_batches is None:
+            pad_batches = not self._kwargs
+        self.pad_batches = bool(pad_batches)
         self.max_batch = int(max_batch)
         self.batch_window_s = float(batch_window_ms) / 1e3
         self._queue: List[_Request] = []
@@ -152,6 +165,12 @@ class DynamicBatcher:
             for shape, group in groups.items():
                 try:
                     batch = np.stack([r.image for r in group])
+                    if self.pad_batches:
+                        target = 1 << (len(group) - 1).bit_length()
+                        if target > len(group):
+                            batch = np.concatenate(
+                                [batch, np.zeros((target - len(group),)
+                                                 + shape, np.float32)])
                     out = self._backend.upscale_batch(batch, **self._kwargs)
                     for r, y in zip(group, out):
                         r.result = np.asarray(y)

@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--quant", choices=["none", "int8"], default="none")
     ap.add_argument("--quant_calib", default=None)
     ap.add_argument("--tta", action="store_true")
+    ap.add_argument("--num_devices", type=int, default=0,
+                    help="DP-shard coalesced batches over this many mesh "
+                         "devices (0 = all visible; checkpoint backend "
+                         "only)")
     ap.add_argument("--no_bf16", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -70,7 +74,7 @@ def main():
             checkpoint_path=args.checkpoint_path,
             bf16=not args.no_bf16, bucket=args.bucket,
             quant=args.quant, quant_calib_path=args.quant_calib,
-            tta=args.tta))
+            tta=args.tta), num_devices=args.num_devices)
         describe = (f"checkpoint {backend.model_cfg.model_type} "
                     f"bf={backend.model_cfg.base_filters} "
                     f"quant={args.quant} tta={args.tta}")

@@ -95,6 +95,36 @@ def test_batcher_artifact_backend_and_error_propagation(tmp_path, rng):
         b.close()
 
 
+def test_batcher_pads_engine_batches_to_pow2(engine, rng):
+    """Engine backends quantize coalesced batch sizes to powers of two
+    (bounding per-shape compiles to log2(max_batch) programs — a stream
+    of arbitrary sizes would recompile per size, minutes each on the
+    TPU tunnel); artifact backends keep exact sizes (symbolic batch,
+    compute scales with padding)."""
+    from mri_superresolution_tpu.infer.export import ServingArtifact
+
+    b = DynamicBatcher(engine, max_batch=16, batch_window_ms=200.0)
+    try:
+        assert b.pad_batches  # engine default
+        reqs = [b.submit(rng.random((16, 16), dtype=np.float32))
+                for _ in range(5)]
+        outs = [b.wait(r, 60) for r in reqs]
+        assert all(o.shape == (32, 32) for o in outs)
+        # 5 requests served as ONE group (padded to 8 internally)
+        assert b.stats["batches"] == 1
+        assert b.stats["requests"] == 5
+    finally:
+        b.close()
+    # the artifact default is exact sizes
+    art = ServingArtifact.__new__(ServingArtifact)
+    art.header, art.mode, art._programs = {}, "plain", {}
+    ab = DynamicBatcher(art)
+    try:
+        assert not ab.pad_batches
+    finally:
+        ab.close()
+
+
 def test_http_server_roundtrip(engine, rng):
     """POST /upscale serves .npy in/out; GET /healthz reports stats; a
     (N, H, W) volume payload coalesces into batched forwards."""
