@@ -206,6 +206,31 @@ def _dump_npy(arr: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+def _serve_volume(batcher: DynamicBatcher, body: bytes) -> bytes:
+    """NIfTI bytes in -> 2x-in-plane NIfTI bytes out, through the
+    batcher (scripts/infer_volume.py's simple path as a service: same
+    per-slice percentile normalize, halved in-plane zooms)."""
+    from mri_superresolution_tpu import nifti
+    from mri_superresolution_tpu.infer.engine import preprocess_image_array
+
+    gz = body[:2] == b"\x1f\x8b"
+    data, hdr = nifti.load_bytes(body)
+    if data.ndim == 4:
+        data = data[:, :, :, 0]
+    if data.ndim != 3:
+        raise ValueError(f"expected a 3D volume, got {data.ndim}D")
+    # submit EVERY slice before waiting — one volume becomes a few
+    # max_batch-sized device batches, interleaving with other clients
+    reqs = [batcher.submit(preprocess_image_array(data[:, :, k]))
+            for k in range(data.shape[2])]
+    sr = np.stack([batcher.wait(r) for r in reqs], axis=2)
+    zooms = list(hdr.zooms) + [1.0] * 3
+    return nifti.save_bytes(
+        np.asfortranarray(sr.astype(np.float32)),
+        zooms=(zooms[0] / 2.0, zooms[1] / 2.0, zooms[2]),
+        compress=gz)
+
+
 def serve_http(backend, host: str = "127.0.0.1", port: int = 8476,
                max_batch: int = 64, batch_window_ms: float = 5.0,
                describe: str = "", started: Optional[threading.Event] = None):
@@ -216,6 +241,11 @@ def serve_http(backend, host: str = "127.0.0.1", port: int = 8476,
     Endpoints:
     - ``POST /upscale``  body: ``.npy`` (H, W) or (N, H, W), float [0,1]
       (uint8/uint16 normalized); response: ``.npy`` of 2x outputs.
+    - ``POST /upscale_volume``  body: ``.nii``/``.nii.gz`` bytes;
+      each axial slice is percentile-normalized (the CLI's preprocess),
+      all slices enqueue at once (coalescing with other clients), and
+      the response is the 2x-in-plane NIfTI (halved in-plane spacing,
+      gzipped iff the upload was) — a complete MRI service in one POST.
     - ``GET /healthz``   JSON: backend description + batcher stats.
     """
     import json
@@ -246,12 +276,15 @@ def serve_http(backend, host: str = "127.0.0.1", port: int = 8476,
                         "application/json")
 
         def do_POST(self):
-            if self.path != "/upscale":
+            if self.path not in ("/upscale", "/upscale_volume"):
                 return self._reply(404, b'{"error": "not found"}',
                                    "application/json")
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                arr = _load_npy(self.rfile.read(n))
+                body = self.rfile.read(n)
+                if self.path == "/upscale_volume":
+                    return self._reply(200, _serve_volume(batcher, body))
+                arr = _load_npy(body)
                 if arr.ndim == 2:
                     out = batcher.upscale(arr)
                 elif arr.ndim == 3:
@@ -263,7 +296,7 @@ def serve_http(backend, host: str = "127.0.0.1", port: int = 8476,
                     raise ValueError(f"expected 2-D or 3-D, got {arr.shape}")
                 self._reply(200, _dump_npy(out))
             except Exception as e:  # client gets the reason, server lives
-                logger.warning(f"/upscale failed: {e}")
+                logger.warning(f"{self.path} failed: {e}")
                 self._reply(400, json.dumps({"error": str(e)}).encode(),
                             "application/json")
 

@@ -116,7 +116,16 @@ def load(path: str, raw: bool = False) -> Tuple[np.ndarray, NiftiHeader]:
     bytes/voxel instead of 8 (scripts/infer_volume.py --serve_raw).
     """
     with _open(path) as f:
-        buf = f.read()
+        return load_bytes(f.read(), raw=raw, _gunzip=False)
+
+
+def load_bytes(buf: bytes, raw: bool = False,
+               _gunzip: bool = True) -> Tuple[np.ndarray, NiftiHeader]:
+    """:func:`load` for an in-memory ``.nii``/``.nii.gz`` byte string
+    (gzip sniffed by magic) — the serving daemon's volume endpoint
+    decodes uploads with this, no temp files."""
+    if _gunzip and buf[:2] == b"\x1f\x8b":
+        buf = gzip.decompress(buf)
     hdr, order = read_header(buf)
     if hdr.datatype not in _DTYPES:
         raise ValueError(f"Unsupported NIfTI datatype code {hdr.datatype}")
@@ -153,6 +162,37 @@ def save(path: str, data: np.ndarray,
     volumes (e.g. int16 super-resolution output packed as round(y*32767))
     decode back to physical values via ``load``'s nibabel-parity scaling
     (data * slope + inter)."""
+    data, hdr = _encode(data, zooms, affine, scl_slope, scl_inter)
+    with _open(path, "wb") as f:
+        f.write(hdr)
+        f.write(b"\x00" * 4)  # extension flag
+        if data.flags.f_contiguous:
+            # F-contiguous memory already IS the file's voxel order: write
+            # the buffer via its C-contiguous transpose view, no tobytes
+            # copy (the zero-copy serving path lands here — its outputs
+            # are .T views of C-order batches)
+            f.write(memoryview(data.T))
+        else:
+            f.write(np.asfortranarray(data).tobytes(order="F"))
+
+
+def save_bytes(data: np.ndarray,
+               zooms: Optional[Tuple[float, ...]] = None,
+               affine: Optional[np.ndarray] = None,
+               scl_slope: float = 1.0, scl_inter: float = 0.0,
+               compress: bool = False) -> bytes:
+    """:func:`save` to an in-memory byte string (``.nii``, or ``.nii.gz``
+    with ``compress``) — the serving daemon's volume endpoint encodes
+    responses with this."""
+    data, hdr = _encode(data, zooms, affine, scl_slope, scl_inter)
+    body = (hdr + b"\x00" * 4
+            + (bytes(memoryview(data.T)) if data.flags.f_contiguous
+               else np.asfortranarray(data).tobytes(order="F")))
+    return gzip.compress(body, compresslevel=1) if compress else body
+
+
+def _encode(data, zooms, affine, scl_slope, scl_inter):
+    """Shared by save/save_bytes: (dtype-massaged data, header bytes)."""
     data = np.asarray(data)
     if data.dtype not in (np.uint8, np.int16, np.int32, np.float32, np.float64,
                           np.int8, np.uint16, np.uint32):
@@ -182,15 +222,4 @@ def save(path: str, data: np.ndarray,
     struct.pack_into("<12f", hdr, 280, *np.asarray(affine[:3, :],
                                                    np.float32).ravel())
     hdr[344:348] = b"n+1\x00"
-
-    with _open(path, "wb") as f:
-        f.write(bytes(hdr))
-        f.write(b"\x00" * 4)  # extension flag
-        if data.flags.f_contiguous:
-            # F-contiguous memory already IS the file's voxel order: write
-            # the buffer via its C-contiguous transpose view, no tobytes
-            # copy (the zero-copy serving path lands here — its outputs
-            # are .T views of C-order batches)
-            f.write(memoryview(data.T))
-        else:
-            f.write(np.asfortranarray(data).tobytes(order="F"))
+    return data, bytes(hdr)

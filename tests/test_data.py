@@ -48,6 +48,21 @@ def test_nifti_roundtrip(tmp_path, rng, ext, dtype):
     assert hdr.zooms == (1.0, 1.5, 2.0)
 
 
+@pytest.mark.parametrize("compress", [False, True])
+def test_nifti_bytes_roundtrip(tmp_path, rng, compress):
+    """save_bytes/load_bytes (the daemon's in-memory codec) match the
+    file path byte-for-byte and decode identically."""
+    vol = _synthetic_volume(rng).astype(np.float32)
+    blob = nifti.save_bytes(vol, zooms=(1.0, 1.5, 2.0), compress=compress)
+    data, hdr = nifti.load_bytes(blob)
+    np.testing.assert_allclose(data, vol.astype(np.float64))
+    assert hdr.zooms == (1.0, 1.5, 2.0)
+    if not compress:
+        path = str(tmp_path / "v.nii")
+        nifti.save(path, vol, zooms=(1.0, 1.5, 2.0))
+        assert open(path, "rb").read() == blob
+
+
 def test_nifti_4d_and_scaling(tmp_path, rng):
     vol = rng.random((8, 8, 8, 3)).astype(np.float32)
     path = str(tmp_path / "bold.nii")

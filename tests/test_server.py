@@ -173,6 +173,27 @@ def test_http_server_roundtrip(engine, rng):
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(req, timeout=30)
         assert exc_info.value.code == 400
+
+        # NIfTI-in -> NIfTI-out volume endpoint: one POST is the whole
+        # MRI service (decode, per-slice normalize, batched serve,
+        # halved in-plane spacing, gzip iff the upload was)
+        from mri_superresolution_tpu import nifti
+        from mri_superresolution_tpu.infer.engine import (
+            preprocess_image_array)
+        raw_vol = (rng.random((16, 16, 6)) * 900).astype(np.float32)
+        blob = nifti.save_bytes(raw_vol, zooms=(2.0, 2.0, 3.0),
+                                compress=True)
+        req = urllib.request.Request(base + "/upscale_volume", data=blob)
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out_blob = resp.read()
+        assert out_blob[:2] == b"\x1f\x8b"  # gz in, gz out
+        sr, hdr = nifti.load_bytes(out_blob)
+        assert sr.shape == (32, 32, 6)
+        assert hdr.zooms == (1.0, 1.0, 3.0)
+        want = np.stack([engine.upscale_image(
+            preprocess_image_array(raw_vol[:, :, k]))
+            for k in range(6)], axis=2)
+        np.testing.assert_allclose(sr, want, rtol=1e-5, atol=1e-5)
     finally:
         server.shutdown()
         server.batcher.close()
