@@ -81,6 +81,11 @@ DEFAULT_PARAMS = {
     "show_diff": True,
     "quant_int8": False,
     "tta": False,
+    # serving daemon
+    "serve_host": "127.0.0.1",
+    "serve_port": 8476,
+    "max_batch": 64,
+    "batch_window_ms": 5.0,
 }
 
 MENUS = {
@@ -102,6 +107,11 @@ MENUS = {
         "input_image", "output_image", "target_image", "checkpoint_dir",
         "checkpoint_file", "model_type", "base_filters", "show_comparison",
         "show_diff", "quant_int8", "tta", "cpu",
+    ],
+    "serve": [
+        "checkpoint_dir", "checkpoint_file", "model_type", "base_filters",
+        "serve_host", "serve_port", "max_batch", "batch_window_ms",
+        "quant_int8", "tta", "cpu",
     ],
 }
 
@@ -140,7 +150,7 @@ def validate(field, raw, params):
         v = int(raw)
         if field in ("batch_size", "epochs", "base_filters", "patience",
                      "n_slices_extract", "spatial_shards",
-                     "grad_accum") and v <= 0:
+                     "grad_accum", "serve_port", "max_batch") and v <= 0:
             raise ValueError(f"{field} must be positive")
         return v
     if isinstance(current, float):
@@ -209,6 +219,21 @@ def build_command(menu, p):
             cmd.append("--show_comparison")
         if p["show_diff"]:
             cmd.append("--show_diff")
+        if p["quant_int8"]:
+            cmd += ["--quant", "int8"]
+        if p["tta"]:
+            cmd.append("--tta")
+    elif menu == "serve":
+        cmd = [py, os.path.join(SCRIPTS, "serve.py"),
+               "--checkpoint_dir", p["checkpoint_dir"],
+               "--model_type", p["model_type"],
+               "--base_filters", str(p["base_filters"]),
+               "--host", p["serve_host"],
+               "--port", str(p["serve_port"]),
+               "--max_batch", str(p["max_batch"]),
+               "--batch_window_ms", str(p["batch_window_ms"])]
+        if p["checkpoint_file"]:
+            cmd += ["--checkpoint_path", p["checkpoint_file"]]
         if p["quant_int8"]:
             cmd += ["--quant", "int8"]
         if p["tta"]:
@@ -316,7 +341,7 @@ class MRIUI:
     def options(self):
         if self.menu == "main":
             return ["Extract Paired Slices", "Train Super-Resolution Model",
-                    "Infer on Image", "Exit"]
+                    "Infer on Image", "Start Inference Server", "Exit"]
         return MENUS[self.menu] + ["▶ Run", "◀ Back"]
 
     def draw(self):
@@ -436,8 +461,9 @@ class MRIUI:
                 sel = opts[self.idx]
                 if self.menu == "main":
                     self.menu = {0: "extract_paired", 1: "train",
-                                 2: "infer"}.get(self.idx, "main")
-                    if self.idx == 3:
+                                 2: "infer", 3: "serve"}.get(self.idx,
+                                                             "main")
+                    if self.idx == 4:
                         return
                     self.idx = 0
                 elif sel == "◀ Back":

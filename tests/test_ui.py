@@ -63,6 +63,14 @@ def test_build_commands():
     i = cmd.index("--target_size")
     assert cmd[i + 1:i + 3] == ["256", "256"]
 
+    cmd = build_command("serve", p)
+    assert cmd[1].endswith("serve.py")
+    assert cmd[cmd.index("--port") + 1] == "8476"
+    assert cmd[cmd.index("--max_batch") + 1] == "64"
+    assert cmd[cmd.index("--checkpoint_path") + 1] == "ckpt/best.ckpt"
+    assert cmd[cmd.index("--quant") + 1] == "int8"  # toggle still on
+    assert "--cpu" in cmd
+
 
 def test_tui_renders_and_quits():
     """Launch under a pty, check the main menu renders, quit with q."""
