@@ -44,7 +44,8 @@ def export_artifact(path: str, params, model_cfg,
                     bf16: bool = True,
                     platforms: Sequence[str] = ("cpu", "tpu"),
                     mode: str = "plain",
-                    quant_scales=None) -> None:
+                    quant_scales=None,
+                    min_foreground: float = 0.05) -> None:
     """AOT-lower the clipped serving forward at each (H, W) in ``shapes``
     (batch symbolic) and write the single-file artifact.
 
@@ -55,9 +56,13 @@ def export_artifact(path: str, params, model_cfg,
                so artifact hosts get TTA without any ensemble logic;
     - "int8":  the frozen-scale int8 forward (requires ``quant_scales``,
                e.g. loaded from a QAT sidecar via quant_forward
-               .load_scales) with the quantized weights baked in. The
-               engine's content-aware bf16 routing is a host-side
-               policy an artifact host must apply itself if wanted.
+               .load_scales) with the quantized weights baked in. Each
+               shape carries TWO programs — int8 and the plain forward —
+               and the loader applies the engine's content-aware
+               routing (a batch under ``min_foreground`` fraction of
+               foreground pixels serves bf16: int8's noise floor is
+               ~26 dB PSNR on near-blank slices, infer/engine.py:345),
+               so artifact hosts keep the quality guardrail for free.
     """
     from jax import export as jexport
 
@@ -66,6 +71,9 @@ def export_artifact(path: str, params, model_cfg,
     if mode not in ("plain", "tta", "int8"):
         raise ValueError(f"unknown artifact mode {mode!r}")
     dtype = jnp.bfloat16 if bf16 else jnp.float32
+    model = build_model(model_cfg, dtype=dtype)
+    plain = lambda x: jnp.clip(
+        model.apply({"params": params}, x), 0.0, 1.0)
     if mode == "int8":
         from mri_superresolution_tpu.models import quant_forward
         if quant_scales is None:
@@ -76,9 +84,7 @@ def export_artifact(path: str, params, model_cfg,
             dtype=dtype)
         raw = lambda x: jnp.clip(int8_fn(params, x), 0.0, 1.0)
     else:
-        model = build_model(model_cfg, dtype=dtype)
-        raw = lambda x: jnp.clip(
-            model.apply({"params": params}, x), 0.0, 1.0)
+        raw = plain
 
     blobs = []
     for h, w in shapes:
@@ -100,9 +106,14 @@ def export_artifact(path: str, params, model_cfg,
                     "applies it; tta-mode artifacts pad internally)")
             fn = jax.jit(raw)
         b, = jexport.symbolic_shape("b")
-        exp = jexport.export(fn, platforms=tuple(platforms))(
-            jax.ShapeDtypeStruct((b, h, w, 1), jnp.float32))
+        spec = jax.ShapeDtypeStruct((b, h, w, 1), jnp.float32)
+        exp = jexport.export(fn, platforms=tuple(platforms))(spec)
         blobs.append(exp.serialize())
+        if mode == "int8":
+            # the routing fallback program (same shape, plain forward)
+            exp = jexport.export(jax.jit(plain),
+                                 platforms=tuple(platforms))(spec)
+            blobs.append(exp.serialize())
 
     header = {
         "format": "mri-sr-serving-artifact-v1",
@@ -115,6 +126,10 @@ def export_artifact(path: str, params, model_cfg,
         "shapes": [[int(h), int(w)] for h, w in shapes],
         "jax_version": jax.__version__,
     }
+    if mode == "int8":
+        # per shape: int8 program then its bf16 routing fallback
+        header["routed"] = True
+        header["min_foreground"] = float(min_foreground)
     hdr = json.dumps(header, sort_keys=True).encode()
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -134,11 +149,17 @@ class ServingArtifact:
     -> (N, 2h, 2w)) for the shapes the artifact was exported at.
     """
 
-    def __init__(self, header: Dict, programs: Dict[Tuple[int, int], object]):
+    def __init__(self, header: Dict, programs: Dict[Tuple[int, int], object],
+                 fallbacks: Optional[Dict[Tuple[int, int], object]] = None):
         self.header = header
         self.model_type = header["model_type"]
         self.mode = header.get("mode", "plain")
         self._programs = programs
+        # int8 artifacts ship a plain-forward fallback per shape and the
+        # engine's near-empty routing threshold (engine.py:345 parity)
+        self._fallbacks = fallbacks or {}
+        self.routed = bool(self._fallbacks)
+        self.min_foreground = float(header.get("min_foreground", 0.05))
 
     @property
     def shapes(self):
@@ -169,7 +190,7 @@ class ServingArtifact:
         batch i+1's compute with batch i's fetch)."""
         n, h, w = batch.shape
         if (h, w) in self._programs:
-            return (self._programs[(h, w)].call(
+            return (self._pick((h, w), batch).call(
                 np.ascontiguousarray(batch, np.float32)[..., None]),
                 (2 * h, 2 * w))
         if not pad:
@@ -187,10 +208,25 @@ class ServingArtifact:
                 f"no exported shape fits {h}x{w}; exported shapes: "
                 f"{self.shapes} (re-export with a larger shape)")
         ph, pw = min(fits, key=lambda s: s[0] * s[1])
+        # routing decides on the REAL pixels, before padding (engine
+        # parity: foreground_frac is measured pre-pad)
+        prog = self._pick((ph, pw), batch)
         padded = np.zeros((n, ph, pw), np.float32)
         padded[:, :h, :w] = batch
-        return (self._programs[(ph, pw)].call(padded[..., None]),
-                (2 * h, 2 * w))
+        return prog.call(padded[..., None]), (2 * h, 2 * w)
+
+    def _pick(self, key: Tuple[int, int], batch: np.ndarray):
+        """int8 artifacts route near-empty batches (< min_foreground
+        fraction of foreground pixels) to their baked plain-forward
+        fallback — int8's noise floor is ~26 dB PSNR on near-blank
+        slices (the serving engine's guardrail, infer/engine.py:345)."""
+        if self._fallbacks:
+            from mri_superresolution_tpu.ops.quant import (
+                FOREGROUND_INTENSITY)
+            if (np.abs(batch) > FOREGROUND_INTENSITY).mean() \
+                    < self.min_foreground:
+                return self._fallbacks[key]
+        return self._programs[key]
 
     def upscale_batches(self, batches, pad: bool = False):
         """Pipelined serving: yields each batch's output, dispatching
@@ -239,8 +275,12 @@ def load_artifact(path: str) -> ServingArtifact:
         header = json.loads(f.read(hlen).decode())
         if header.get("format") != "mri-sr-serving-artifact-v1":
             raise ValueError(f"unknown artifact format in {path}")
-        programs = {}
+        programs, fallbacks = {}, {}
+        routed = header.get("routed", False)
         for h, w in header["shapes"]:
             (blen,) = struct.unpack("<Q", f.read(8))
             programs[(h, w)] = jexport.deserialize(f.read(blen))
-    return ServingArtifact(header, programs)
+            if routed:
+                (blen,) = struct.unpack("<Q", f.read(8))
+                fallbacks[(h, w)] = jexport.deserialize(f.read(blen))
+    return ServingArtifact(header, programs, fallbacks)

@@ -196,10 +196,12 @@ def main():
                 f"No exact program for {h}x{w}; slices will be zero-padded "
                 "to the smallest fitting exported shape (same GroupNorm-"
                 "statistics caveat as the engine's bucket padding)")
-        if art.mode == "int8":
-            # the engine's near-empty bf16 routing is a host-side policy
-            # an int8 artifact cannot carry (it holds ONE program); warn
-            # when this volume actually has such slices (engine.py:345)
+        if art.mode == "int8" and not art.routed:
+            # legacy (pre-routing) int8 artifacts hold ONE program and
+            # cannot apply the engine's near-empty bf16 guardrail; warn
+            # when this volume actually has such slices (engine.py:345).
+            # Routed artifacts carry a baked bf16 fallback per shape and
+            # route per batch automatically.
             from mri_superresolution_tpu.ops.quant import (
                 FOREGROUND_INTENSITY)
             frac = (np.abs(norm) > FOREGROUND_INTENSITY).mean(axis=(1, 2))
@@ -208,10 +210,10 @@ def main():
             if n_empty:
                 logger.warning(
                     f"{n_empty}/{n_slices} slices are <{thresh:.0%} "
-                    "foreground; an int8 artifact serves them int8 (the "
-                    "checkpoint engine would route them to bf16 — int8 "
-                    "noise floor ~26 dB on near-blank slices). Serve "
-                    "from the checkpoint if those slices matter.")
+                    "foreground; this legacy int8 artifact serves them "
+                    "int8 (noise floor ~26 dB on near-blank slices). "
+                    "Re-export (routed fallback is now built in) or "
+                    "serve from the checkpoint.")
         try:
             starts = list(range(0, n_slices, args.batch_size))
             # pipelined: batch i+1 dispatches while batch i's output
@@ -259,7 +261,7 @@ def main():
     nifti.save(args.output, sr_vol, zooms=out_zooms, scl_slope=slope)
     logger.info(f"Wrote {args.output}: {sr_vol.shape} {sr_vol.dtype} at "
                 f"spacing {out_zooms}")
-    if args.quant != "none":
+    if args.quant != "none" and engine is not None:
         logger.info(engine.quant_summary())
 
     if args.save_png_dir:

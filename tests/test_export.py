@@ -173,11 +173,12 @@ def test_artifact_tta_mode(artifact, tmp_path, rng):
 
 def test_artifact_int8_mode(artifact, tmp_path, rng):
     """mode='int8' bakes the frozen-scale quantized forward (weights
-    pre-quantized) — output == the in-process int8 forward, and the
-    scales are required."""
+    pre-quantized) PLUS a plain-forward fallback per shape: rich batches
+    match the in-process int8 forward, near-empty batches route to the
+    bf16 fallback (the engine's guardrail), and scales are required."""
     from mri_superresolution_tpu.models import quant_forward as qf
 
-    _p, cfg, params = artifact
+    plain_path, cfg, params = artifact
     calib = rng.random((2, 16, 16, 1), dtype=np.float32)
     scales = qf.calibrate(params, [calib], cfg.model_type,
                           dtype=jnp.float32)
@@ -185,13 +186,25 @@ def test_artifact_int8_mode(artifact, tmp_path, rng):
     export_artifact(path, params, cfg, shapes=[(16, 16)], bf16=False,
                     platforms=("cpu",), mode="int8", quant_scales=scales)
     art = load_artifact(path)
-    assert art.mode == "int8"
+    assert art.mode == "int8" and art.routed
     x = rng.random((3, 16, 16), dtype=np.float32)
     fn = jax.jit(qf.build_int8_forward(params, scales, cfg.model_type,
                                        dtype=jnp.float32))
     want = np.clip(np.asarray(fn(params, x[..., None]))[..., 0], 0.0, 1.0)
     np.testing.assert_allclose(art.upscale_batch(x), want,
                                rtol=1e-5, atol=1e-6)
+    # a near-empty batch (<5% foreground) serves the baked bf16 fallback
+    empty = np.zeros((2, 16, 16), np.float32)
+    empty[:, :2, :2] = 0.5
+    plain = load_artifact(plain_path)
+    np.testing.assert_allclose(art.upscale_batch(empty),
+                               plain.upscale_batch(empty),
+                               rtol=1e-6, atol=1e-7)
+    int8_out = np.clip(np.asarray(
+        fn(params, empty[..., None]))[..., 0], 0.0, 1.0)
+    assert not np.allclose(art.upscale_batch(empty), int8_out,
+                           rtol=1e-5, atol=1e-6), \
+        "routing had no effect (int8 == bf16 on this input?)"
     with pytest.raises(ValueError, match="requires quant_scales"):
         export_artifact(str(tmp_path / "no.mrisrx"), params, cfg,
                         shapes=[(16, 16)], bf16=False, platforms=("cpu",),
