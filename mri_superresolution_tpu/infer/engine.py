@@ -401,6 +401,14 @@ class InferenceEngine:
             self._quant_batches["int8"] += 1
         return self._quant_fwd(self.params, jnp.asarray(x))
 
+    @property
+    def quant_calibrating(self) -> bool:
+        """True while int8 streaming self-calibration is still counting
+        real slices (scales not yet frozen). The serving daemon's batcher
+        disables zero-row batch padding during this phase so pad rows are
+        never counted as calibration slices (_calib_seen contract)."""
+        return self.quant == "int8" and self._quant_fwd is None
+
     def quant_summary(self) -> str:
         """One-line serving account for CLIs to log after a --quant run."""
         c = self._quant_batches

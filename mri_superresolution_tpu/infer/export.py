@@ -30,7 +30,7 @@ from __future__ import annotations
 import json
 import os
 import struct
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -116,7 +116,10 @@ def export_artifact(path: str, params, model_cfg,
             blobs.append(exp.serialize())
 
     header = {
-        "format": "mri-sr-serving-artifact-v1",
+        # v2 = two blobs per shape (int8 + routing fallback); pre-routing
+        # loaders must reject it loudly instead of mis-pairing blobs
+        "format": ("mri-sr-serving-artifact-v2" if mode == "int8"
+                   else "mri-sr-serving-artifact-v1"),
         "model_type": model_cfg.model_type,
         "base_filters": model_cfg.base_filters,
         "bf16": bool(bf16),
@@ -273,7 +276,8 @@ def load_artifact(path: str) -> ServingArtifact:
             raise ValueError(f"{path} is not a serving artifact")
         (hlen,) = struct.unpack("<I", f.read(4))
         header = json.loads(f.read(hlen).decode())
-        if header.get("format") != "mri-sr-serving-artifact-v1":
+        if header.get("format") not in ("mri-sr-serving-artifact-v1",
+                                        "mri-sr-serving-artifact-v2"):
             raise ValueError(f"unknown artifact format in {path}")
         programs, fallbacks = {}, {}
         routed = header.get("routed", False)

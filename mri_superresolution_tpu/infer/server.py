@@ -84,6 +84,8 @@ class DynamicBatcher:
         if pad_batches is None:
             pad_batches = not self._kwargs
         self.pad_batches = bool(pad_batches)
+        if int(max_batch) < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.max_batch = int(max_batch)
         self.batch_window_s = float(batch_window_ms) / 1e3
         self._queue: List[_Request] = []
@@ -165,8 +167,15 @@ class DynamicBatcher:
             for shape, group in groups.items():
                 try:
                     batch = np.stack([r.image for r in group])
-                    if self.pad_batches:
-                        target = 1 << (len(group) - 1).bit_length()
+                    # no padding while the engine's int8 streaming
+                    # calibration is counting slices: zero rows would be
+                    # counted as calibration data (engine._calib_seen)
+                    if self.pad_batches and not getattr(
+                            self._backend, "quant_calibrating", False):
+                        # clamp: pow2 must not exceed the operator's
+                        # device-batch cap (max_batch may not be pow2)
+                        target = min(1 << (len(group) - 1).bit_length(),
+                                     self.max_batch)
                         if target > len(group):
                             batch = np.concatenate(
                                 [batch, np.zeros((target - len(group),)
@@ -211,7 +220,6 @@ def _serve_volume(batcher: DynamicBatcher, body: bytes) -> bytes:
     batcher (scripts/infer_volume.py's simple path as a service: same
     per-slice percentile normalize, halved in-plane zooms)."""
     from mri_superresolution_tpu import nifti
-    from mri_superresolution_tpu.infer.engine import preprocess_image_array
 
     gz = body[:2] == b"\x1f\x8b"
     data, hdr = nifti.load_bytes(body)
@@ -219,10 +227,20 @@ def _serve_volume(batcher: DynamicBatcher, body: bytes) -> bytes:
         data = data[:, :, :, 0]
     if data.ndim != 3:
         raise ValueError(f"expected a 3D volume, got {data.ndim}D")
+    # per-slice percentile window + minmax (preprocess_image_array
+    # semantics), vectorized over the whole stack in ONE numpy call —
+    # a per-slice Python loop holds the GIL ~5 ms/slice against the
+    # other handler threads
+    stack = np.ascontiguousarray(
+        np.transpose(data, (2, 0, 1))).astype(np.float32)
+    lo, hi = np.percentile(stack, (0.5, 99.5), axis=(1, 2), keepdims=True)
+    stack = np.clip(stack, lo, hi)
+    span = hi - lo
+    stack = np.where(span > 0, (stack - lo) / np.where(span > 0, span, 1),
+                     stack)
     # submit EVERY slice before waiting — one volume becomes a few
     # max_batch-sized device batches, interleaving with other clients
-    reqs = [batcher.submit(preprocess_image_array(data[:, :, k]))
-            for k in range(data.shape[2])]
+    reqs = [batcher.submit(s) for s in stack]
     sr = np.stack([batcher.wait(r) for r in reqs], axis=2)
     zooms = list(hdr.zooms) + [1.0] * 3
     return nifti.save_bytes(

@@ -125,6 +125,37 @@ def test_batcher_pads_engine_batches_to_pow2(engine, rng):
         ab.close()
 
 
+def test_batcher_rejects_bad_max_batch(engine):
+    with pytest.raises(ValueError, match="max_batch"):
+        DynamicBatcher(engine, max_batch=0)
+
+
+def test_batcher_skips_padding_while_calibrating(rng):
+    """Zero pad rows must never be counted as int8 calibration slices:
+    while the engine's streaming calibration runs, groups serve at
+    exact sizes (engine._calib_seen counts only real slices)."""
+    model = UNetSuperRes(base_filters=16)
+    params = init_params(model, jax.random.key(0), (16, 16))
+    eng = InferenceEngine(ModelConfig(base_filters=16), params, bf16=False,
+                          quant="int8", quant_calib_slices=5)
+    assert eng.quant_calibrating
+    b = DynamicBatcher(eng, max_batch=8, batch_window_ms=150.0)
+    try:
+        reqs = [b.submit(rng.random((16, 16), dtype=np.float32))
+                for _ in range(3)]
+        for r in reqs:
+            b.wait(r, 120)
+        assert eng._calib_seen == 3, (
+            f"pad rows were counted as calibration slices "
+            f"({eng._calib_seen} != 3)")
+        # once frozen, padding resumes
+        for _ in range(2):
+            b.upscale(rng.random((16, 16), dtype=np.float32), timeout=120)
+        assert not eng.quant_calibrating
+    finally:
+        b.close()
+
+
 def test_http_server_roundtrip(engine, rng):
     """POST /upscale serves .npy in/out; GET /healthz reports stats; a
     (N, H, W) volume payload coalesces into batched forwards."""
