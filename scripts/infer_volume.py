@@ -18,95 +18,19 @@ sys.path.insert(0, os.path.abspath(
 from scripts._bootstrap import force_cpu_if_requested  # noqa: E402
 
 
-def main():
-    parser = argparse.ArgumentParser(
-        description="Super-resolve a whole NIfTI volume (2x in-plane)")
-    parser.add_argument('--input', type=str, required=True,
-                        help='Input .nii/.nii.gz volume')
-    parser.add_argument('--output', type=str, required=True,
-                        help='Output .nii/.nii.gz volume')
-    parser.add_argument('--checkpoint_dir', type=str, default='./checkpoints')
-    parser.add_argument('--checkpoint_path', type=str, default=None)
-    parser.add_argument('--artifact', type=str, default=None,
-                        help='Serve from a portable AOT artifact '
-                             '(tools/export_serving.py) instead of a '
-                             'checkpoint — no model code loaded. Slices '
-                             'with no exact exported (H, W) program are '
-                             'zero-padded to the smallest fitting shape '
-                             '(refused for tta-mode artifacts). '
-                             'Incompatible with --quant/--spatial_shards/'
-                             '--serve_raw/--out_dtype/--tta (bake those '
-                             'into the artifact at export time).')
-    parser.add_argument('--model_type', type=str,
-                        choices=['unet', 'unet_tpu', 'edsr', 'simple'], default='unet')
-    parser.add_argument('--base_filters', type=int, default=32)
-    parser.add_argument('--batch_size', type=int, default=64,
-                        help='Slices per forward pass')
-    parser.add_argument('--tile', type=int, default=512,
-                        help='Use halo-tiled inference above this slice size')
-    parser.add_argument('--num_devices', type=int, default=0,
-                        help='Mesh size for sharded batches (0 = all)')
-    parser.add_argument('--save_png_dir', type=str, default=None,
-                        help='Optionally also dump per-slice PNGs here')
-    parser.add_argument('--cpu', action='store_true')
-    parser.add_argument('--no_bf16', action='store_true')
-    parser.add_argument('--bucket', type=int, default=1,
-                        help='Pad slices to a multiple of this before the '
-                             'jitted forward (1 = native size)')
-    parser.add_argument('--quant', type=str, choices=['none', 'int8'],
-                        default='none',
-                        help='int8 PTQ serving: streaming self-calibration '
-                             'over the first batches (served bf16), then '
-                             'int8 (see --quant_calib_slices)')
-    parser.add_argument('--quant_calib_slices', type=int, default=8,
-                        help='slices of streaming calibration before int8 '
-                             'serving starts (one typical volume batch '
-                             'completes it)')
-    parser.add_argument('--quant_calib', type=str, default=None,
-                        metavar='PATH',
-                        help='JSON sidecar of frozen int8 scales: loaded if '
-                             'it exists (deterministic int8 from batch 0), '
-                             'otherwise written after self-calibration')
-    parser.add_argument('--spatial_shards', type=int, default=1,
-                        help='Shard each slice\'s row axis over this many '
-                             'mesh devices (halo-exchange spatial '
-                             'parallelism) for slices too large per chip; '
-                             'must divide the visible device count')
-    parser.add_argument('--tta', action='store_true',
-                        help='Test-time augmentation: average the forward '
-                             'over the dihedral flips (8 transforms for '
-                             'square slices, 4 otherwise)')
-    parser.add_argument('--serve_raw', action='store_true',
-                        help='Upload the stored voxel values (e.g. int16) '
-                             'and normalize ON DEVICE inside the serving '
-                             'program — 2-4x less host->device transfer '
-                             'and no host percentile cost. Exact: the '
-                             'percentile+minmax normalize is invariant to '
-                             'the NIfTI scl_slope scaling it skips. '
-                             'Not available with --quant int8.')
-    parser.add_argument('--out_dtype', type=str, default='float32',
-                        choices=['float32', 'int16', 'uint8'],
-                        help='Output voxel coding. int16/uint8 pack '
-                             'round(y*32767 / y*255) ON DEVICE (2-4x less '
-                             'device->host transfer) and store the NIfTI '
-                             'scl_slope that decodes back to [0,1]; '
-                             'int16 adds ~90 dB quantization SNR — far '
-                             'above the model PSNR. float32 = exact.')
-    args = parser.parse_args()
-    force_cpu_if_requested()
-
+def _serve_one(args, engine, art, logger, input_path, output_path) -> int:
+    """Serve ONE volume through the already-loaded backend (the compiled
+    forwards live on the engine/artifact, so directory batches reuse
+    them across volumes). Returns 0/1 like a CLI."""
     import numpy as np
     import jax
+    import jax.numpy as jnp
     from mri_superresolution_tpu import nifti
-    from mri_superresolution_tpu.config import InferConfig, ModelConfig
-    from mri_superresolution_tpu.infer import load_engine
+    from mri_superresolution_tpu.config import InferConfig
     from mri_superresolution_tpu.ops.normalize import (minmax_normalize,
                                                        percentile_window)
-    from mri_superresolution_tpu.utils.logging import setup_logging
-    import jax.numpy as jnp
 
-    logger = setup_logging("inference.log")
-    data, hdr = nifti.load(args.input, raw=args.serve_raw)
+    data, hdr = nifti.load(input_path, raw=args.serve_raw)
     if data.ndim == 4:
         logger.info("4D input: super-resolving timepoint 0")
         data = data[:, :, :, 0]
@@ -114,55 +38,8 @@ def main():
         logger.error(f"Expected a 3D volume, got {data.ndim}D")
         return 1
     h, w, n_slices = data.shape
-    logger.info(f"Volume {args.input}: {h}x{w}, {n_slices} slices"
+    logger.info(f"Volume {input_path}: {h}x{w}, {n_slices} slices"
                 + (f" (raw {data.dtype} served)" if args.serve_raw else ""))
-
-    art = None
-    if args.artifact:
-        from mri_superresolution_tpu.infer.export import load_artifact
-        art = load_artifact(args.artifact)
-        # a flag whose mode IS baked into the artifact is satisfied, not
-        # incompatible (mirrors infer.py's mode-aware handling)
-        bad = [name for name, on in
-               (("--quant", args.quant != "none" and art.mode != "int8"),
-                ("--spatial_shards", args.spatial_shards != 1),
-                ("--serve_raw", args.serve_raw),
-                ("--out_dtype", args.out_dtype != "float32"),
-                ("--tta", args.tta and art.mode != "tta"))
-               if on]
-        if bad:
-            logger.error(
-                f"--artifact is incompatible with {', '.join(bad)}; bake "
-                "those modes into the artifact at export time "
-                "(tools/export_serving.py --mode tta|int8) or serve from "
-                "a checkpoint")
-            return 1
-        ignored = [name for name, on in
-                   (("--bucket", args.bucket != 1),
-                    ("--num_devices", args.num_devices != 0))
-                   if on]
-        if ignored:
-            logger.warning(f"{', '.join(ignored)} are IGNORED with "
-                           "--artifact (programs run at their exported "
-                           "shapes on the default device)")
-        logger.info(f"Serving from artifact {args.artifact}: "
-                    f"{art.model_type} mode={art.mode}, shapes "
-                    f"{art.shapes} (no model code loaded)")
-        engine = None
-    else:
-        engine = load_engine(
-            InferConfig(model=ModelConfig(model_type=args.model_type,
-                                          base_filters=args.base_filters),
-                        checkpoint_dir=args.checkpoint_dir,
-                        checkpoint_path=args.checkpoint_path,
-                        bf16=not args.no_bf16, bucket=args.bucket,
-                        spatial_shards=args.spatial_shards, quant=args.quant,
-                        quant_calib_slices=args.quant_calib_slices,
-                        quant_calib_path=args.quant_calib, tta=args.tta,
-                        normalize_inputs=args.serve_raw,
-                        transpose_io=args.serve_raw and not args.tta,
-                        out_dtype=args.out_dtype),
-            num_devices=args.num_devices)
 
     if args.serve_raw and not args.tta:
         # ZERO-copy host path: the volume's F-order (h, w, n) buffer IS a
@@ -258,16 +135,14 @@ def main():
              np.dtype(np.int16): 1.0 / 32767.0}.get(sr_vol.dtype, 1.0)
     if sr_vol.dtype == np.float64:  # float32 stays a no-copy view
         sr_vol = sr_vol.astype(np.float32)
-    nifti.save(args.output, sr_vol, zooms=out_zooms, scl_slope=slope)
-    logger.info(f"Wrote {args.output}: {sr_vol.shape} {sr_vol.dtype} at "
+    nifti.save(output_path, sr_vol, zooms=out_zooms, scl_slope=slope)
+    logger.info(f"Wrote {output_path}: {sr_vol.shape} {sr_vol.dtype} at "
                 f"spacing {out_zooms}")
-    if args.quant != "none" and engine is not None:
-        logger.info(engine.quant_summary())
 
     if args.save_png_dir:
         import cv2
         os.makedirs(args.save_png_dir, exist_ok=True)
-        base = os.path.splitext(os.path.basename(args.input))[0]
+        base = os.path.splitext(os.path.basename(input_path))[0]
         to_u8 = {np.dtype(np.uint8): lambda s: s,
                  np.dtype(np.int16): lambda s: np.round(
                      s * (255.0 / 32767.0)).astype(np.uint8)}
@@ -280,6 +155,169 @@ def main():
                                      f"{base}_s{i:03d}.png"),
                         conv(plane))
         logger.info(f"Wrote {sr.shape[0]} PNGs to {args.save_png_dir}")
+    return 0
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Super-resolve a whole NIfTI volume (2x in-plane)")
+    parser.add_argument('--input', type=str, required=True,
+                        help='Input .nii/.nii.gz volume, or a DIRECTORY: '
+                             'every volume in it is served through the '
+                             'one loaded backend (compiled forwards '
+                             'shared), outputs written as <stem>_sr.nii* '
+                             'under --output')
+    parser.add_argument('--output', type=str, required=True,
+                        help='Output .nii/.nii.gz volume (or output '
+                             'directory when --input is a directory)')
+    parser.add_argument('--checkpoint_dir', type=str, default='./checkpoints')
+    parser.add_argument('--checkpoint_path', type=str, default=None)
+    parser.add_argument('--artifact', type=str, default=None,
+                        help='Serve from a portable AOT artifact '
+                             '(tools/export_serving.py) instead of a '
+                             'checkpoint — no model code loaded. Slices '
+                             'with no exact exported (H, W) program are '
+                             'zero-padded to the smallest fitting shape '
+                             '(refused for tta-mode artifacts). '
+                             'Incompatible with --quant/--spatial_shards/'
+                             '--serve_raw/--out_dtype/--tta (bake those '
+                             'into the artifact at export time).')
+    parser.add_argument('--model_type', type=str,
+                        choices=['unet', 'unet_tpu', 'edsr', 'simple'], default='unet')
+    parser.add_argument('--base_filters', type=int, default=32)
+    parser.add_argument('--batch_size', type=int, default=64,
+                        help='Slices per forward pass')
+    parser.add_argument('--tile', type=int, default=512,
+                        help='Use halo-tiled inference above this slice size')
+    parser.add_argument('--num_devices', type=int, default=0,
+                        help='Mesh size for sharded batches (0 = all)')
+    parser.add_argument('--save_png_dir', type=str, default=None,
+                        help='Optionally also dump per-slice PNGs here')
+    parser.add_argument('--cpu', action='store_true')
+    parser.add_argument('--no_bf16', action='store_true')
+    parser.add_argument('--bucket', type=int, default=1,
+                        help='Pad slices to a multiple of this before the '
+                             'jitted forward (1 = native size)')
+    parser.add_argument('--quant', type=str, choices=['none', 'int8'],
+                        default='none',
+                        help='int8 PTQ serving: streaming self-calibration '
+                             'over the first batches (served bf16), then '
+                             'int8 (see --quant_calib_slices)')
+    parser.add_argument('--quant_calib_slices', type=int, default=8,
+                        help='slices of streaming calibration before int8 '
+                             'serving starts (one typical volume batch '
+                             'completes it)')
+    parser.add_argument('--quant_calib', type=str, default=None,
+                        metavar='PATH',
+                        help='JSON sidecar of frozen int8 scales: loaded if '
+                             'it exists (deterministic int8 from batch 0), '
+                             'otherwise written after self-calibration')
+    parser.add_argument('--spatial_shards', type=int, default=1,
+                        help='Shard each slice\'s row axis over this many '
+                             'mesh devices (halo-exchange spatial '
+                             'parallelism) for slices too large per chip; '
+                             'must divide the visible device count')
+    parser.add_argument('--tta', action='store_true',
+                        help='Test-time augmentation: average the forward '
+                             'over the dihedral flips (8 transforms for '
+                             'square slices, 4 otherwise)')
+    parser.add_argument('--serve_raw', action='store_true',
+                        help='Upload the stored voxel values (e.g. int16) '
+                             'and normalize ON DEVICE inside the serving '
+                             'program — 2-4x less host->device transfer '
+                             'and no host percentile cost. Exact: the '
+                             'percentile+minmax normalize is invariant to '
+                             'the NIfTI scl_slope scaling it skips. '
+                             'Not available with --quant int8.')
+    parser.add_argument('--out_dtype', type=str, default='float32',
+                        choices=['float32', 'int16', 'uint8'],
+                        help='Output voxel coding. int16/uint8 pack '
+                             'round(y*32767 / y*255) ON DEVICE (2-4x less '
+                             'device->host transfer) and store the NIfTI '
+                             'scl_slope that decodes back to [0,1]; '
+                             'int16 adds ~90 dB quantization SNR — far '
+                             'above the model PSNR. float32 = exact.')
+    args = parser.parse_args()
+    force_cpu_if_requested()
+
+    from mri_superresolution_tpu.config import InferConfig, ModelConfig
+    from mri_superresolution_tpu.infer import load_engine
+    from mri_superresolution_tpu.utils.logging import setup_logging
+
+    logger = setup_logging("inference.log")
+    art = None
+    if args.artifact:
+        from mri_superresolution_tpu.infer.export import load_artifact
+        art = load_artifact(args.artifact)
+        # a flag whose mode IS baked into the artifact is satisfied, not
+        # incompatible (mirrors infer.py's mode-aware handling)
+        bad = [name for name, on in
+               (("--quant", args.quant != "none" and art.mode != "int8"),
+                ("--spatial_shards", args.spatial_shards != 1),
+                ("--serve_raw", args.serve_raw),
+                ("--out_dtype", args.out_dtype != "float32"),
+                ("--tta", args.tta and art.mode != "tta"))
+               if on]
+        if bad:
+            logger.error(
+                f"--artifact is incompatible with {', '.join(bad)}; bake "
+                "those modes into the artifact at export time "
+                "(tools/export_serving.py --mode tta|int8) or serve from "
+                "a checkpoint")
+            return 1
+        ignored = [name for name, on in
+                   (("--bucket", args.bucket != 1),
+                    ("--num_devices", args.num_devices != 0))
+                   if on]
+        if ignored:
+            logger.warning(f"{', '.join(ignored)} are IGNORED with "
+                           "--artifact (programs run at their exported "
+                           "shapes on the default device)")
+        logger.info(f"Serving from artifact {args.artifact}: "
+                    f"{art.model_type} mode={art.mode}, shapes "
+                    f"{art.shapes} (no model code loaded)")
+        engine = None
+    else:
+        engine = load_engine(
+            InferConfig(model=ModelConfig(model_type=args.model_type,
+                                          base_filters=args.base_filters),
+                        checkpoint_dir=args.checkpoint_dir,
+                        checkpoint_path=args.checkpoint_path,
+                        bf16=not args.no_bf16, bucket=args.bucket,
+                        spatial_shards=args.spatial_shards, quant=args.quant,
+                        quant_calib_slices=args.quant_calib_slices,
+                        quant_calib_path=args.quant_calib, tta=args.tta,
+                        normalize_inputs=args.serve_raw,
+                        transpose_io=args.serve_raw and not args.tta,
+                        out_dtype=args.out_dtype),
+            num_devices=args.num_devices)
+    inputs = [args.input]
+    if os.path.isdir(args.input):
+        import glob
+        inputs = sorted(glob.glob(os.path.join(args.input, "*.nii"))
+                        + glob.glob(os.path.join(args.input, "*.nii.gz")))
+        if not inputs:
+            logger.error(f"No .nii/.nii.gz volumes in {args.input}")
+            return 1
+        os.makedirs(args.output, exist_ok=True)
+        logger.info(f"Batch mode: {len(inputs)} volume(s) from "
+                    f"{args.input} -> {args.output}/ (one loaded backend, "
+                    "compiled forwards shared across volumes)")
+    failed = 0
+    for ip in inputs:
+        if len(inputs) == 1 and not os.path.isdir(args.input):
+            op = args.output
+        else:
+            base = os.path.basename(ip)
+            stem, ext = ((base[:-7], ".nii.gz") if base.endswith(".nii.gz")
+                         else (os.path.splitext(base)[0], ".nii"))
+            op = os.path.join(args.output, stem + "_sr" + ext)
+        failed += _serve_one(args, engine, art, logger, ip, op) != 0
+    if args.quant != "none" and engine is not None:
+        logger.info(engine.quant_summary())
+    if failed:
+        logger.error(f"{failed}/{len(inputs)} volume(s) failed")
+        return 1
     return 0
 
 

@@ -145,6 +145,33 @@ def test_infer_volume_cli_artifact(workspace):
     assert r.returncode == 1 and "incompatible" in r.stderr
 
 
+def test_infer_volume_cli_directory_batch(workspace):
+    """--input as a DIRECTORY serves every volume through one loaded
+    backend, writing <stem>_sr outputs under --output."""
+    import shutil
+    from mri_superresolution_tpu import nifti
+    vdir = workspace / "vols"
+    vdir.mkdir(exist_ok=True)
+    src = workspace / "datasets" / "s1" / "sub-01" / "anat" / "sub-01_T1w.nii.gz"
+    shutil.copy(src, vdir / "a.nii.gz")
+    shutil.copy(src, vdir / "b.nii.gz")
+    r = _run([os.path.join(SCRIPTS, "infer_volume.py"),
+              "--input", "./vols", "--output", "./vols_sr",
+              "--checkpoint_dir", "./ckpt", "--batch_size", "8", "--cpu"],
+             cwd=str(workspace))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Batch mode: 2 volume(s)" in r.stderr
+    for name in ("a_sr.nii.gz", "b_sr.nii.gz"):
+        data, _ = nifti.load(str(workspace / "vols_sr" / name))
+        assert data.shape == (80, 72, 24)
+    # empty directory is a clean error
+    (workspace / "vols_empty").mkdir(exist_ok=True)
+    r = _run([os.path.join(SCRIPTS, "infer_volume.py"),
+              "--input", "./vols_empty", "--output", "./x",
+              "--checkpoint_dir", "./ckpt", "--cpu"], cwd=str(workspace))
+    assert r.returncode == 1 and "No .nii/.nii.gz volumes" in r.stderr
+
+
 def test_infer_volume_cli_tta_artifact(workspace):
     """--tta paired with a tta-mode artifact is satisfied (not refused):
     the baked 4-member ensemble serves the exact-shape volume."""
