@@ -41,6 +41,10 @@ def main():
                     help="linger this long after the first request for "
                          "stragglers to coalesce")
     ap.add_argument("--bucket", type=int, default=1)
+    ap.add_argument("--spatial_shards", type=int, default=1,
+                    help="row-shard each slice over this many mesh "
+                         "devices (halo-exchange spatial parallelism "
+                         "for slices too large per chip)")
     ap.add_argument("--quant", choices=["none", "int8"], default="none")
     ap.add_argument("--quant_calib", default=None)
     ap.add_argument("--tta", action="store_true")
@@ -73,18 +77,32 @@ def main():
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_path=args.checkpoint_path,
             bf16=not args.no_bf16, bucket=args.bucket,
+            spatial_shards=args.spatial_shards,
             quant=args.quant, quant_calib_path=args.quant_calib,
             tta=args.tta), num_devices=args.num_devices)
         describe = (f"checkpoint {backend.model_cfg.model_type} "
                     f"bf={backend.model_cfg.base_filters} "
                     f"quant={args.quant} tta={args.tta}")
+    import signal
+    import threading
+
+    started = threading.Event()
+    server = serve_http(backend, host=args.host, port=args.port,
+                        max_batch=args.max_batch,
+                        batch_window_ms=args.batch_window_ms,
+                        describe=describe, started=started)
+
+    def _stop(signum, frame):
+        logger.info(f"Signal {signum}; draining and shutting down")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
     try:
-        serve_http(backend, host=args.host, port=args.port,
-                   max_batch=args.max_batch,
-                   batch_window_ms=args.batch_window_ms,
-                   describe=describe)
-    except KeyboardInterrupt:
-        logger.info("Interrupted; shutting down")
+        server.serve_forever()
+    finally:
+        server.batcher.close()
+        logger.info("Server stopped")
     return 0
 
 

@@ -86,6 +86,7 @@ DEFAULT_PARAMS = {
     "serve_port": 8476,
     "max_batch": 64,
     "batch_window_ms": 5.0,
+    "artifact_file": "",
 }
 
 MENUS = {
@@ -109,9 +110,9 @@ MENUS = {
         "show_diff", "quant_int8", "tta", "cpu",
     ],
     "serve": [
-        "checkpoint_dir", "checkpoint_file", "model_type", "base_filters",
-        "serve_host", "serve_port", "max_batch", "batch_window_ms",
-        "quant_int8", "tta", "cpu",
+        "checkpoint_dir", "checkpoint_file", "artifact_file", "model_type",
+        "base_filters", "serve_host", "serve_port", "max_batch",
+        "batch_window_ms", "spatial_shards", "quant_int8", "tta", "cpu",
     ],
 }
 
@@ -232,8 +233,12 @@ def build_command(menu, p):
                "--port", str(p["serve_port"]),
                "--max_batch", str(p["max_batch"]),
                "--batch_window_ms", str(p["batch_window_ms"])]
+        if p["artifact_file"]:
+            cmd += ["--artifact", p["artifact_file"]]
         if p["checkpoint_file"]:
             cmd += ["--checkpoint_path", p["checkpoint_file"]]
+        if p["spatial_shards"] != 1:
+            cmd += ["--spatial_shards", str(p["spatial_shards"])]
         if p["quant_int8"]:
             cmd += ["--quant", "int8"]
         if p["tta"]:

@@ -125,6 +125,24 @@ def test_batcher_pads_engine_batches_to_pow2(engine, rng):
         ab.close()
 
 
+def test_batcher_spatial_engine(rng):
+    """serve.py --spatial_shards: the batcher composes with a
+    row-sharded engine (halo-exchange forward under shard_map)."""
+    model = UNetSuperRes(base_filters=16)
+    params = init_params(model, jax.random.key(0), (32, 32))
+    eng = InferenceEngine(ModelConfig(base_filters=16), params, bf16=False,
+                          spatial_shards=2, num_devices=2)
+    x = rng.random((3, 32, 32), dtype=np.float32)
+    want = eng.upscale_batch(x)
+    b = DynamicBatcher(eng, max_batch=8, batch_window_ms=100.0)
+    try:
+        reqs = [b.submit(s) for s in x]
+        got = np.stack([b.wait(r, 120) for r in reqs])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    finally:
+        b.close()
+
+
 def test_batcher_rejects_bad_max_batch(engine):
     with pytest.raises(ValueError, match="max_batch"):
         DynamicBatcher(engine, max_batch=0)
