@@ -251,10 +251,13 @@ def _serve_volume(batcher: DynamicBatcher, body: bytes) -> bytes:
 
 def serve_http(backend, host: str = "127.0.0.1", port: int = 8476,
                max_batch: int = 64, batch_window_ms: float = 5.0,
-               describe: str = "", started: Optional[threading.Event] = None):
-    """Run the HTTP serving loop (blocking). Returns the server object
-    if ``started`` is given (test harnesses run ``serve_forever`` in a
-    thread and shut it down); otherwise blocks until interrupted.
+               describe: str = ""):
+    """Build the HTTP server (never blocks): returns a
+    ``ThreadingHTTPServer`` with a started ``DynamicBatcher`` attached
+    as ``.batcher``. The caller owns the loop and shutdown order:
+    ``serve_forever()``, then ``server_close()`` (joins in-flight
+    handler threads — the drain), then ``batcher.close()``
+    (scripts/serve.py and tests/test_server.py both follow it).
 
     Endpoints:
     - ``POST /upscale``  body: ``.npy`` (H, W) or (N, H, W), float [0,1]
@@ -319,14 +322,7 @@ def serve_http(backend, host: str = "127.0.0.1", port: int = 8476,
                             "application/json")
 
     server = ThreadingHTTPServer((host, port), Handler)
-    server.batcher = batcher  # for test harnesses / clean shutdown
+    server.batcher = batcher  # callers close this after server_close()
     logger.info(f"Serving on http://{host}:{server.server_address[1]} "
                 f"(max_batch={max_batch}, window={batch_window_ms}ms)")
-    if started is not None:
-        started.set()
-        return server
-    try:
-        server.serve_forever()
-    finally:
-        batcher.close()
     return server

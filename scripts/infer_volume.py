@@ -17,18 +17,33 @@ sys.path.insert(0, os.path.abspath(
 
 from scripts._bootstrap import force_cpu_if_requested  # noqa: E402
 
+_NORM_FN = None  # lazily-built jitted normalize, shared across volumes
+
+
+def _normalize_stack(stack):
+    """Per-slice percentile window + minmax on device. Built ONCE and
+    cached: jax.jit keys its cache on the function object, so a fresh
+    lambda per volume would recompile for every volume of a directory
+    batch (~20 s per repeat compile on the tunnel)."""
+    global _NORM_FN
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mri_superresolution_tpu.ops.normalize import (minmax_normalize,
+                                                       percentile_window)
+    if _NORM_FN is None:
+        _NORM_FN = jax.jit(jax.vmap(
+            lambda s: minmax_normalize(percentile_window(s))))
+    return np.asarray(_NORM_FN(jnp.asarray(stack)))
+
 
 def _serve_one(args, engine, art, logger, input_path, output_path) -> int:
     """Serve ONE volume through the already-loaded backend (the compiled
     forwards live on the engine/artifact, so directory batches reuse
     them across volumes). Returns 0/1 like a CLI."""
     import numpy as np
-    import jax
-    import jax.numpy as jnp
     from mri_superresolution_tpu import nifti
     from mri_superresolution_tpu.config import InferConfig
-    from mri_superresolution_tpu.ops.normalize import (minmax_normalize,
-                                                       percentile_window)
 
     data, hdr = nifti.load(input_path, raw=args.serve_raw)
     if data.ndim == 4:
@@ -53,11 +68,7 @@ def _serve_one(args, engine, art, logger, input_path, output_path) -> int:
         norm = np.ascontiguousarray(np.transpose(data, (2, 0, 1)))
     else:
         stack = np.ascontiguousarray(np.transpose(data, (2, 0, 1)))
-        # per-slice percentile window + minmax, batched on device
-        stack = stack.astype(np.float32)
-        norm = np.asarray(jax.jit(jax.vmap(
-            lambda s: minmax_normalize(percentile_window(s))))(
-                jnp.asarray(stack)))
+        norm = _normalize_stack(stack.astype(np.float32))
 
     outs = []
     if art is not None:
@@ -291,28 +302,42 @@ def main():
                         transpose_io=args.serve_raw and not args.tta,
                         out_dtype=args.out_dtype),
             num_devices=args.num_devices)
+    is_dir = os.path.isdir(args.input)
     inputs = [args.input]
-    if os.path.isdir(args.input):
+    if is_dir:
         import glob
         inputs = sorted(glob.glob(os.path.join(args.input, "*.nii"))
                         + glob.glob(os.path.join(args.input, "*.nii.gz")))
         if not inputs:
             logger.error(f"No .nii/.nii.gz volumes in {args.input}")
             return 1
-        os.makedirs(args.output, exist_ok=True)
+        try:
+            os.makedirs(args.output, exist_ok=True)
+        except OSError as e:
+            logger.error(f"Cannot create output directory "
+                         f"{args.output}: {e}")
+            return 1
         logger.info(f"Batch mode: {len(inputs)} volume(s) from "
                     f"{args.input} -> {args.output}/ (one loaded backend, "
                     "compiled forwards shared across volumes)")
     failed = 0
     for ip in inputs:
-        if len(inputs) == 1 and not os.path.isdir(args.input):
+        if not is_dir:
             op = args.output
         else:
             base = os.path.basename(ip)
             stem, ext = ((base[:-7], ".nii.gz") if base.endswith(".nii.gz")
                          else (os.path.splitext(base)[0], ".nii"))
             op = os.path.join(args.output, stem + "_sr" + ext)
-        failed += _serve_one(args, engine, art, logger, ip, op) != 0
+        try:
+            failed += _serve_one(args, engine, art, logger, ip, op) != 0
+        except Exception as e:
+            # one corrupt/unreadable volume must not abort a directory
+            # batch: count it failed and keep serving the rest
+            logger.error(f"{ip}: {type(e).__name__}: {e}")
+            failed += 1
+            if not is_dir:
+                return 1
     if args.quant != "none" and engine is not None:
         logger.info(engine.quant_summary())
     if failed:

@@ -64,6 +64,26 @@ def main():
     if args.artifact:
         from mri_superresolution_tpu.infer.export import load_artifact
         backend = load_artifact(args.artifact)
+        # engine-side flags must not be silently dropped: a mode the
+        # artifact bakes in is satisfied; anything else is refused
+        # (infer_volume.py's exact policy)
+        bad = [name for name, on in
+               (("--quant", args.quant != "none"
+                 and backend.mode != "int8"),
+                ("--tta", args.tta and backend.mode != "tta"),
+                ("--spatial_shards", args.spatial_shards != 1),
+                ("--num_devices", args.num_devices != 0))
+               if on]
+        if bad:
+            logger.error(
+                f"--artifact is incompatible with {', '.join(bad)}; bake "
+                "those modes into the artifact at export time "
+                "(tools/export_serving.py --mode tta|int8) or serve from "
+                "a checkpoint")
+            return 1
+        if args.bucket != 1:
+            logger.warning("--bucket is IGNORED with --artifact (programs "
+                           "run at their exported shapes)")
         describe = (f"artifact {os.path.basename(args.artifact)} "
                     f"{backend.model_type} mode={backend.mode} "
                     f"shapes={backend.shapes}")
@@ -86,11 +106,10 @@ def main():
     import signal
     import threading
 
-    started = threading.Event()
     server = serve_http(backend, host=args.host, port=args.port,
                         max_batch=args.max_batch,
                         batch_window_ms=args.batch_window_ms,
-                        describe=describe, started=started)
+                        describe=describe)
 
     def _stop(signum, frame):
         logger.info(f"Signal {signum}; draining and shutting down")
@@ -101,6 +120,9 @@ def main():
     try:
         server.serve_forever()
     finally:
+        # join in-flight handler threads (block_on_close) BEFORE closing
+        # the batcher, so accepted requests finish being served
+        server.server_close()
         server.batcher.close()
         logger.info("Server stopped")
     return 0

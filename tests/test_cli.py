@@ -155,12 +155,16 @@ def test_infer_volume_cli_directory_batch(workspace):
     src = workspace / "datasets" / "s1" / "sub-01" / "anat" / "sub-01_T1w.nii.gz"
     shutil.copy(src, vdir / "a.nii.gz")
     shutil.copy(src, vdir / "b.nii.gz")
+    (vdir / "corrupt.nii").write_bytes(b"not a nifti at all")
     r = _run([os.path.join(SCRIPTS, "infer_volume.py"),
               "--input", "./vols", "--output", "./vols_sr",
               "--checkpoint_dir", "./ckpt", "--batch_size", "8", "--cpu"],
              cwd=str(workspace))
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "Batch mode: 2 volume(s)" in r.stderr
+    # the corrupt volume fails the RUN (exit 1) but not the batch: the
+    # good volumes still serve
+    assert r.returncode == 1, r.stderr[-2000:]
+    assert "Batch mode: 3 volume(s)" in r.stderr
+    assert "1/3 volume(s) failed" in r.stderr
     for name in ("a_sr.nii.gz", "b_sr.nii.gz"):
         data, _ = nifti.load(str(workspace / "vols_sr" / name))
         assert data.shape == (80, 72, 24)

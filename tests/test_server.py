@@ -179,11 +179,8 @@ def test_http_server_roundtrip(engine, rng):
     (N, H, W) volume payload coalesces into batched forwards."""
     import io
 
-    started = threading.Event()
     server = serve_http(engine, host="127.0.0.1", port=0, max_batch=16,
-                        batch_window_ms=50.0, describe="test-engine",
-                        started=started)
-    assert started.is_set()
+                        batch_window_ms=50.0, describe="test-engine")
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     base = f"http://127.0.0.1:{server.server_address[1]}"
@@ -245,6 +242,7 @@ def test_http_server_roundtrip(engine, rng):
         np.testing.assert_allclose(sr, want, rtol=1e-5, atol=1e-5)
     finally:
         server.shutdown()
+        server.server_close()
         server.batcher.close()
         thread.join(10)
 

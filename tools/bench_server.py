@@ -92,10 +92,9 @@ def main():
     print(f"DynamicBatcher    : {total / batcher_s:10.1f} slices/s "
           f"(+{(batcher_s / direct_s - 1) * 100:5.1f}% vs direct)")
 
-    started = threading.Event()
     server = serve_http(engine, host="127.0.0.1", port=0,
                         max_batch=args.max_batch,
-                        batch_window_ms=args.window_ms, started=started)
+                        batch_window_ms=args.window_ms)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     url = f"http://127.0.0.1:{server.server_address[1]}/upscale"
@@ -131,6 +130,7 @@ def main():
     http_s = timed(via_http)
     stats = server.batcher.stats
     server.shutdown()
+    server.server_close()
     server.batcher.close()
     print(f"HTTP x{args.clients} clients : {total / http_s:10.1f} slices/s "
           f"(+{(http_s / direct_s - 1) * 100:5.1f}% vs direct); "
