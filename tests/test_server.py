@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from mri_superresolution_tpu.config import ModelConfig
 from mri_superresolution_tpu.infer.engine import InferenceEngine
@@ -139,6 +140,43 @@ def test_batcher_spatial_engine(rng):
         reqs = [b.submit(s) for s in x]
         got = np.stack([b.wait(r, 120) for r in reqs])
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    finally:
+        b.close()
+
+
+def test_batcher_routed_int8_artifact(tmp_path, rng):
+    """Routed int8 artifacts compose with the daemon: rich batches serve
+    the int8 program, near-empty batches hit the baked bf16 fallback —
+    the routing decision travels inside the artifact, not the server."""
+    from mri_superresolution_tpu.infer.export import (export_artifact,
+                                                      load_artifact)
+    from mri_superresolution_tpu.models import quant_forward as qf
+
+    model = UNetSuperRes(base_filters=16)
+    params = init_params(model, jax.random.key(0), (16, 16))
+    cfg = ModelConfig(base_filters=16)
+    scales = qf.calibrate(params, [rng.random((2, 16, 16, 1),
+                                              dtype=np.float32)],
+                          cfg.model_type, dtype=jnp.float32)
+    path = str(tmp_path / "i8.mrisrx")
+    export_artifact(path, params, cfg, shapes=[(16, 16)], bf16=False,
+                    platforms=("cpu",), mode="int8", quant_scales=scales)
+    art = load_artifact(path)
+    b = DynamicBatcher(art, max_batch=8, batch_window_ms=1.0)
+    try:
+        rich = rng.random((16, 16), dtype=np.float32)
+        np.testing.assert_allclose(b.upscale(rich, timeout=120),
+                                   art.upscale_batch(rich[None])[0],
+                                   rtol=1e-6, atol=1e-7)
+        empty = np.zeros((16, 16), np.float32)
+        empty[:2, :2] = 0.5
+        got = b.upscale(empty, timeout=120)
+        fn = jax.jit(qf.build_int8_forward(params, scales, cfg.model_type,
+                                           dtype=jnp.float32))
+        int8_out = np.clip(np.asarray(
+            fn(params, empty[None, ..., None]))[0, :, :, 0], 0.0, 1.0)
+        assert not np.allclose(got, int8_out, rtol=1e-5, atol=1e-6), \
+            "near-empty request was served int8, not the bf16 fallback"
     finally:
         b.close()
 
