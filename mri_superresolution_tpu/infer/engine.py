@@ -149,9 +149,6 @@ class InferenceEngine:
                     f"--quant int8 supports model types "
                     f"{quant_forward.supported_types()}, not "
                     f"{model_cfg.model_type!r}")
-            if spatial_shards > 1:
-                raise ValueError("--quant int8 is incompatible with "
-                                 "spatial_shards > 1")
             if quant_calib_slices < 1:
                 raise ValueError("quant_calib_slices must be >= 1")
             if model_cfg.model_type == "unet_tpu":
@@ -165,9 +162,15 @@ class InferenceEngine:
         self.quant_calib_path = quant_calib_path
         self.quant_calib_slices = quant_calib_slices
         self.quant_min_foreground = quant_min_foreground
-        self._quant_fwd = None       # built once calibration completes
+        self._quant_scales = None    # frozen per-site scales (None while
+        #                              calibrating; set by _build_int8 —
+        #                              the "scales frozen" indicator for
+        #                              BOTH the dense and spatial paths)
+        self._quant_fwd = None       # dense int8 forward (built on freeze)
         self._quant_fn_raw = None    # its unjitted body (TTA wraps it)
         self._calib_fwd = None       # bf16 forward that also records amax
+        self._spatial_int8_cache: dict = {}   # (bh, bw) -> jitted int8 fwd
+        self._spatial_calib_cache: dict = {}  # (bh, bw) -> jitted calib fwd
         self._calib_amax: dict = {}
         self._calib_seen = 0         # real (un-padded) slices calibrated on
         self._quant_batches = {"int8": 0, "bf16": 0}
@@ -222,7 +225,14 @@ class InferenceEngine:
                         "the first batch")
 
     def _build_int8(self, scales) -> None:
-        """Freeze ``scales`` into the jitted int8 serving forward."""
+        """Freeze ``scales`` into the int8 serving forward. Dense engines
+        build the shape-polymorphic jitted forward now; row-sharded
+        (spatial) engines build one program per (bh, bw) lazily
+        (_spatial_int8_fwd) since the shard_map topology is
+        shape-specialized."""
+        self._quant_scales = scales
+        if self.spatial_shards > 1:
+            return
         from mri_superresolution_tpu.models import quant_forward
         fn = quant_forward.build_int8_forward(
             jax.device_get(self.params), scales,
@@ -234,6 +244,43 @@ class InferenceEngine:
             self._quant_fn_raw,
             in_shardings=(self._rsh, self._dsh),
             out_shardings=self._dsh)
+
+    def _spatial_int8_raw(self, bh: int, bw: int):
+        """Unjitted row-sharded frozen-scale int8 forward for one bucket
+        shape (parallel/spatial.build_spatial_int8_forward_raw) — the
+        engine's int8 x spatial serving path (VERDICT r4 item 3); the
+        on-device TTA ensemble wraps the same raw body."""
+        from mri_superresolution_tpu.parallel.spatial import (
+            build_spatial_int8_forward_raw)
+        raw = build_spatial_int8_forward_raw(
+            self.mesh, (bh, bw), jax.device_get(self.params),
+            self._quant_scales, self.model_cfg.model_type,
+            dtype=self._dtype)
+        return lambda p, a: jnp.clip(raw(p, a), 0.0, 1.0)
+
+    def _spatial_int8_fwd(self, bh: int, bw: int):
+        key = (bh, bw)
+        if key not in self._spatial_int8_cache:
+            self._spatial_int8_cache[key] = jax.jit(
+                self._spatial_int8_raw(bh, bw))
+        return self._spatial_int8_cache[key]
+
+    def _spatial_calib_fwd(self, bh: int, bw: int):
+        """Jitted row-sharded calib forward (bf16 value + pmax'd per-site
+        amax) for one bucket shape — spatial streaming self-calibration."""
+        key = (bh, bw)
+        if key not in self._spatial_calib_cache:
+            from mri_superresolution_tpu.models import quant_forward
+            from mri_superresolution_tpu.parallel.spatial import (
+                build_spatial_calib_forward_raw)
+            sites = sorted(quant_forward.amax_template(
+                self.params, (1, bh, bw, 1), self.model_cfg.model_type,
+                dtype=self._dtype))
+            raw = build_spatial_calib_forward_raw(
+                self.mesh, (bh, bw), sites, self.model_cfg.model_type,
+                dtype=self._dtype)
+            self._spatial_calib_cache[key] = jax.jit(raw)
+        return self._spatial_calib_cache[key]
 
     def _bucket_hw(self, h: int, w: int) -> Tuple[int, int]:
         bh = _round_up(max(h, 8), self.bucket)
@@ -309,6 +356,9 @@ class InferenceEngine:
         self._last_quant_mode = "bf16"
         if count:
             self._quant_batches["bf16"] += 1
+        if self.spatial_shards > 1:
+            return self._spatial_forward(x.shape[1], x.shape[2])(
+                self.params, jnp.asarray(x))
         return self._forward(self.params, jnp.asarray(x))
 
     def _quant_upscale(self, x: np.ndarray, n_real_slices: int,
@@ -344,15 +394,18 @@ class InferenceEngine:
 
         if force_bf16 or foreground_frac < self.quant_min_foreground:
             return self._route_bf16(x, count=count)
-        if self._quant_fwd is None and not calib_ok:
+        if self._quant_scales is None and not calib_ok:
             # TTA's non-identity transforms while calibrating: serve bf16
             # WITHOUT feeding the statistics (the identity pass already
             # counted these slices — 8 flips of one slice are not 8
             # calibration slices)
             return self._route_bf16(x, count=count)
 
-        if self._quant_fwd is None:
-            if self._calib_fwd is None:
+        if self._quant_scales is None:
+            if self.spatial_shards > 1:
+                # row-sharded calib forward, shape-specialized per bucket
+                calib = self._spatial_calib_fwd(x.shape[1], x.shape[2])
+            elif self._calib_fwd is None:
                 raw = quant_forward.build_calib_forward(
                     self.model_cfg.model_type, dtype=self._dtype,
                     jit_fn=False)
@@ -361,8 +414,11 @@ class InferenceEngine:
                 self._calib_fwd = jax.jit(
                     raw, in_shardings=(self._rsh, self._dsh),
                     out_shardings=(self._dsh, None))
+                calib = self._calib_fwd
+            else:
+                calib = self._calib_fwd
             first = self._calib_seen == 0
-            y, amax = self._calib_fwd(self.params, jnp.asarray(x))
+            y, amax = calib(self.params, jnp.asarray(x))
             for k, v in jax.device_get(amax).items():
                 v = np.asarray(v, np.float32)
                 self._calib_amax[k] = (np.maximum(self._calib_amax[k], v)
@@ -399,6 +455,9 @@ class InferenceEngine:
         self._last_quant_mode = "int8"
         if count:
             self._quant_batches["int8"] += 1
+        if self.spatial_shards > 1:
+            return self._spatial_int8_fwd(x.shape[1], x.shape[2])(
+                self.params, jnp.asarray(x))
         return self._quant_fwd(self.params, jnp.asarray(x))
 
     @property
@@ -407,12 +466,12 @@ class InferenceEngine:
         real slices (scales not yet frozen). The serving daemon's batcher
         disables zero-row batch padding during this phase so pad rows are
         never counted as calibration slices (_calib_seen contract)."""
-        return self.quant == "int8" and self._quant_fwd is None
+        return self.quant == "int8" and self._quant_scales is None
 
     def quant_summary(self) -> str:
         """One-line serving account for CLIs to log after a --quant run."""
         c = self._quant_batches
-        state = ("scales frozen" if self._quant_fwd is not None else
+        state = ("scales frozen" if self._quant_scales is not None else
                  f"calibration INCOMPLETE "
                  f"({self._calib_seen}/{self.quant_calib_slices} slices — "
                  "all batches were served bf16; lower --quant_calib_slices "
@@ -499,12 +558,12 @@ class InferenceEngine:
     def _tta_on_device(self) -> bool:
         """True when a --tta batch runs as ONE device dispatch (ops/tta.py):
         dense OR row-sharded forwards and, under int8, frozen scales (the
-        spatial ensemble wraps the shard_map forward inside the traced
-        loop body; spatial+int8 is rejected at init). The one host-loop
-        ensemble left is still-calibrating int8 — its routing state
-        machine lives on the host. May flip host→device mid-stream when
-        calibration completes; never the other way."""
-        return self.quant != "int8" or self._quant_fwd is not None
+        spatial ensemble wraps the shard_map forward — bf16 or frozen-int8
+        — inside the traced loop body). The one host-loop ensemble left is
+        still-calibrating int8 — its routing state machine lives on the
+        host. May flip host→device mid-stream when calibration completes;
+        never the other way."""
+        return self.quant != "int8" or self._quant_scales is not None
 
     def _tta_once(self, batch: np.ndarray) -> np.ndarray:
         return np.asarray(self._tta_dispatch(batch))
@@ -542,10 +601,16 @@ class InferenceEngine:
             if spatial:
                 from mri_superresolution_tpu.parallel.spatial import (
                     build_spatial_forward_raw, spatial_input_sharding)
-                sp_raw = build_spatial_forward_raw(
-                    self.mesh, (bh, bw), dtype=self._dtype,
-                    model_type=self.model_cfg.model_type)
-                raw = lambda p, a: jnp.clip(sp_raw(p, a), 0.0, 1.0)
+                if mode == "int8":
+                    # frozen-scale row-sharded int8 forward in the traced
+                    # ensemble body (near-empty routing already decided
+                    # per batch above, like the dense int8 ensemble)
+                    raw = self._spatial_int8_raw(bh, bw)
+                else:
+                    sp_raw = build_spatial_forward_raw(
+                        self.mesh, (bh, bw), dtype=self._dtype,
+                        model_type=self.model_cfg.model_type)
+                    raw = lambda p, a: jnp.clip(sp_raw(p, a), 0.0, 1.0)
                 x_sh = spatial_input_sharding(self.mesh)
             else:
                 raw = (self._quant_fn_raw if mode == "int8" else
@@ -641,15 +706,17 @@ class InferenceEngine:
         else:
             x = np.zeros((nb, bh, bw, 1), np.float32)
             x[:n, :h, :w, 0] = batch
-            if self.spatial_shards > 1:
-                y = self._spatial_forward(bh, bw)(self.params,
-                                                  jnp.asarray(x))
-            elif self.quant == "int8":
+            if self.quant == "int8":
+                # dense AND row-sharded int8 (the routing/calibration
+                # state machine dispatches to the spatial forwards itself)
                 y = self._quant_upscale(
                     x, n,
                     float((np.abs(batch) > FOREGROUND_INTENSITY).mean()),
                     calib_ok=_quant_calib_ok, count=_quant_count,
                     force_bf16=_quant_force_bf16)
+            elif self.spatial_shards > 1:
+                y = self._spatial_forward(bh, bw)(self.params,
+                                                  jnp.asarray(x))
             else:
                 y = self._forward(self.params, jnp.asarray(x))
         # device slice (see _tta_dispatch for why it's enqueued here)

@@ -454,20 +454,12 @@ _DEFAULT_EXCLUDE = {
 }
 
 
-def build_int8_forward(params, scales: Dict[str, float],
-                       model_type: str = "unet",
-                       dtype: Any = jnp.bfloat16,
-                       exclude: Optional[frozenset] = None):
-    """Returns ``fn(params, x) -> y`` running the calibrated conv sites in
-    int8 (per-Cout weight scales with the per-Cin activation scales folded
-    in). ``params``
-    is accepted per-call so the engine's sharding plumbing stays uniform;
-    the int8 weights are precomputed here once. ``exclude`` names sites
-    kept in bf16 (default: the measured per-family loss list above)."""
-    if exclude is None:
-        exclude = _DEFAULT_EXCLUDE[model_type]
-    fwd = _FORWARDS[model_type]
-    qweights = {}
+def quant_sites(params, model_type: str = "unet"):
+    """``[(site, kernel)]`` for every quantizable conv site — everything
+    except the never-quantized output head. Single source for the dense
+    int8 forward below AND the row-sharded one
+    (parallel/spatial.build_spatial_int8_forward): both fold the same
+    per-site activation scales into the same kernels."""
     sites = []
 
     def dc(prefix, p):
@@ -504,14 +496,39 @@ def build_int8_forward(params, scales: Dict[str, float],
     else:                                  # simple (the tail is __out__)
         sites.append(("extract", params["extract"]["kernel"]))
         sites.append(("map", params["map"]["kernel"]))
-    sites = [(s, kp) for s, kp in sites if s not in exclude]
-    for site, kp in sites:
-        if site in scales:
-            qweights[site] = tuple(weight_qparams(kp, act_scale=scales[site]))
+    return sites
 
+
+def int8_qweights(params, scales: Dict[str, float],
+                  model_type: str = "unet",
+                  exclude: Optional[frozenset] = None
+                  ) -> Dict[str, Tuple]:
+    """Precompute every quantizable site's ``(q_kernel, k_scale)`` with the
+    per-input-channel activation scales folded in (weight_qparams).
+    Validates that ``scales`` covers every non-excluded site."""
+    if exclude is None:
+        exclude = _DEFAULT_EXCLUDE[model_type]
+    sites = [(s, kp) for s, kp in quant_sites(params, model_type)
+             if s not in exclude]
     missing = [s for s, _ in sites if s not in scales]
     if missing:
         raise ValueError(f"calibration scales missing for sites: {missing}")
+    return {site: tuple(weight_qparams(kp, act_scale=scales[site]))
+            for site, kp in sites}
+
+
+def build_int8_forward(params, scales: Dict[str, float],
+                       model_type: str = "unet",
+                       dtype: Any = jnp.bfloat16,
+                       exclude: Optional[frozenset] = None):
+    """Returns ``fn(params, x) -> y`` running the calibrated conv sites in
+    int8 (per-Cout weight scales with the per-Cin activation scales folded
+    in). ``params``
+    is accepted per-call so the engine's sharding plumbing stays uniform;
+    the int8 weights are precomputed here once. ``exclude`` names sites
+    kept in bf16 (default: the measured per-family loss list above)."""
+    fwd = _FORWARDS[model_type]
+    qweights = int8_qweights(params, scales, model_type, exclude)
 
     def run(p, x):
         ctx = _Ctx("int8", scales=scales, qweights=qweights)

@@ -166,6 +166,33 @@ class _QCtx:
         self.amax = {}
 
 
+class _QServeCtx:
+    """Frozen-scale int8 SERVING context for the row-sharded forwards.
+
+    Spatial twin of models/quant_forward._Ctx mode='int8': ``scales`` maps
+    the dense forward's site names to per-Cin activation scales; ``qweights``
+    holds each site's precomputed ``(q_kernel, k_scale)`` with the
+    activation scales folded in (quant_forward.int8_qweights — the SAME
+    fold the dense int8 forward serves, so the two paths run identical
+    integer arithmetic)."""
+
+    def __init__(self, scales, qweights):
+        self.scales = scales
+        self.qweights = qweights
+
+
+class _QCalibCtx:
+    """Streaming-calibration context: the bf16 forward value, recording each
+    site's LOCAL per-channel |x| max (dense quant_forward mode='calib' with
+    percentile=100 — the engine's streaming path never uses percentiles,
+    they are padding-fragile). build_spatial_calib_forward pmax's the
+    records over both mesh axes, so the statistic equals the dense
+    whole-batch max exactly (max is reorder-invariant)."""
+
+    def __init__(self):
+        self.amax = {}
+
+
 def _fq(qctx, site: str, x, kernel):
     """Fake-quantize a conv's (input, kernel) at a quantizable site
     (no-op without a QAT ctx). Quantization is elementwise with
@@ -189,16 +216,68 @@ def _fq(qctx, site: str, x, kernel):
     return xq, ste(kernel, fake_quant_kernel(kernel, s_a))
 
 
+def _site_conv(qctx, site: str, x, kernel, *, dilation: int = 1, bias=None):
+    """One QUANTIZABLE conv site on a row-sharded block, in any mode:
+
+    - ``qctx is None``: the plain halo'd conv (row halos replace the dense
+      row padding, columns pad locally);
+    - ``_QCtx`` (QAT training): fake-quantized input/kernel, then the same
+      float conv (``_fq`` above);
+    - ``_QServeCtx`` (int8 serving): the input quantizes to s8 BEFORE the
+      halo exchange — elementwise per-channel with replicated scales, so
+      neighbor halo rows arrive exactly as the dense path's quantize of
+      those rows, edge zeros are the quantize of the dense zero padding
+      (quantize_tensor(0) == 0), and the s8 x s8 -> s32 accumulation is
+      bit-identical to the dense int8 conv per output pixel. Halo traffic
+      also shrinks 2-4x (s8 rows instead of bf16/fp32);
+    - ``_QCalibCtx``: plain conv + per-channel |x| max recording.
+
+    Kernel geometry is read off the kernel itself (rows halo by
+    (kh//2)*dilation, columns pad by (kw//2)*dilation), so 1x1 sites
+    degenerate to no exchange and edsr/simple's kxk trunks work unchanged.
+    """
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    ph, pw = (kh // 2) * dilation, (kw // 2) * dilation
+    if isinstance(qctx, _QServeCtx) and site in qctx.qweights:
+        from mri_superresolution_tpu.ops.quant import quantize_tensor
+        qk, k_scale = qctx.qweights[site]
+        qx = _halo_exchange(quantize_tensor(x, qctx.scales[site]), ph, ph)
+        acc = lax.conv_general_dilated(
+            qx, qk, (1, 1), ((0, 0), (pw, pw)),
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * k_scale
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+    if isinstance(qctx, _QCalibCtx):
+        a = jnp.abs(x.astype(jnp.float32)).reshape(-1, x.shape[-1])
+        qctx.amax[site] = jnp.max(a, axis=0)
+        xq, k = x, kernel
+    else:
+        # an excluded int8 site must NOT fall into the fakequant path
+        xq, k = _fq(qctx if isinstance(qctx, _QCtx) else None,
+                    site, x, kernel)
+    xh = _halo_exchange(xq, ph, ph)
+    y = lax.conv_general_dilated(
+        xh, k.astype(x.dtype), (1, 1), ((0, 0), (pw, pw)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 # ------------------------------------------------------------ model blocks
 
 def _double_conv(p, x, dilation: int = 1, qctx=None, prefix: str = ""):
     in_ch = x.shape[-1]
-    xq, k1 = _fq(qctx, f"{prefix}.conv1", x, p["conv1"]["kernel"])
-    y = _conv3x3(xq, k1)
+    y = _site_conv(qctx, f"{prefix}.conv1", x, p["conv1"]["kernel"])
     y = jax.nn.leaky_relu(
         _group_norm(y, p["norm1"]["scale"], p["norm1"]["bias"]), 0.2)
-    yq, k2 = _fq(qctx, f"{prefix}.conv2", y, p["conv2"]["kernel"])
-    y = _conv3x3(yq, k2, dilation)
+    y = _site_conv(qctx, f"{prefix}.conv2", y, p["conv2"]["kernel"],
+                   dilation=dilation)
     y = jax.nn.leaky_relu(
         _group_norm(y, p["norm2"]["scale"], p["norm2"]["bias"]), 0.2)
     if in_ch == y.shape[-1]:
@@ -209,8 +288,7 @@ def _double_conv(p, x, dilation: int = 1, qctx=None, prefix: str = ""):
 def _up_block(p, x1, x2, row_mats, w_mat, qctx=None, prefix: str = ""):
     """Up: 1x1 up_conv BEFORE the 2x upsample (models/unet.py Up), GN,
     lrelu, concat with the skip, DoubleConv."""
-    xq, ku = _fq(qctx, f"{prefix}.up_conv", x1, p["up_conv"]["kernel"])
-    y = _conv1x1(xq, ku)
+    y = _site_conv(qctx, f"{prefix}.up_conv", x1, p["up_conv"]["kernel"])
     y = _upsample2x(y, row_mats, w_mat)
     y = jax.nn.leaky_relu(
         _group_norm(y, p["up_norm"]["scale"], p["up_norm"]["bias"]), 0.2)
@@ -280,24 +358,22 @@ def _local_forward(params, x, row_mats_by_h, w_mats_by_w, dtype,
 
     def bilinear_branch(p, y):
         yb = _upsample2x(y, row_mats_by_h[h1], w_mats_by_w[w1])
-        ybq, k = _fq(qctx, "final_up_conv", yb, p["final_up_conv"]["kernel"])
-        yb = _conv3x3(ybq, k)
+        yb = _site_conv(qctx, "final_up_conv", yb,
+                        p["final_up_conv"]["kernel"])
         return jax.nn.leaky_relu(
             _group_norm(yb, p["final_up_norm"]["scale"],
                         p["final_up_norm"]["bias"]), 0.2)
 
     def shuffle_branch(p, y):
         ps = p["final_up_pixelshuffle"]
-        yq, k = _fq(qctx, "final_up_pixelshuffle.conv", y,
-                    ps["conv"]["kernel"])
-        yp = _conv3x3(yq, k) + ps["conv"]["bias"].astype(dtype)
+        yp = _site_conv(qctx, "final_up_pixelshuffle.conv", y,
+                        ps["conv"]["kernel"], bias=ps["conv"]["bias"])
         yp = pixel_shuffle(yp)
         return jax.nn.leaky_relu(
             _group_norm(yp, ps["norm"]["scale"], ps["norm"]["bias"]), 0.2)
 
     def head(p, y):
-        yq, k = _fq(qctx, "final_conv1", y, p["final_conv1"]["kernel"])
-        z = _conv3x3(yq, k)
+        z = _site_conv(qctx, "final_conv1", y, p["final_conv1"]["kernel"])
         z = jax.nn.leaky_relu(
             _group_norm(z, p["final_norm"]["scale"],
                         p["final_norm"]["bias"]), 0.2)
@@ -324,23 +400,24 @@ def _local_forward_tpu(params, x, row_mats_by_h, w_mats_by_w, dtype,
                   qctx=qctx)
 
     def branch_a(p, y):
-        yq, k = _fq(qctx, "branch_a_conv", y, p["branch_a_conv"]["kernel"])
         return jax.nn.leaky_relu(
-            _group_norm(_conv3x3(yq, k),
+            _group_norm(_site_conv(qctx, "branch_a_conv", y,
+                                   p["branch_a_conv"]["kernel"]),
                         p["branch_a_norm"]["scale"],
                         p["branch_a_norm"]["bias"]), 0.2)
 
     def branch_b(p, y):
-        yq, k = _fq(qctx, "branch_b_conv", y, p["branch_b_conv"]["kernel"])
         return jax.nn.leaky_relu(
-            _group_norm(_conv3x3_bias(yq, k, p["branch_b_conv"]["bias"]),
+            _group_norm(_site_conv(qctx, "branch_b_conv", y,
+                                   p["branch_b_conv"]["kernel"],
+                                   bias=p["branch_b_conv"]["bias"]),
                         p["branch_b_norm"]["scale"],
                         p["branch_b_norm"]["bias"]), 0.2)
 
     def head(p, y):
-        yq, k = _fq(qctx, "head_conv", y, p["head_conv"]["kernel"])
         z = jax.nn.leaky_relu(
-            _group_norm(_conv3x3(yq, k),
+            _group_norm(_site_conv(qctx, "head_conv", y,
+                                   p["head_conv"]["kernel"]),
                         p["head_norm"]["scale"],
                         p["head_norm"]["bias"]), 0.2)
         z = _conv1x1(z, p["head_out"]["kernel"], p["head_out"]["bias"])
@@ -382,14 +459,15 @@ def _local_forward_edsr(params, x, row_mats_by_h, w_mats_by_w, dtype,
     x = x.astype(dtype)
 
     def block(p, y, prefix=""):
-        yq, k0 = _fq(qctx, f"{prefix}.conv0", y, p["Conv_0"]["kernel"])
-        z = jax.nn.relu(_conv_halo(yq, k0, p["Conv_0"]["bias"]))
-        zq, k1 = _fq(qctx, f"{prefix}.conv1", z, p["Conv_1"]["kernel"])
-        z = _conv_halo(zq, k1, p["Conv_1"]["bias"])
+        z = jax.nn.relu(_site_conv(qctx, f"{prefix}.conv0", y,
+                                   p["Conv_0"]["kernel"],
+                                   bias=p["Conv_0"]["bias"]))
+        z = _site_conv(qctx, f"{prefix}.conv1", z, p["Conv_1"]["kernel"],
+                       bias=p["Conv_1"]["bias"])
         return y + 1.0 * z                   # x + res_scale*y, res_scale=1
 
-    xq, kh = _fq(qctx, "head", x, params["head"]["kernel"])
-    head = _conv_halo(xq, kh, params["head"]["bias"])
+    head = _site_conv(qctx, "head", x, params["head"]["kernel"],
+                      bias=params["head"]["bias"])
     y = head
     if remat:
         _blkr = jax.checkpoint(block)                  # qctx None (str-free)
@@ -398,8 +476,8 @@ def _local_forward_edsr(params, x, row_mats_by_h, w_mats_by_w, dtype,
         blk = block
     for i in range(sum(1 for k in params if k.startswith("block"))):
         y = blk(params[f"block{i}"], y, prefix=f"block{i}")
-    yq, kb = _fq(qctx, "body_out", y, params["body_out"]["kernel"])
-    y = _conv_halo(yq, kb, params["body_out"]["bias"])
+    y = _site_conv(qctx, "body_out", y, params["body_out"]["kernel"],
+                   bias=params["body_out"]["bias"])
     y = y + head
     y = _conv_halo(y, params["tail"]["kernel"], params["tail"]["bias"])
     y = pixel_shuffle(y, 2)
@@ -414,10 +492,11 @@ def _local_forward_simple(params, x, row_mats_by_h, w_mats_by_w, dtype,
     reconstruct is the output head)."""
     del row_mats_by_h, w_mats_by_w
     x = x.astype(dtype)
-    xq, ke = _fq(qctx, "extract", x, params["extract"]["kernel"])
-    y = jax.nn.relu(_conv_halo(xq, ke, params["extract"]["bias"]))
-    yq, km = _fq(qctx, "map", y, params["map"]["kernel"])
-    y = jax.nn.relu(_conv_halo(yq, km, params["map"]["bias"]))
+    y = jax.nn.relu(_site_conv(qctx, "extract", x,
+                               params["extract"]["kernel"],
+                               bias=params["extract"]["bias"]))
+    y = jax.nn.relu(_site_conv(qctx, "map", y, params["map"]["kernel"],
+                               bias=params["map"]["bias"]))
     y = _conv_halo(y, params["reconstruct"]["kernel"],
                    params["reconstruct"]["bias"])
     y = pixel_shuffle(y, 2)
@@ -505,6 +584,67 @@ def build_spatial_forward(mesh: Mesh, input_hw, dtype: Any = jnp.bfloat16,
     x_sh = spatial_input_sharding(mesh)
     p_sh = NamedSharding(mesh, P())
     return jax.jit(sharded, in_shardings=(p_sh, x_sh), out_shardings=x_sh)
+
+
+def build_spatial_int8_forward_raw(mesh: Mesh, input_hw, params, scales,
+                                   model_type: str = "unet",
+                                   dtype: Any = jnp.bfloat16):
+    """Unjitted row-sharded FROZEN-SCALE int8 forward (VERDICT r4 item 3 —
+    the last serving-matrix hole: ``--quant int8 --spatial_shards N``).
+
+    Every site the dense int8 forward quantizes
+    (models/quant_forward.int8_qweights — the identical fold of per-Cin
+    activation scales into per-Cout int8 weights) runs here as an
+    s8 x s8 -> s32 conv whose row halos are exchanged AFTER the quantize
+    (_site_conv): quantization is elementwise with replicated scales, so
+    edge math is bit-identical to the dense int8 conv, and halo ppermutes
+    move s8 bytes (2-4x less ICI traffic than the bf16 forward's halos).
+    The output heads and GroupNorms stay bf16, exactly like the dense path.
+    Traceable inside a larger jitted program (the engine's on-device TTA
+    ensemble wraps it, mirroring the dense frozen-int8 ensemble)."""
+    from mri_superresolution_tpu.models import quant_forward
+    fwd = _make_local_forward(mesh, input_hw, dtype, model_type)
+    qweights = quant_forward.int8_qweights(params, scales, model_type)
+    sctx = _QServeCtx(
+        {k: jnp.asarray(v, jnp.float32) for k, v in scales.items()},
+        qweights)
+    x4 = P(DATA_AXIS, SPACE_AXIS, None, None)
+    return shard_map(lambda p, x: fwd(p, x, qctx=sctx), mesh=mesh,
+                     in_specs=(P(), x4), out_specs=x4)
+
+
+def build_spatial_calib_forward_raw(mesh: Mesh, input_hw, sites,
+                                    model_type: str = "unet",
+                                    dtype: Any = jnp.bfloat16):
+    """Unjitted row-sharded CALIBRATION forward: ``fn(params, x) ->
+    (y, amax)`` where y is the exact bf16 forward and ``amax`` maps each
+    quantizable site to its per-input-channel |x| max over the GLOBAL
+    batch (local max pmax'd over both mesh axes — max is reorder-
+    invariant, so the statistic equals the dense calib forward's exactly
+    up to the bf16 forward's psum-reordered GroupNorm rounding).
+
+    ``sites`` is the dense forward's quantizable site list
+    (quant_forward.amax_template keys): shard_map out_specs need the dict
+    tree statically, and the assert pins the two enumerations together.
+    Lets a spatially-sharded server calibrate WHILE serving its first
+    batches at full precision, like the dense engine."""
+    fwd = _make_local_forward(mesh, input_hw, dtype, model_type)
+    sites = sorted(sites)
+
+    def local(p, x):
+        ctx = _QCalibCtx()
+        y = fwd(p, x, qctx=ctx)
+        missing = sorted(set(sites) ^ set(ctx.amax))
+        assert not missing, (
+            f"spatial calib sites out of sync with the dense forward's: "
+            f"{missing}")
+        amax = {k: lax.pmax(v, (DATA_AXIS, SPACE_AXIS))
+                for k, v in ctx.amax.items()}
+        return y, amax
+
+    x4 = P(DATA_AXIS, SPACE_AXIS, None, None)
+    return shard_map(local, mesh=mesh, in_specs=(P(), x4),
+                     out_specs=(x4, {k: P() for k in sites}))
 
 
 # ----------------------------------------------- sharded training loss (SP)
