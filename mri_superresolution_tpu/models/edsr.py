@@ -34,8 +34,19 @@ class ResBlock(nn.Module):
         y = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=kaiming_fan_out())(x)
         y = nn.relu(y)
+        # Residual ZERO-init (the Fixup/EDSR-res_scale stabilizer, folded
+        # into the init so the runtime graph keeps res_scale == 1.0 and
+        # the functional serving paths stay valid): with kaiming init and
+        # res_scale 1.0 an 8-block trunk's activations grow ~sqrt(depth),
+        # the sigmoid output head saturates at init, gradients vanish, and
+        # training collapses into the L1-optimal constant (the target
+        # MEDIAN — all-black for background-dominated MRI slices; measured
+        # val_ssim 0.795 / 17.9 dB at EVERY learning rate). Zero-init
+        # makes every block the identity at init (trunk == head), the
+        # head output stays moderate, and the same protocol trains to
+        # the family's real ceiling (tools/edsr_convergence.py).
         y = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
-                    kernel_init=kaiming_fan_out())(y)
+                    kernel_init=nn.initializers.zeros)(y)
         return x + self.res_scale * y
 
 

@@ -191,19 +191,34 @@ def save_bytes(data: np.ndarray,
     return gzip.compress(body, compresslevel=1) if compress else body
 
 
+def encode_header(shape, dtype, zooms=None, affine=None,
+                  scl_slope: float = 1.0, scl_inter: float = 0.0) -> bytes:
+    """The 352 header+extension bytes :func:`save` would write for a volume
+    of this shape/dtype — lets a streaming writer (the serving daemon's
+    volume endpoint) emit the header before any voxel data exists."""
+    hdr = _header_bytes(tuple(int(s) for s in shape), np.dtype(dtype),
+                        zooms, affine, scl_slope, scl_inter)
+    return hdr + b"\x00" * 4
+
+
 def _encode(data, zooms, affine, scl_slope, scl_inter):
     """Shared by save/save_bytes: (dtype-massaged data, header bytes)."""
     data = np.asarray(data)
     if data.dtype not in (np.uint8, np.int16, np.int32, np.float32, np.float64,
                           np.int8, np.uint16, np.uint32):
         data = data.astype(np.float32)
-    ndim = data.ndim
+    return data, _header_bytes(data.shape, data.dtype, zooms, affine,
+                               scl_slope, scl_inter)
+
+
+def _header_bytes(shape, dtype, zooms, affine, scl_slope, scl_inter):
+    ndim = len(shape)
     if ndim not in (2, 3, 4):
         raise ValueError(f"Expected 2D-4D data, got {ndim}D")
-    code = _CODES[np.dtype(data.dtype)]
-    bitpix = data.dtype.itemsize * 8
+    code = _CODES[np.dtype(dtype)]
+    bitpix = np.dtype(dtype).itemsize * 8
 
-    dim = [ndim] + list(data.shape) + [1] * (7 - ndim)
+    dim = [ndim] + list(shape) + [1] * (7 - ndim)
     pixdim = [0.0] + list(zooms or ()) + [1.0] * 8
     pixdim = pixdim[:8]
     if affine is None:
@@ -222,4 +237,4 @@ def _encode(data, zooms, affine, scl_slope, scl_inter):
     struct.pack_into("<12f", hdr, 280, *np.asarray(affine[:3, :],
                                                    np.float32).ravel())
     hdr[344:348] = b"n+1\x00"
-    return data, bytes(hdr)
+    return bytes(hdr)

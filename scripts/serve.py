@@ -52,6 +52,27 @@ def main():
                     help="DP-shard coalesced batches over this many mesh "
                          "devices (0 = all visible; checkpoint backend "
                          "only)")
+    ap.add_argument("--serve_raw", action="store_true",
+                    help="zero-copy transfer path (measured 2.6x e2e on "
+                         "the tunnel link): /upscale_volume submits RAW "
+                         "stored-dtype voxels, the percentile normalize "
+                         "runs ON DEVICE (transpose_io layout), and "
+                         "/upscale accepts native-dtype arrays. "
+                         "Checkpoint backend only; not with --quant int8 "
+                         "(host-side routing reads normalized pixels)")
+    ap.add_argument("--out_dtype", default="float32",
+                    choices=["float32", "int16", "uint8"],
+                    help="pack outputs ON DEVICE to this dtype (1-2 "
+                         "bytes/pixel responses; volume responses carry "
+                         "the NIfTI scl_slope that decodes back to [0,1])")
+    ap.add_argument("--max_pending", type=int, default=2048,
+                    help="bounded request queue: submissions beyond this "
+                         "get 503 + Retry-After (load shedding)")
+    ap.add_argument("--max_body_mb", type=int, default=512,
+                    help="request bodies over this size get 413")
+    ap.add_argument("--request_timeout_s", type=float, default=300.0,
+                    help="requests unserved after this long get 504 and "
+                         "are abandoned (never run on the device)")
     ap.add_argument("--no_bf16", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -72,7 +93,9 @@ def main():
                  and backend.mode != "int8"),
                 ("--tta", args.tta and backend.mode != "tta"),
                 ("--spatial_shards", args.spatial_shards != 1),
-                ("--num_devices", args.num_devices != 0))
+                ("--num_devices", args.num_devices != 0),
+                ("--serve_raw", args.serve_raw),
+                ("--out_dtype", args.out_dtype != "float32"))
                if on]
         if bad:
             logger.error(
@@ -99,17 +122,26 @@ def main():
             bf16=not args.no_bf16, bucket=args.bucket,
             spatial_shards=args.spatial_shards,
             quant=args.quant, quant_calib_path=args.quant_calib,
-            tta=args.tta), num_devices=args.num_devices)
+            tta=args.tta,
+            normalize_inputs=args.serve_raw,
+            # the ensemble's transform table is (N, h, w); raw TTA keeps
+            # device normalize but standard layout (engine contract)
+            transpose_io=args.serve_raw and not args.tta,
+            out_dtype=args.out_dtype), num_devices=args.num_devices)
         describe = (f"checkpoint {backend.model_cfg.model_type} "
                     f"bf={backend.model_cfg.base_filters} "
-                    f"quant={args.quant} tta={args.tta}")
+                    f"quant={args.quant} tta={args.tta} "
+                    f"raw={args.serve_raw} out={args.out_dtype}")
     import signal
     import threading
 
     server = serve_http(backend, host=args.host, port=args.port,
                         max_batch=args.max_batch,
                         batch_window_ms=args.batch_window_ms,
-                        describe=describe)
+                        describe=describe,
+                        max_pending=args.max_pending,
+                        max_body_bytes=args.max_body_mb << 20,
+                        request_timeout_s=args.request_timeout_s)
 
     def _stop(signum, frame):
         logger.info(f"Signal {signum}; draining and shutting down")

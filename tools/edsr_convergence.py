@@ -104,7 +104,7 @@ def main():
     rows["protocol"] = {"epochs": args.epochs, "patience": args.patience,
                         "learning_rate": args.learning_rate,
                         "hr_size": args.hr_size, "seed": args.seed}
-    with open(os.path.join(wd, "edsr_convergence.json"), "w") as f:
+    with open(os.path.join(wd, f"{args.model_type}_convergence.json"), "w") as f:
         json.dump(rows, f, indent=2)
 
 
