@@ -45,7 +45,10 @@ def export_artifact(path: str, params, model_cfg,
                     platforms: Sequence[str] = ("cpu", "tpu"),
                     mode: str = "plain",
                     quant_scales=None,
-                    min_foreground: float = 0.05) -> None:
+                    min_foreground: float = 0.05,
+                    serve_raw: bool = False,
+                    raw_dtype: str = "int16",
+                    out_dtype: str = "float32") -> None:
     """AOT-lower the clipped serving forward at each (H, W) in ``shapes``
     (batch symbolic) and write the single-file artifact.
 
@@ -63,6 +66,22 @@ def export_artifact(path: str, params, model_cfg,
                foreground pixels serves bf16: int8's noise floor is
                ~26 dB PSNR on near-blank slices, infer/engine.py:345),
                so artifact hosts keep the quality guardrail for free.
+
+    Transfer controls (VERDICT r4 item 1b — the engine's measured 2.6x
+    zero-copy path for AOT hosts, infer/engine.py:81-110):
+    - ``out_dtype`` "int16"/"uint8": outputs pack ON DEVICE
+      (round(y*32767) / round(y*255)), so the host fetches 1-2
+      bytes/pixel. Composes with "plain" and "tta" (the ensemble packs
+      its fp32 MEAN, the engine's order); refused for "int8" (its routed
+      fallback pairing stays float — serve packed int8 from a
+      checkpoint engine).
+    - ``serve_raw`` (mode "plain" only): programs take RAW
+      ``raw_dtype`` batches in the TRANSPOSED (b, w, h, 1) layout a
+      NIfTI F-order buffer exposes for free, run the reference
+      percentile-window + minmax normalize ON DEVICE, and return
+      (b, 2w, 2h, 1) outputs that write back F-order byte-for-byte —
+      the host never touches a float voxel. One raw input dtype per
+      artifact (re-export for another).
     """
     from jax import export as jexport
 
@@ -70,6 +89,28 @@ def export_artifact(path: str, params, model_cfg,
 
     if mode not in ("plain", "tta", "int8"):
         raise ValueError(f"unknown artifact mode {mode!r}")
+    out_dt = np.dtype(out_dtype)
+    if out_dt not in (np.dtype(np.float32), np.dtype(np.int16),
+                      np.dtype(np.uint8)):
+        raise ValueError(f"out_dtype must be float32/int16/uint8, "
+                         f"got {out_dtype}")
+    if mode == "int8" and out_dt != np.dtype(np.float32):
+        raise ValueError("out_dtype packing does not compose with "
+                         "mode='int8' artifacts (the routed int8+fallback "
+                         "pair stays float32); use a checkpoint engine "
+                         "for packed int8 serving")
+    if serve_raw and mode != "plain":
+        raise ValueError("serve_raw composes with mode='plain' only "
+                         "(the tta ensemble's transform table and the "
+                         "int8 host-side routing both read the standard "
+                         "normalized layout)")
+    in_dt = np.dtype(raw_dtype)
+    if serve_raw and in_dt not in (np.dtype(np.uint8), np.dtype(np.uint16),
+                                   np.dtype(np.int16),
+                                   np.dtype(np.float32)):
+        raise ValueError(f"raw_dtype must be uint8/uint16/int16/float32, "
+                         f"got {raw_dtype}")
+
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     model = build_model(model_cfg, dtype=dtype)
     plain = lambda x: jnp.clip(
@@ -86,17 +127,26 @@ def export_artifact(path: str, params, model_cfg,
     else:
         raw = plain
 
+    def pack(y):
+        """Device-side output packing (engine._maybe_pack semantics)."""
+        if out_dt == np.dtype(np.float32):
+            return y
+        scale = 255.0 if out_dt == np.dtype(np.uint8) else 32767.0
+        dt = jnp.uint8 if out_dt == np.dtype(np.uint8) else jnp.int16
+        return jnp.round(jnp.clip(y, 0.0, 1.0) * scale).astype(dt)
+
     blobs = []
     for h, w in shapes:
         if mode == "tta":
             # the ensemble zero-pads each member to %8 AFTER its dihedral
             # transform inside the traced body (the engine's exact order,
-            # ops/tta.py), so tta artifacts accept any content shape
+            # ops/tta.py), so tta artifacts accept any content shape;
+            # packing applies to the fp32 ensemble MEAN (engine order)
             from mri_superresolution_tpu.ops.tta import build_tta_ensemble
             pad8 = lambda n: -(-n // 8) * 8
-            fn = jax.jit(lambda x, _h=h, _w=w: build_tta_ensemble(
+            fn = jax.jit(lambda x, _h=h, _w=w: pack(build_tta_ensemble(
                 lambda _p, a: raw(a), square=(_h == _w),
-                bucket_fn=lambda th, tw: (pad8(th), pad8(tw)))(None, x))
+                bucket_fn=lambda th, tw: (pad8(th), pad8(tw)))(None, x)))
         else:
             if h % 8 or w % 8:
                 raise ValueError(
@@ -104,9 +154,27 @@ def export_artifact(path: str, params, model_cfg,
                     "engine's bucket padding is a host-side concern the "
                     "artifact does not carry (the loader's pad=True "
                     "applies it; tta-mode artifacts pad internally)")
-            fn = jax.jit(raw)
+            if serve_raw:
+                from mri_superresolution_tpu.ops.normalize import (
+                    minmax_normalize, percentile_window)
+
+                def fn_raw(x):
+                    # (b, w, h, 1) raw -> device swap -> per-slice
+                    # normalize -> forward -> pack -> swap back
+                    xs = x[..., 0].swapaxes(1, 2)
+                    xn = jax.vmap(lambda s: minmax_normalize(
+                        percentile_window(s)))(xs)[..., None]
+                    return pack(raw(xn)).swapaxes(1, 2)
+
+                fn = jax.jit(fn_raw)
+            else:
+                fn = jax.jit(lambda x: pack(raw(x)))
         b, = jexport.symbolic_shape("b")
-        spec = jax.ShapeDtypeStruct((b, h, w, 1), jnp.float32)
+        if serve_raw:
+            spec = jax.ShapeDtypeStruct((b, w, h, 1),
+                                        jnp.dtype(in_dt.name))
+        else:
+            spec = jax.ShapeDtypeStruct((b, h, w, 1), jnp.float32)
         exp = jexport.export(fn, platforms=tuple(platforms))(spec)
         blobs.append(exp.serialize())
         if mode == "int8":
@@ -115,10 +183,13 @@ def export_artifact(path: str, params, model_cfg,
                                  platforms=tuple(platforms))(spec)
             blobs.append(exp.serialize())
 
+    transfer = serve_raw or out_dt != np.dtype(np.float32)
     header = {
-        # v2 = two blobs per shape (int8 + routing fallback); pre-routing
-        # loaders must reject it loudly instead of mis-pairing blobs
-        "format": ("mri-sr-serving-artifact-v2" if mode == "int8"
+        # v2 = two blobs per shape (int8 + routing fallback); v3 = raw
+        # inputs / packed outputs (the I/O contract changed — pre-r5
+        # loaders must reject loudly instead of feeding fp32 [0,1])
+        "format": ("mri-sr-serving-artifact-v3" if transfer
+                   else "mri-sr-serving-artifact-v2" if mode == "int8"
                    else "mri-sr-serving-artifact-v1"),
         "model_type": model_cfg.model_type,
         "base_filters": model_cfg.base_filters,
@@ -133,6 +204,10 @@ def export_artifact(path: str, params, model_cfg,
         # per shape: int8 program then its bf16 routing fallback
         header["routed"] = True
         header["min_foreground"] = float(min_foreground)
+    if transfer:
+        header["serve_raw"] = bool(serve_raw)
+        header["raw_dtype"] = in_dt.name if serve_raw else None
+        header["out_dtype"] = out_dt.name
     hdr = json.dumps(header, sort_keys=True).encode()
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -163,6 +238,14 @@ class ServingArtifact:
         self._fallbacks = fallbacks or {}
         self.routed = bool(self._fallbacks)
         self.min_foreground = float(header.get("min_foreground", 0.05))
+        # v3 transfer controls: raw transposed inputs / packed outputs.
+        # Attribute names mirror InferenceEngine's so the serving daemon's
+        # batcher + volume endpoint treat a raw artifact like a raw engine.
+        self.normalize_inputs = bool(header.get("serve_raw", False))
+        self.transpose_io = self.normalize_inputs
+        self.raw_dtype = (np.dtype(header["raw_dtype"])
+                          if self.normalize_inputs else None)
+        self.out_dtype = np.dtype(header.get("out_dtype", "float32"))
 
     @property
     def shapes(self):
@@ -191,6 +274,31 @@ class ServingArtifact:
         asynchronously-dispatched jax array; ``np.asarray`` on it is the
         synchronization point (upscale_batches exploits this to overlap
         batch i+1's compute with batch i's fetch)."""
+        if self.normalize_inputs:
+            # raw transposed contract (engine transpose_io parity):
+            # (n, w, h) stored-dtype in, (n, 2w, 2h) packed out
+            n, wt, ht = batch.shape
+            if pad and (ht, wt) not in self._programs:
+                raise ValueError(
+                    "serve_raw artifacts cannot serve unexported shapes "
+                    "by padding (zero pads would dilute the baked "
+                    "device-side percentile normalize); re-export with "
+                    f"shape {ht}x{wt} included")
+            if batch.dtype == np.float64 and \
+                    self.raw_dtype == np.dtype(np.float32):
+                batch = batch.astype(np.float32)
+            if batch.dtype != self.raw_dtype:
+                raise ValueError(
+                    f"this raw artifact was exported for {self.raw_dtype} "
+                    f"inputs, got {batch.dtype} (re-export with "
+                    "--raw_dtype or convert on the host)")
+            if (ht, wt) not in self._programs:
+                raise ValueError(
+                    f"artifact has no program for {ht}x{wt}; exported "
+                    f"shapes: {self.shapes}")
+            return (self._programs[(ht, wt)].call(
+                np.ascontiguousarray(batch)[..., None]),
+                (2 * wt, 2 * ht))
         n, h, w = batch.shape
         if (h, w) in self._programs:
             return (self._pick((h, w), batch).call(
@@ -256,6 +364,11 @@ class ServingArtifact:
         The engine class is imported LAZILY here — plain artifact
         loading/serving never touches the model zoo (pinned by
         tests/test_export.py)."""
+        if self.normalize_inputs:
+            raise ValueError(
+                "serve_raw artifacts bake the raw transposed volume "
+                "contract; the PNG single-image pipeline needs a standard "
+                "artifact (export without --serve_raw)")
         from mri_superresolution_tpu.infer.engine import InferenceEngine
         cls = type(self)
         if not hasattr(cls, "calculate_metrics"):
@@ -277,7 +390,8 @@ def load_artifact(path: str) -> ServingArtifact:
         (hlen,) = struct.unpack("<I", f.read(4))
         header = json.loads(f.read(hlen).decode())
         if header.get("format") not in ("mri-sr-serving-artifact-v1",
-                                        "mri-sr-serving-artifact-v2"):
+                                        "mri-sr-serving-artifact-v2",
+                                        "mri-sr-serving-artifact-v3"):
             raise ValueError(f"unknown artifact format in {path}")
         programs, fallbacks = {}, {}
         routed = header.get("routed", False)

@@ -45,7 +45,12 @@ def _serve_one(args, engine, art, logger, input_path, output_path) -> int:
     from mri_superresolution_tpu import nifti
     from mri_superresolution_tpu.config import InferConfig
 
-    data, hdr = nifti.load(input_path, raw=args.serve_raw)
+    # a serve_raw ARTIFACT bakes the raw transposed contract; the host
+    # path is then identical to the engine's --serve_raw path
+    serve_raw = args.serve_raw or (
+        art is not None and getattr(art, "normalize_inputs", False))
+    transposed = serve_raw and not args.tta
+    data, hdr = nifti.load(input_path, raw=serve_raw)
     if data.ndim == 4:
         logger.info("4D input: super-resolving timepoint 0")
         data = data[:, :, :, 0]
@@ -54,9 +59,9 @@ def _serve_one(args, engine, art, logger, input_path, output_path) -> int:
         return 1
     h, w, n_slices = data.shape
     logger.info(f"Volume {input_path}: {h}x{w}, {n_slices} slices"
-                + (f" (raw {data.dtype} served)" if args.serve_raw else ""))
+                + (f" (raw {data.dtype} served)" if serve_raw else ""))
 
-    if args.serve_raw and not args.tta:
+    if transposed:
         # ZERO-copy host path: the volume's F-order (h, w, n) buffer IS a
         # C-order (n, w, h) array — data.T is already contiguous — and the
         # engine (transpose_io) swaps on DEVICE both ways, returning
@@ -64,7 +69,7 @@ def _serve_one(args, engine, art, logger, input_path, output_path) -> int:
         # F-order for free (measured: the host transpose was the decode
         # bottleneck, tools/bench_serve_e2e.py)
         norm = np.ascontiguousarray(data.T)   # no copy when F-contiguous
-    elif args.serve_raw:
+    elif serve_raw:
         norm = np.ascontiguousarray(np.transpose(data, (2, 0, 1)))
     else:
         stack = np.ascontiguousarray(np.transpose(data, (2, 0, 1)))
@@ -73,6 +78,13 @@ def _serve_one(args, engine, art, logger, input_path, output_path) -> int:
     outs = []
     if art is not None:
         if (h, w) not in art.shapes:
+            if serve_raw:
+                logger.error(
+                    f"serve_raw artifact has no program for {h}x{w} and "
+                    "cannot pad (zero pads would dilute the baked "
+                    "device-side normalize); re-export with this exact "
+                    f"shape (exported: {art.shapes})")
+                return 1
             if art.mode == "tta":
                 logger.error(
                     f"tta-mode artifact has no program for {h}x{w} and "
@@ -118,7 +130,7 @@ def _serve_one(args, engine, art, logger, input_path, output_path) -> int:
     elif max(h, w) > args.tile:
         logger.info(f"Slice {h}x{w} exceeds tile={args.tile}; "
                     "using halo-tiled inference")
-        if args.serve_raw:
+        if serve_raw:
             logger.error("--serve_raw does not support the tiled path "
                          "(per-tile normalize would differ); rerun "
                          "without it or use --spatial_shards")
@@ -136,8 +148,7 @@ def _serve_one(args, engine, art, logger, input_path, output_path) -> int:
     sr = np.concatenate([o if o.ndim == 3 else o[None] for o in outs], axis=0)
     # transpose_io outputs are (n, 2w, 2h): .T is the F-contiguous
     # (2h, 2w, n) volume with no copy; standard outputs transpose normally
-    sr_vol = (sr.T if args.serve_raw and not args.tta
-              else np.transpose(sr, (1, 2, 0)))
+    sr_vol = sr.T if transposed else np.transpose(sr, (1, 2, 0))
 
     zooms = list(hdr.zooms) + [1.0] * 3
     out_zooms = (zooms[0] / 2.0, zooms[1] / 2.0, zooms[2])
@@ -159,7 +170,6 @@ def _serve_one(args, engine, art, logger, input_path, output_path) -> int:
                      s * (255.0 / 32767.0)).astype(np.uint8)}
         conv = to_u8.get(sr.dtype,
                          lambda s: np.clip(s * 255, 0, 255).astype(np.uint8))
-        transposed = args.serve_raw and not args.tta
         for i in range(sr.shape[0]):
             plane = sr[i].T if transposed else sr[i]
             cv2.imwrite(os.path.join(args.save_png_dir,
@@ -262,11 +272,15 @@ def main():
         art = load_artifact(args.artifact)
         # a flag whose mode IS baked into the artifact is satisfied, not
         # incompatible (mirrors infer.py's mode-aware handling)
+        import numpy as _np
         bad = [name for name, on in
                (("--quant", args.quant != "none" and art.mode != "int8"),
                 ("--spatial_shards", args.spatial_shards != 1),
-                ("--serve_raw", args.serve_raw),
-                ("--out_dtype", args.out_dtype != "float32"),
+                # satisfied (not incompatible) when the artifact bakes it
+                ("--serve_raw", args.serve_raw
+                 and not getattr(art, "normalize_inputs", False)),
+                ("--out_dtype", args.out_dtype != "float32"
+                 and _np.dtype(args.out_dtype) != art.out_dtype),
                 ("--tta", args.tta and art.mode != "tta"))
                if on]
         if bad:

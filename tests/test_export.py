@@ -209,3 +209,129 @@ def test_artifact_int8_mode(artifact, tmp_path, rng):
         export_artifact(str(tmp_path / "no.mrisrx"), params, cfg,
                         shapes=[(16, 16)], bf16=False, platforms=("cpu",),
                         mode="int8")
+
+
+# ---------------------------------------- round-5 transfer-control artifacts
+
+def test_artifact_packed_output(artifact, rng):
+    """out_dtype int16: the program packs on device; values equal the
+    engine's device packing of the plain output."""
+    path, cfg, params = artifact
+    p2 = path + ".int16"
+    export_artifact(p2, params, cfg, shapes=[(16, 16)], bf16=False,
+                    platforms=("cpu",), out_dtype="int16")
+    art = load_artifact(p2)
+    assert art.out_dtype == np.dtype(np.int16)
+    x = rng.random((3, 16, 16), dtype=np.float32)
+    got = art.upscale_batch(x)
+    assert got.dtype == np.int16
+    eng = InferenceEngine(cfg, params, bf16=False, out_dtype=np.int16)
+    # the artifact fuses pack INTO the forward program; the engine packs
+    # in a second program — different fusings shift fp32 ULPs, flipping
+    # round() at exact half-codes for a sparse set of pixels (the
+    # documented refusing phenomenon). Contract: +-1 code, rare.
+    d = np.abs(got.astype(np.int32)
+               - eng.upscale_batch(x).astype(np.int32))
+    assert d.max() <= 1 and (d > 0).mean() < 0.01
+
+
+def test_artifact_tta_packed_output(artifact, rng):
+    """tta x out_dtype: the ensemble packs its fp32 MEAN (engine order)."""
+    path, cfg, params = artifact
+    plain_tta = path + ".tta"
+    packed_tta = path + ".tta8"
+    export_artifact(plain_tta, params, cfg, shapes=[(16, 16)], bf16=False,
+                    platforms=("cpu",), mode="tta")
+    export_artifact(packed_tta, params, cfg, shapes=[(16, 16)], bf16=False,
+                    platforms=("cpu",), mode="tta", out_dtype="uint8")
+    x = rng.random((2, 16, 16), dtype=np.float32)
+    mean = load_artifact(plain_tta).upscale_batch(x)
+    got = load_artifact(packed_tta).upscale_batch(x)
+    assert got.dtype == np.uint8
+    want = np.round(np.clip(mean, 0, 1) * 255.0).astype(np.uint8)
+    d = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert d.max() <= 1 and (d > 0).mean() < 0.01   # half-code flips only
+
+
+def test_artifact_serve_raw_matches_raw_engine(artifact, rng):
+    """serve_raw: raw int16 transposed batches through the AOT program ==
+    the engine's zero-copy path (same normalize/forward/pack graph)."""
+    path, cfg, params = artifact
+    p2 = path + ".raw"
+    export_artifact(p2, params, cfg, shapes=[(16, 24)], bf16=False,
+                    platforms=("cpu",), serve_raw=True, raw_dtype="int16",
+                    out_dtype="int16")
+    art = load_artifact(p2)
+    assert art.normalize_inputs and art.transpose_io
+    assert art.raw_dtype == np.dtype(np.int16)
+    assert art.header["format"] == "mri-sr-serving-artifact-v3"
+    # content shape 16x24 -> transposed batches are (n, 24, 16)
+    batch = (rng.random((2, 24, 16)) * 900).astype(np.int16)
+    got = art.upscale_batch(batch)
+    assert got.shape == (2, 48, 32) and got.dtype == np.int16
+    eng = InferenceEngine(cfg, params, bf16=False, normalize_inputs=True,
+                          transpose_io=True, out_dtype=np.int16)
+    d = np.abs(got.astype(np.int32)
+               - eng.upscale_batch(batch).astype(np.int32))
+    assert d.max() <= 1 and (d > 0).mean() < 0.01   # half-code flips only
+
+
+def test_artifact_serve_raw_validation(artifact, rng):
+    path, cfg, params = artifact
+    p2 = path + ".rawv"
+    with pytest.raises(ValueError, match="plain"):
+        export_artifact(p2, params, cfg, shapes=[(16, 16)], bf16=False,
+                        platforms=("cpu",), mode="tta", serve_raw=True)
+    with pytest.raises(ValueError, match="int8"):
+        export_artifact(p2, params, cfg, shapes=[(16, 16)], bf16=False,
+                        platforms=("cpu",), mode="int8",
+                        out_dtype="int16")
+    export_artifact(p2, params, cfg, shapes=[(16, 16)], bf16=False,
+                    platforms=("cpu",), serve_raw=True, raw_dtype="uint16")
+    art = load_artifact(p2)
+    with pytest.raises(ValueError, match="uint16"):
+        art.upscale_batch(rng.random((1, 16, 16), dtype=np.float32))
+    with pytest.raises(ValueError, match="padding|pad"):
+        art.upscale_batch((rng.random((1, 24, 24)) * 99).astype(np.uint16),
+                          pad=True)
+    with pytest.raises(ValueError, match="single-image|PNG|standard"):
+        art.process_single_image("x.png", "y.png")
+
+
+def test_raw_artifact_serves_volumes_through_daemon(artifact, rng):
+    """A serve_raw artifact exposes the engine's transfer attributes, so
+    the daemon's zero-copy volume endpoint works with NO model code on
+    the serving host — the full AOT deployment story."""
+    import threading
+    import urllib.request
+
+    from mri_superresolution_tpu import nifti
+    from mri_superresolution_tpu.infer.server import serve_http
+
+    path, cfg, params = artifact
+    p2 = path + ".rawd"
+    export_artifact(p2, params, cfg, shapes=[(16, 16)], bf16=False,
+                    platforms=("cpu",), serve_raw=True, raw_dtype="int16",
+                    out_dtype="int16")
+    art = load_artifact(p2)
+    vol = (rng.random((16, 16, 4)) * 900).astype(np.int16)
+    blob = nifti.save_bytes(vol, zooms=(2.0, 2.0, 2.0))
+    server = serve_http(art, host="127.0.0.1", port=0, max_batch=4,
+                        batch_window_ms=5.0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.server_address[1]}/upscale_volume",
+            data=blob)
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            sr, hdr = nifti.load_bytes(resp.read(), raw=True)
+        assert sr.shape == (32, 32, 4) and sr.dtype == np.int16
+        assert abs(hdr.scl_slope - 1.0 / 32767.0) < 1e-12
+        want = art.upscale_batch(np.ascontiguousarray(vol.T))
+        np.testing.assert_array_equal(sr, want.T)
+    finally:
+        server.shutdown()
+        server.server_close()
+        server.batcher.close()
+        t.join(10)

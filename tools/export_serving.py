@@ -45,6 +45,18 @@ def main():
     ap.add_argument("--quant_calib", default=None,
                     help="int8 mode: JSON sidecar of frozen activation "
                          "scales (defaults to <checkpoint>.calib.json)")
+    ap.add_argument("--serve_raw", action="store_true",
+                    help="bake the zero-copy volume contract (plain mode "
+                         "only): raw --raw_dtype inputs in the transposed "
+                         "(b, w, h) NIfTI layout, device-side percentile "
+                         "normalize, outputs transposed back")
+    ap.add_argument("--raw_dtype", default="int16",
+                    choices=("uint8", "uint16", "int16", "float32"),
+                    help="stored input dtype a --serve_raw artifact "
+                         "accepts (one per artifact)")
+    ap.add_argument("--out_dtype", default="float32",
+                    choices=("float32", "int16", "uint8"),
+                    help="pack outputs on device (plain/tta modes)")
     ap.add_argument("--no_bf16", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -85,11 +97,15 @@ def main():
     export_artifact(args.out, engine.params, engine.model_cfg, shapes,
                     bf16=not args.no_bf16,
                     platforms=tuple(args.platforms.split(",")),
-                    mode=args.mode, quant_scales=scales)
+                    mode=args.mode, quant_scales=scales,
+                    serve_raw=args.serve_raw, raw_dtype=args.raw_dtype,
+                    out_dtype=args.out_dtype)
+    extra = (f" raw={args.raw_dtype}" if args.serve_raw else "") + \
+        (f" out={args.out_dtype}" if args.out_dtype != "float32" else "")
     print(f"Wrote {args.out} ({os.path.getsize(args.out) / 2**20:.1f} MiB): "
           f"{engine.model_cfg.model_type} bf={engine.model_cfg.base_filters} "
-          f"mode={args.mode} shapes={shapes} platforms={args.platforms} "
-          f"(batch symbolic)")
+          f"mode={args.mode}{extra} shapes={shapes} "
+          f"platforms={args.platforms} (batch symbolic)")
 
 
 if __name__ == "__main__":
