@@ -48,7 +48,10 @@ def export_artifact(path: str, params, model_cfg,
                     min_foreground: float = 0.05,
                     serve_raw: bool = False,
                     raw_dtype: str = "int16",
-                    out_dtype: str = "float32") -> None:
+                    out_dtype: str = "float32",
+                    spatial_shards: int = 1,
+                    spatial_devices: int = 0,
+                    spatial_batch: int = 0) -> None:
     """AOT-lower the clipped serving forward at each (H, W) in ``shapes``
     (batch symbolic) and write the single-file artifact.
 
@@ -82,6 +85,25 @@ def export_artifact(path: str, params, model_cfg,
       (b, 2w, 2h, 1) outputs that write back F-order byte-for-byte —
       the host never touches a float voxel. One raw input dtype per
       artifact (re-export for another).
+
+    Row-sharded (spatial) artifacts (VERDICT r4 item 6):
+    ``spatial_shards`` > 1 bakes the shard_map forward over a
+    (data, space) mesh — halo ppermutes, psum GroupNorm stats and all —
+    into the exported StableHLO, so a multi-chip serving host runs
+    slices too large per chip with NO model code. ``jax.export``
+    records the device count (``spatial_devices``; 0 = all visible at
+    export); the loader reconstructs the mesh over the first N devices
+    of the serving host. The toolchain cannot combine a SYMBOLIC batch
+    with a multi-device program (measured: the export segfaults), so
+    spatial programs carry a CONCRETE batch (``spatial_batch``, default
+    the data-axis width); the loader zero-pads the batch axis up to it
+    (exact — every per-sample computation is independent of pad rows)
+    and chunks larger batches. Composes with ``out_dtype`` and modes
+    "plain"/"tta"/"int8" (int8 folds the frozen scales into the
+    row-sharded forward; the routed fallback pair is row-sharded too);
+    ``serve_raw`` is refused (the device-side percentile normalize
+    would need whole-slice psums the raw program does not carry —
+    normalize on the host and serve fp32).
     """
     from jax import export as jexport
 
@@ -111,6 +133,29 @@ def export_artifact(path: str, params, model_cfg,
         raise ValueError(f"raw_dtype must be uint8/uint16/int16/float32, "
                          f"got {raw_dtype}")
 
+    spatial = int(spatial_shards) > 1
+    if spatial and serve_raw:
+        raise ValueError(
+            "serve_raw does not compose with spatial artifacts (the "
+            "device-side percentile normalize needs whole-slice "
+            "statistics a row-sharded program would have to psum; "
+            "normalize on the host and serve fp32)")
+    if spatial:
+        ndev = spatial_devices or len(jax.devices())
+        if ndev % spatial_shards:
+            raise ValueError(f"spatial_shards={spatial_shards} must "
+                             f"divide the {ndev} export devices")
+        n_data = ndev // spatial_shards
+        sp_batch = spatial_batch or n_data
+        if sp_batch % n_data:
+            raise ValueError(f"spatial_batch={sp_batch} must be a "
+                             f"multiple of the data-axis width {n_data}")
+        from mri_superresolution_tpu.parallel.spatial import (
+            build_spatial_forward_raw, build_spatial_int8_forward_raw,
+            make_spatial_mesh, spatial_input_sharding)
+        sp_mesh = make_spatial_mesh(n_data, spatial_shards)
+        x_sh = spatial_input_sharding(sp_mesh)
+
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     model = build_model(model_cfg, dtype=dtype)
     plain = lambda x: jnp.clip(
@@ -137,6 +182,45 @@ def export_artifact(path: str, params, model_cfg,
 
     blobs = []
     for h, w in shapes:
+        if spatial:
+            if h % (8 * spatial_shards) or w % 8:
+                raise ValueError(
+                    f"spatial artifact shapes need H % "
+                    f"{8 * spatial_shards} == 0 and W % 8 == 0 "
+                    f"(got {h}x{w})")
+            sp_raw = build_spatial_forward_raw(
+                sp_mesh, (h, w), dtype=dtype,
+                model_type=model_cfg.model_type)
+            sp_plain = (lambda x, _f=sp_raw:
+                        jnp.clip(_f(params, x), 0.0, 1.0))
+            if mode == "int8":
+                sp_i8 = build_spatial_int8_forward_raw(
+                    sp_mesh, (h, w), jax.device_get(params), quant_scales,
+                    model_cfg.model_type, dtype=dtype)
+                core = (lambda x, _f=sp_i8:
+                        jnp.clip(_f(params, x), 0.0, 1.0))
+            elif mode == "tta":
+                from mri_superresolution_tpu.ops.tta import (
+                    build_tta_ensemble)
+                # conforming shapes only, so every dihedral member keeps
+                # its exact exported geometry (bucket_fn identity)
+                core = (lambda x, _p=sp_plain, _sq=(h == w):
+                        build_tta_ensemble(
+                            lambda _u, a: _p(a), square=_sq,
+                            bucket_fn=lambda th, tw: (th, tw))(None, x))
+            else:
+                core = sp_plain
+            fn = jax.jit(lambda x, _c=core: pack(_c(x)),
+                         in_shardings=x_sh, out_shardings=x_sh)
+            spec = jax.ShapeDtypeStruct((sp_batch, h, w, 1), jnp.float32)
+            exp = jexport.export(fn, platforms=tuple(platforms))(spec)
+            blobs.append(exp.serialize())
+            if mode == "int8":
+                fb = jax.jit(sp_plain, in_shardings=x_sh,
+                             out_shardings=x_sh)
+                exp = jexport.export(fb, platforms=tuple(platforms))(spec)
+                blobs.append(exp.serialize())
+            continue
         if mode == "tta":
             # the ensemble zero-pads each member to %8 AFTER its dihedral
             # transform inside the traced body (the engine's exact order,
@@ -183,11 +267,12 @@ def export_artifact(path: str, params, model_cfg,
                                  platforms=tuple(platforms))(spec)
             blobs.append(exp.serialize())
 
-    transfer = serve_raw or out_dt != np.dtype(np.float32)
+    transfer = serve_raw or out_dt != np.dtype(np.float32) or spatial
     header = {
         # v2 = two blobs per shape (int8 + routing fallback); v3 = raw
-        # inputs / packed outputs (the I/O contract changed — pre-r5
-        # loaders must reject loudly instead of feeding fp32 [0,1])
+        # inputs / packed outputs / row-sharded programs (the I/O or
+        # device contract changed — pre-r5 loaders must reject loudly
+        # instead of feeding fp32 [0,1] single-device batches)
         "format": ("mri-sr-serving-artifact-v3" if transfer
                    else "mri-sr-serving-artifact-v2" if mode == "int8"
                    else "mri-sr-serving-artifact-v1"),
@@ -208,6 +293,10 @@ def export_artifact(path: str, params, model_cfg,
         header["serve_raw"] = bool(serve_raw)
         header["raw_dtype"] = in_dt.name if serve_raw else None
         header["out_dtype"] = out_dt.name
+    if spatial:
+        header["spatial"] = {"n_data": int(n_data),
+                             "n_space": int(spatial_shards),
+                             "batch": int(sp_batch)}
     hdr = json.dumps(header, sort_keys=True).encode()
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -246,6 +335,10 @@ class ServingArtifact:
         self.raw_dtype = (np.dtype(header["raw_dtype"])
                           if self.normalize_inputs else None)
         self.out_dtype = np.dtype(header.get("out_dtype", "float32"))
+        # row-sharded artifacts: {"n_data", "n_space", "batch"} — the
+        # mesh is reconstructed lazily over the serving host's devices
+        self.spatial = header.get("spatial")
+        self._sp_sharding = None
 
     @property
     def shapes(self):
@@ -274,6 +367,8 @@ class ServingArtifact:
         asynchronously-dispatched jax array; ``np.asarray`` on it is the
         synchronization point (upscale_batches exploits this to overlap
         batch i+1's compute with batch i's fetch)."""
+        if self.spatial:
+            return self._dispatch_spatial(batch, pad)
         if self.normalize_inputs:
             # raw transposed contract (engine transpose_io parity):
             # (n, w, h) stored-dtype in, (n, 2w, 2h) packed out
@@ -325,6 +420,55 @@ class ServingArtifact:
         padded = np.zeros((n, ph, pw), np.float32)
         padded[:, :h, :w] = batch
         return prog.call(padded[..., None]), (2 * h, 2 * w)
+
+    def _spatial_sharding(self):
+        """Lazily reconstruct the (data, space) mesh + input sharding the
+        programs were exported over, on the serving host's first
+        n_data*n_space devices."""
+        if self._sp_sharding is None:
+            import jax as _jax
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            nd, ns = self.spatial["n_data"], self.spatial["n_space"]
+            devs = _jax.devices()
+            if len(devs) < nd * ns:
+                raise RuntimeError(
+                    f"this spatial artifact needs {nd * ns} devices "
+                    f"({nd} data x {ns} space); host has {len(devs)}")
+            mesh = Mesh(np.asarray(devs[:nd * ns]).reshape(nd, ns),
+                        ("data", "space"))
+            self._sp_sharding = NamedSharding(
+                mesh, PartitionSpec("data", "space", None, None))
+        return self._sp_sharding
+
+    def _dispatch_spatial(self, batch: np.ndarray, pad: bool):
+        """Row-sharded programs: concrete batch B (symbolic batch does
+        not export with multi-device programs); arbitrary N serves as
+        ceil(N/B) calls with the last chunk zero-padded on the batch
+        axis — exact, since every per-sample computation (convs, whole-
+        image GroupNorm, dihedral members) is independent of pad rows."""
+        import jax as _jax
+
+        n, h, w = batch.shape
+        if (h, w) not in self._programs:
+            raise ValueError(
+                f"spatial artifact has no program for {h}x{w} and cannot "
+                f"serve it by padding (H must stay % "
+                f"{8 * self.spatial['n_space']}); exported shapes: "
+                f"{self.shapes}")
+        sh = self._spatial_sharding()
+        prog = self._pick((h, w), batch)
+        B = self.spatial["batch"]
+        outs = []
+        for s in range(0, n, B):
+            chunk = batch[s:s + B]
+            if len(chunk) < B:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((B - len(chunk), h, w),
+                                     batch.dtype)])
+            x = _jax.device_put(
+                np.ascontiguousarray(chunk, np.float32)[..., None], sh)
+            outs.append(np.asarray(prog.call(x))[:min(B, n - s)])
+        return np.concatenate(outs), (2 * h, 2 * w)
 
     def _pick(self, key: Tuple[int, int], batch: np.ndarray):
         """int8 artifacts route near-empty batches (< min_foreground

@@ -275,7 +275,9 @@ def main():
         import numpy as _np
         bad = [name for name, on in
                (("--quant", args.quant != "none" and art.mode != "int8"),
-                ("--spatial_shards", args.spatial_shards != 1),
+                ("--spatial_shards", args.spatial_shards != 1
+                 and (art.spatial or {}).get("n_space")
+                 != args.spatial_shards),
                 # satisfied (not incompatible) when the artifact bakes it
                 ("--serve_raw", args.serve_raw
                  and not getattr(art, "normalize_inputs", False)),

@@ -92,10 +92,16 @@ def main():
                (("--quant", args.quant != "none"
                  and backend.mode != "int8"),
                 ("--tta", args.tta and backend.mode != "tta"),
-                ("--spatial_shards", args.spatial_shards != 1),
+                # satisfied when the artifact bakes the sharded program
+                ("--spatial_shards", args.spatial_shards != 1
+                 and (backend.spatial or {}).get("n_space")
+                 != args.spatial_shards),
                 ("--num_devices", args.num_devices != 0),
-                ("--serve_raw", args.serve_raw),
-                ("--out_dtype", args.out_dtype != "float32"))
+                ("--serve_raw", args.serve_raw
+                 and not backend.normalize_inputs),
+                ("--out_dtype", args.out_dtype != "float32"
+                 and __import__("numpy").dtype(args.out_dtype)
+                 != backend.out_dtype))
                if on]
         if bad:
             logger.error(

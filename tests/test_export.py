@@ -335,3 +335,87 @@ def test_raw_artifact_serves_volumes_through_daemon(artifact, rng):
         server.server_close()
         server.batcher.close()
         t.join(10)
+
+
+# ------------------------------------------------ round-5 spatial artifacts
+
+@pytest.fixture(scope="module")
+def spatial_artifact(artifact):
+    path, cfg, params = artifact
+    p2 = path + ".sp"
+    export_artifact(p2, params, cfg, shapes=[(32, 32)], bf16=False,
+                    platforms=("cpu",), spatial_shards=4,
+                    spatial_devices=8)
+    return p2
+
+
+def test_artifact_spatial_plain(artifact, spatial_artifact, rng):
+    """Row-sharded artifact (shard_map baked into StableHLO): serves on
+    an 8-device mesh with no model code, matches the dense engine, and
+    chunks arbitrary batch sizes exactly (concrete-batch programs;
+    symbolic batch does not export with multi-device programs)."""
+    path, cfg, params = artifact
+    art = load_artifact(spatial_artifact)
+    assert art.spatial == {"n_data": 2, "n_space": 4, "batch": 2}
+    assert art.header["format"] == "mri-sr-serving-artifact-v3"
+    x = rng.random((5, 32, 32), dtype=np.float32)
+    y = art.upscale_batch(x)
+    assert y.shape == (5, 64, 64)
+    dense = InferenceEngine(cfg, params, bf16=False).upscale_batch(x)
+    np.testing.assert_allclose(y, dense, rtol=1e-4, atol=3e-5)
+    # chunk exactness: per-sample computations are pad-row independent
+    np.testing.assert_array_equal(art.upscale_batch(x[:1]), y[:1])
+
+
+def test_artifact_spatial_tta_and_int8(artifact, rng, tmp_path):
+    """tta and routed-int8 modes compose with spatial artifacts: the
+    ensemble / frozen-scale int8 forward wrap the row-sharded program."""
+    from mri_superresolution_tpu.models import quant_forward as qf
+
+    path, cfg, params = artifact
+    rich = rng.random((2, 32, 32), dtype=np.float32)
+
+    p_tta = path + ".sptta"
+    export_artifact(p_tta, params, cfg, shapes=[(32, 32)], bf16=False,
+                    platforms=("cpu",), mode="tta", spatial_shards=4,
+                    spatial_devices=8)
+    art = load_artifact(p_tta)
+    y = art.upscale_batch(rich)
+    assert y.shape == (2, 64, 64) and np.isfinite(y).all()
+    dense_tta = InferenceEngine(cfg, params, bf16=False,
+                                tta=True).upscale_batch(rich)
+    np.testing.assert_allclose(y, dense_tta, rtol=1e-4, atol=3e-5)
+
+    scales = qf.calibrate(params, [rich[..., None]], "unet",
+                          dtype=jnp.float32)
+    p_i8 = path + ".spi8"
+    export_artifact(p_i8, params, cfg, shapes=[(32, 32)], bf16=False,
+                    platforms=("cpu",), mode="int8", quant_scales=scales,
+                    spatial_shards=4, spatial_devices=8)
+    art8 = load_artifact(p_i8)
+    assert art8.routed
+    y8 = art8.upscale_batch(rich)
+    assert y8.shape == (2, 64, 64) and np.isfinite(y8).all()
+    assert np.abs(y8 - y).mean() > 0           # int8 path differs from tta
+    # near-empty batches route to the row-sharded bf16 fallback
+    empty = np.zeros((2, 32, 32), np.float32)
+    empty[:, 14:16, 14:16] = 1.0
+    base = InferenceEngine(cfg, params, bf16=False).upscale_batch(empty)
+    np.testing.assert_allclose(art8.upscale_batch(empty), base,
+                               rtol=1e-4, atol=3e-5)
+
+
+def test_artifact_spatial_validation(artifact, spatial_artifact, rng):
+    path, cfg, params = artifact
+    with pytest.raises(ValueError, match="H %"):
+        export_artifact(path + ".x", params, cfg, shapes=[(16, 16)],
+                        bf16=False, platforms=("cpu",), spatial_shards=4,
+                        spatial_devices=8)
+    with pytest.raises(ValueError, match="serve_raw"):
+        export_artifact(path + ".x", params, cfg, shapes=[(32, 32)],
+                        bf16=False, platforms=("cpu",), spatial_shards=4,
+                        spatial_devices=8, serve_raw=True)
+    art = load_artifact(spatial_artifact)
+    with pytest.raises(ValueError, match="no program"):
+        art.upscale_batch(rng.random((1, 64, 64), dtype=np.float32),
+                          pad=True)

@@ -57,6 +57,17 @@ def main():
     ap.add_argument("--out_dtype", default="float32",
                     choices=("float32", "int16", "uint8"),
                     help="pack outputs on device (plain/tta modes)")
+    ap.add_argument("--spatial_shards", type=int, default=1,
+                    help="bake the row-sharded shard_map forward over a "
+                         "(data, space) mesh into the artifact (multi-"
+                         "device serving hosts, no model code); shapes "
+                         "need H %% (8*shards) == 0")
+    ap.add_argument("--spatial_devices", type=int, default=0,
+                    help="total devices for the spatial mesh (0 = all "
+                         "visible at export)")
+    ap.add_argument("--spatial_batch", type=int, default=0,
+                    help="concrete batch per spatial program (0 = the "
+                         "data-axis width); the loader pads/chunks")
     ap.add_argument("--no_bf16", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -99,13 +110,20 @@ def main():
                     platforms=tuple(args.platforms.split(",")),
                     mode=args.mode, quant_scales=scales,
                     serve_raw=args.serve_raw, raw_dtype=args.raw_dtype,
-                    out_dtype=args.out_dtype)
+                    out_dtype=args.out_dtype,
+                    spatial_shards=args.spatial_shards,
+                    spatial_devices=args.spatial_devices,
+                    spatial_batch=args.spatial_batch)
     extra = (f" raw={args.raw_dtype}" if args.serve_raw else "") + \
-        (f" out={args.out_dtype}" if args.out_dtype != "float32" else "")
+        (f" out={args.out_dtype}" if args.out_dtype != "float32" else "") + \
+        (f" spatial={args.spatial_shards}" if args.spatial_shards > 1
+         else "")
     print(f"Wrote {args.out} ({os.path.getsize(args.out) / 2**20:.1f} MiB): "
           f"{engine.model_cfg.model_type} bf={engine.model_cfg.base_filters} "
           f"mode={args.mode}{extra} shapes={shapes} "
-          f"platforms={args.platforms} (batch symbolic)")
+          f"platforms={args.platforms} "
+          + ("(concrete batch per spatial program)"
+             if args.spatial_shards > 1 else "(batch symbolic)"))
 
 
 if __name__ == "__main__":
