@@ -95,7 +95,7 @@ def dense_remat_ab(batch, hw, accum=None, remat_with_accum=False):
     print(f"temp ratio {t1} / {t0}: {v1 / v0:.3f}", flush=True)
 
 
-def spatial_scaling(batch, hw, remat=False):
+def spatial_scaling(batch, hw, remat=False, qat=False):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -115,6 +115,17 @@ def spatial_scaling(batch, hw, remat=False):
     opt = make_optimizer(1e-5)
     cfg = LossConfig(ssim_weight=0.3)
     h, w = hw
+    qat_amax0 = None
+    if qat:
+        # QAT x spatial (VERDICT r4 item 7): model-side remat segments are
+        # DISABLED under QAT (trace-time fakequant ctx may not cross a
+        # jax.checkpoint scope); the loss-graph checkpoint still applies
+        # when remat=True. This A/B measures what that combination costs.
+        from mri_superresolution_tpu.models import quant_forward
+        qat_amax0 = quant_forward.amax_template(
+            params, (1, h, w, 1), "unet", dtype=jnp.bfloat16)
+        qat_amax0 = {k: jnp.ones(v.shape, jnp.float32)
+                     for k, v in qat_amax0.items()}
     for n_space in (1, 2, 4, 8):
         mesh = make_spatial_mesh(1, n_space)
         rsh = NamedSharding(mesh, P())
@@ -122,11 +133,14 @@ def spatial_scaling(batch, hw, remat=False):
         dsh = {"hr": x4, "lr": x4, "weight": NamedSharding(mesh, P("data"))}
         state = jax.device_put(
             TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       opt_state=opt.init(params)), rsh)
-        sl = build_spatial_loss(mesh, hw, cfg, "unet", jnp.bfloat16,
-                                remat=remat)
-        step = jax.jit(build_spatial_train_step(sl, opt,
-                                                AugmentConfig(enabled=False)),
+                       opt_state=opt.init(params), qat_amax=qat_amax0),
+            rsh)
+        sl = build_spatial_loss(
+            mesh, hw, cfg, "unet", jnp.bfloat16, remat=remat,
+            qat_sites=sorted(qat_amax0) if qat else None)
+        step = jax.jit(build_spatial_train_step(
+                           sl, opt, AugmentConfig(enabled=False),
+                           qat=qat, qat_decay=0.98 if qat else 0.0),
                        in_shardings=(rsh, dsh, None, None),
                        out_shardings=(rsh, rsh), donate_argnums=(0,))
         batch_spec = {
@@ -141,7 +155,9 @@ def spatial_scaling(batch, hw, remat=False):
             state, batch_spec, jax.ShapeDtypeStruct((), jnp.float32),
             jax.ShapeDtypeStruct((), jax.random.key(0).dtype)).compile()
         # memory_analysis is per-executable = per-device under SPMD
-        _report(f"spatial n_space={n_space} global B={batch} {h}x{w}",
+        _report(f"spatial{'+qat' if qat else ''} n_space={n_space} "
+                f"global B={batch} {h}x{w}"
+                + (" remat(loss-graph only under qat)" if remat else ""),
                 compiled)
 
 
@@ -153,6 +169,10 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="with --spatial/--accum: compose remat in on both "
                          "sides of the comparison")
+    ap.add_argument("--qat", action="store_true",
+                    help="with --spatial: the QAT fakequant spatial step "
+                         "(model-side remat disabled by design; --remat "
+                         "keeps the loss-graph checkpoint)")
     ap.add_argument("--accum", type=int, default=None,
                     help="A/B grad_accum=1 vs grad_accum=N at the same "
                          "global batch instead of the remat A/B")
@@ -166,7 +186,8 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
-        spatial_scaling(args.batch, tuple(args.hw), remat=args.remat)
+        spatial_scaling(args.batch, tuple(args.hw), remat=args.remat,
+                        qat=args.qat)
     else:
         dense_remat_ab(args.batch, tuple(args.hw), accum=args.accum,
                        remat_with_accum=args.remat)
