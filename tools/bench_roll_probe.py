@@ -5,29 +5,38 @@ The closed column-packed conv kernel (experiments/conv_pallas.py) died on
 patch assembly: Mosaic lowered every tried layout-move (lane-merging
 reshape, offset lane-concat, sub-128-lane DMA) through relayouts costing
 5x the matmul. ``pltpu.roll`` was NOT among the tried primitives (it
-post-dates the experiment). A lane-dense implicit-GEMM conv would express
-each dx tap as a 32-lane circular roll plus a sublane-shifted masked fix
-for the wrapped lanes — IF roll lowers at register/bandwidth speed.
+post-dates the experiment). A lane-dense implicit-GEMM conv over the
+(W*C)-flattened layout would express each dx tap as a 32-lane roll with
+an edge mask (the roll's wrapped lanes are the image edge, where the
+conv's zero padding applies) and each dy tap as a sublane-offset read.
+IF those primitives run near bandwidth, the kernel is alive.
 
-This probe measures exactly that, before any kernel investment:
+Findings so far (hardware, recorded here so the probe self-documents):
+- ``pltpu.roll`` on bf16: "not implemented: Rotate with non-32-bit
+  data" (Mosaic on this toolchain). Workaround measured below:
+  ``pltpu.bitcast`` packs SUBLANE pairs — (R, L) bf16 -> (R/2, L) i32
+  with lanes untouched — so an i32 lane roll by k IS a bf16 lane roll
+  by k. Numerically exact (interpret + compiled).
+- whole-array blocks VMEM-OOM at (512, 16384) (32 MB > the 16 MB scoped
+  vmem limit); the probe grids over 64-row blocks like a real kernel.
 
-  copy      out = x                          (the bandwidth baseline)
-  roll      out = roll(x, 32, axis=lanes)
-  tapmix    out = roll(x, 32) merged with a sublane-shifted copy under an
-            iota mask, + arithmetic — one patch-assembly "tap" worth of work
+Kernels (per 64-row block of a (rows, lanes) bf16 array):
+  copy     out = x                                (bandwidth baseline)
+  roll32   out = bf16-lane-roll(x, 32) via the i32 view
+  taps3    x[0:Rb-2] + edge-masked roll32 of x[1:Rb-1] + x[2:Rb]
+           (three sublane-offset reads incl. an ODD offset on packed
+           bf16 + one rolled tap + adds — one dy-column of patch
+           assembly, the MXU feed's worth of layout work)
 
-Verdict rule: if roll/tapmix run within ~1.5x of copy, the conv kernel
-idea is ALIVE (assembly ~9 taps x near-bandwidth ≈ affordable); if they
-lower through relayouts (many-x slower), the conv-codegen closure memo
-(RESULTS 7a) stands and the idea is dead without further spend.
+Verdict rule: within ~1.5x of copy -> the conv idea is ALIVE; many-x
+slower (relayouts) -> the conv-codegen closure memo (RESULTS 7a) stands.
 
-Numerics are checked in interpret mode on CPU first (run with --cpu).
-Timing uses the chained-dependency method (axon tunnel: block_until_ready
-does not synchronize; bench.py pattern).
+Usage: --cpu for interpret-mode numerics; default runs+times on TPU
+(chained-dependency timing; bench.py pattern — block_until_ready does
+not synchronize through the axon tunnel).
 """
 
 import argparse
-import functools
 import os
 import sys
 import time
@@ -36,6 +45,8 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 
 import numpy as np
+
+R_BLK = 64
 
 
 def main():
@@ -59,94 +70,108 @@ def main():
     from jax.experimental.pallas import tpu as pltpu
 
     R, L = args.rows, args.lanes
+    assert R % R_BLK == 0
     interp = bool(args.cpu)
+
+    def _roll_lanes(x, shift):
+        xi = pltpu.bitcast(x, jnp.int32)          # (r/2, L): sublane pack
+        return pltpu.bitcast(pltpu.roll(xi, shift=shift, axis=1),
+                             jnp.bfloat16)
 
     def copy_body(x_ref, o_ref):
         o_ref[...] = x_ref[...]
-
-    def _roll_lanes(x, shift):
-        """bf16 lane roll via the i32-packed view: Mosaic's rotate is
-        "not implemented: Rotate with non-32-bit data" (measured on this
-        toolchain), but bitcast packs SUBLANE pairs — (R, L) bf16 ->
-        (R/2, L) i32 with lanes untouched — so an i32 lane roll by k IS a
-        bf16 lane roll by k."""
-        xi = pltpu.bitcast(x, jnp.int32)
-        return pltpu.bitcast(pltpu.roll(xi, shift=shift, axis=1),
-                             jnp.bfloat16)
 
     def roll32_body(x_ref, o_ref):
         o_ref[...] = _roll_lanes(x_ref[...], 32)
 
     def taps3_body(x_ref, o_ref):
-        """One dy-column of implicit-GEMM patch assembly: three
-        sublane-offset reads (dy taps) + a lane roll with edge mask (a dx
-        tap; in the lane-dense (W*C) layout the roll's wrapped lanes are
-        the image edge, where the conv's zero padding applies — masked,
-        no fix needed) + adds standing in for the MXU feed."""
-        a = x_ref[pl.ds(0, R), :]
-        b = x_ref[pl.ds(1, R), :]
-        c = x_ref[pl.ds(2, R), :]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+        rb = R_BLK
+        a = x_ref[pl.ds(0, rb - 2), :]
+        b = x_ref[pl.ds(1, rb - 2), :]
+        c = x_ref[pl.ds(2, rb - 2), :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rb - 2, L), 1)
         rolled = jnp.where(lane < 32, jnp.bfloat16(0.0),
                            _roll_lanes(b, 32))
-        o_ref[...] = a + rolled + c
+        o_ref[pl.ds(0, rb - 2), :] = a + rolled + c
+        o_ref[pl.ds(rb - 2, 2), :] = x_ref[pl.ds(rb - 2, 2), :]
 
-    def build(body, in_rows=None):
+    def build(body):
         return pl.pallas_call(
             body,
+            grid=(R // R_BLK,),
+            in_specs=[pl.BlockSpec((R_BLK, L), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((R_BLK, L), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((R, L), jnp.bfloat16),
             interpret=interp)
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal((R, L)),
                     jnp.bfloat16)
-    xh = jnp.asarray(np.random.default_rng(1).standard_normal((R + 2, L)),
-                     jnp.bfloat16)
 
     # numerics (both modes; cheap)
     got = np.asarray(build(roll32_body)(x), np.float32)
     want = np.roll(np.asarray(x, np.float32), 32, axis=1)
     np.testing.assert_array_equal(got, want)
-    xr = np.asarray(xh, np.float32)
+
+    got = np.asarray(build(taps3_body)(x), np.float32)
+    xr = np.asarray(x, np.float32)
     lane = np.arange(L)[None, :]
-    rolled = np.where(lane < 32, 0.0, np.roll(xr[1:R + 1], 32, axis=1))
-    want = np.asarray(
-        jnp.asarray(np.asarray(
-            jnp.asarray(xr[0:R], jnp.bfloat16)
-            + jnp.asarray(rolled, jnp.bfloat16), np.float32),
-            jnp.bfloat16) + jnp.asarray(xr[2:R + 2], jnp.bfloat16),
-        np.float32)
-    got = np.asarray(build(taps3_body)(xh), np.float32)
+    want = np.empty_like(xr)
+    for blk in range(R // R_BLK):
+        s = blk * R_BLK
+        xb = xr[s:s + R_BLK]
+        rolled = np.where(lane < 32, 0.0, np.roll(xb[1:R_BLK - 1], 32, 1))
+        acc = np.asarray(
+            jnp.asarray(np.asarray(
+                jnp.asarray(xb[0:R_BLK - 2], jnp.bfloat16)
+                + jnp.asarray(rolled, jnp.bfloat16), np.float32),
+                jnp.bfloat16)
+            + jnp.asarray(xb[2:R_BLK], jnp.bfloat16), np.float32)
+        want[s:s + R_BLK - 2] = acc
+        want[s + R_BLK - 2:s + R_BLK] = xb[R_BLK - 2:]
     np.testing.assert_array_equal(got, want)
     print("numerics: roll32 + taps3 exact "
           f"({'interpret' if interp else 'compiled'})", flush=True)
     if args.cpu:
         return
 
-    # timing: chained calls so the tunnel's fake synchronization cannot lie
-    def chained(body, n, arg):
+    # timing: chained calls so the tunnel's fake synchronization cannot
+    # lie — and fetch only a SCALAR (fetching the array itself would move
+    # 2 bytes/elem through the ~21 MB/s tunnel and drown the measurement)
+    def chained(body, n):
         fn = build(body)
-        pad = arg.shape[0] - R
 
         def run(x0):
-            def step(i, t):
-                y = fn(t)
-                if pad:
-                    y = jnp.concatenate([y, t[R:]], axis=0)
-                return y
-            return lax.fori_loop(0, n, step, x0)
+            return jnp.sum(lax.fori_loop(0, n, lambda i, t: fn(t), x0)
+                           .astype(jnp.float32))
 
         return jax.jit(run)
 
+    # XLA elementwise baseline (same chained harness): separates Pallas
+    # dispatch/grid overhead from real HBM limits
+    def xla_chained(n):
+        def run(x0):
+            return jnp.sum(
+                lax.fori_loop(0, n, lambda i, t: t + jnp.bfloat16(1), x0)
+                .astype(jnp.float32))
+        return jax.jit(run)
+
     bytes_moved = 2 * R * L * 2  # read + write bf16
-    for name, body, arg in (("copy", copy_body, x),
-                            ("roll32", roll32_body, x),
-                            ("taps3", taps3_body, xh)):
-        f1 = chained(body, args.chain, arg)
-        f2 = chained(body, 2 * args.chain, arg)
-        np.asarray(f1(arg))  # compile + warm
-        np.asarray(f2(arg))
-        t1 = time.perf_counter(); np.asarray(f1(arg))
-        t2 = time.perf_counter(); np.asarray(f2(arg))
+    fx1, fx2 = xla_chained(args.chain), xla_chained(2 * args.chain)
+    np.asarray(fx1(x)); np.asarray(fx2(x))
+    t1 = time.perf_counter(); np.asarray(fx1(x))
+    t2 = time.perf_counter(); np.asarray(fx2(x))
+    t3 = time.perf_counter()
+    per_call = ((t3 - t2) - (t2 - t1)) / args.chain
+    print(f"xla+1   {per_call * 1e6:9.1f} us/call  "
+          f"{bytes_moved / per_call / 1e9:8.1f} GB/s", flush=True)
+    for name, body in (("copy", copy_body), ("roll32", roll32_body),
+                       ("taps3", taps3_body)):
+        f1 = chained(body, args.chain)
+        f2 = chained(body, 2 * args.chain)
+        np.asarray(f1(x))  # compile + warm
+        np.asarray(f2(x))
+        t1 = time.perf_counter(); np.asarray(f1(x))
+        t2 = time.perf_counter(); np.asarray(f2(x))
         t3 = time.perf_counter()
         per_call = ((t3 - t2) - (t2 - t1)) / args.chain
         print(f"{name:7s} {per_call * 1e6:9.1f} us/call  "
