@@ -727,38 +727,44 @@ class InferenceEngine:
             y = y.swapaxes(1, 2)
         return self._maybe_pack(y) if _pack else y
 
-    def upscale_batches(self, batches) -> "Iterator[np.ndarray]":
+    def upscale_batches(self, batches,
+                        depth: int = 2) -> "Iterator[np.ndarray]":
         """Pipelined serving over an iterable of (N, h, w) batches: yields
         exactly ``map(self.upscale_batch, batches)`` (same values, same
         order, same compile/calibration/TTA state machine — the stateful
         int8 routing runs at dispatch time in batch order) but dispatches
-        batch i+1's upload + forward to the device BEFORE fetching batch
-        i's output, so the device→host fetch — a blocking RPC moving
-        4·N·(2h·2w) bytes per batch on the axon tunnel, typically the
-        long pole of volume serving — overlaps the next batch's compute
-        instead of serializing after it (depth-1 double buffering; one
-        extra output buffer resident on device). The reference's
-        inference loop has no analogue (scripts/infer.py:230-276 is
-        strictly sequential). Host-loop TTA ensembles (still-calibrating
-        int8) are inherently synchronous — those
-        batches flush the pipeline and run sequentially; a mid-stream
-        calibration freeze re-enables pipelining from the next batch.
+        up to ``depth`` batches' uploads + forwards to the device BEFORE
+        fetching batch i's output, so the device→host fetch — a blocking
+        RPC moving 4·N·(2h·2w) bytes per batch on the axon tunnel,
+        typically the long pole of volume serving — overlaps later
+        batches' uploads AND compute instead of serializing after them.
+        depth=1 is classic double buffering; depth=2 (default) also
+        overlaps the NEXT upload with the current fetch — measured 35%
+        faster whole-volume serving on the tunnel (the serving daemon's
+        z-chunked handler keeps the same 2-deep window, RESULTS §7e) at
+        the cost of ``depth`` extra output buffers resident on device.
+        The reference's inference loop has no analogue
+        (scripts/infer.py:230-276 is strictly sequential). Host-loop TTA
+        ensembles (still-calibrating int8) are inherently synchronous —
+        those batches flush the pipeline and run sequentially; a
+        mid-stream calibration freeze re-enables pipelining from the
+        next batch.
         """
-        pending = None
+        from collections import deque
+        depth = max(1, int(depth))
+        window: deque = deque()
         for b in batches:
             if self.tta and not self._tta_on_device():
-                if pending is not None:
-                    yield np.asarray(pending)
-                    pending = None
+                while window:
+                    yield np.asarray(window.popleft())
                 yield self.upscale_batch(b)
                 continue
-            cur = (self._tta_dispatch(b) if self.tta
-                   else self._dispatch_once(b))
-            if pending is not None:
-                yield np.asarray(pending)
-            pending = cur
-        if pending is not None:
-            yield np.asarray(pending)
+            window.append(self._tta_dispatch(b) if self.tta
+                          else self._dispatch_once(b))
+            if len(window) > depth:
+                yield np.asarray(window.popleft())
+        while window:
+            yield np.asarray(window.popleft())
 
     def upscale_image(self, image01: np.ndarray) -> np.ndarray:
         return self.upscale_batch(image01[None])[0]
