@@ -62,7 +62,7 @@ def unet_flops_per_slice(hw=256, f=32):
 
 
 def bench_forward(batch_sizes=(112, 120, 128), hw=256, model_type="unet",
-                  quant=False):
+                  quant=False, base_filters=32, num_blocks=8):
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +75,9 @@ def bench_forward(batch_sizes=(112, 120, 128), hw=256, model_type="unet",
     n_chips = mesh.devices.size
     rsh, dsh = replicated_sharding(mesh), data_sharding(mesh)
 
-    model = build_model(ModelConfig(model_type=model_type, base_filters=32),
+    model = build_model(ModelConfig(model_type=model_type,
+                                    base_filters=base_filters,
+                                    num_blocks=num_blocks),
                         dtype=jnp.bfloat16)
     params = jax.jit(lambda r: model.init(
         r, jnp.zeros((1, 64, 64, 1)))["params"])(jax.random.key(0))

@@ -29,6 +29,9 @@ def parse_args():
     parser.add_argument('--model_type', type=str, choices=['unet', 'unet_tpu', 'edsr', 'simple'],
                         default='unet')
     parser.add_argument('--base_filters', type=int, default=32)
+    parser.add_argument('--num_blocks', type=int, default=8,
+                        help='edsr only: residual trunk depth (checkpoints '
+                             'carry it, so serving needs no flag)')
     parser.add_argument('--batch_size', type=int, default=8)
     parser.add_argument('--epochs', type=int, default=100)
     parser.add_argument('--learning_rate', type=float, default=1e-4)
@@ -190,6 +193,7 @@ def main():
         low_res_dir=args.low_res_dir,
         model=ModelConfig(model_type=args.model_type,
                           base_filters=args.base_filters,
+                          num_blocks=args.num_blocks,
                           initial_alpha=args.initial_alpha),
         loss=LossConfig(ssim_weight=args.ssim_weight,
                         perceptual_weight=args.perceptual_weight,
