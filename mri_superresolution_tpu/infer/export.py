@@ -483,20 +483,21 @@ class ServingArtifact:
                 return self._fallbacks[key]
         return self._programs[key]
 
-    def upscale_batches(self, batches, pad: bool = False):
-        """Pipelined serving: yields each batch's output, dispatching
-        batch i+1 before fetching batch i (the engine's
-        ``upscale_batches`` deferred-fetch pattern) so device compute
-        overlaps the device→host transfer."""
-        pending = None
+    def upscale_batches(self, batches, pad: bool = False, depth: int = 2):
+        """Pipelined serving: yields each batch's output, dispatching up
+        to ``depth`` batches ahead of the fetch (the engine's
+        ``upscale_batches`` window) so device compute AND the next upload
+        overlap the device→host transfer."""
+        from collections import deque
+        depth = max(1, int(depth))
+        window = deque()
         for batch in batches:
-            nxt = self._dispatch(batch, pad)
-            if pending is not None:
-                y, (oh, ow) = pending
+            window.append(self._dispatch(batch, pad))
+            if len(window) > depth:
+                y, (oh, ow) = window.popleft()
                 yield np.asarray(y)[:, :oh, :ow, 0]
-            pending = nxt
-        if pending is not None:
-            y, (oh, ow) = pending
+        while window:
+            y, (oh, ow) = window.popleft()
             yield np.asarray(y)[:, :oh, :ow, 0]
 
     def upscale_image(self, image01: np.ndarray) -> np.ndarray:

@@ -29,6 +29,7 @@ DISCRETE = {
     "perceptual_loss_type": ["l1", "l2", "mse"],
     "vgg_layer_idx": [8, 17, 26, 35],  # relu2_2/3_4/4_4/5_4 in VGG19
     "model_type": ["unet", "unet_tpu", "edsr", "simple"],
+    "out_dtype": ["float32", "int16", "uint8"],
 }
 
 DEFAULT_PARAMS = {
@@ -87,6 +88,9 @@ DEFAULT_PARAMS = {
     "max_batch": 64,
     "batch_window_ms": 5.0,
     "artifact_file": "",
+    # zero-copy transfer path (round 5)
+    "serve_raw": False,
+    "out_dtype": "float32",
 }
 
 MENUS = {
@@ -112,7 +116,8 @@ MENUS = {
     "serve": [
         "checkpoint_dir", "checkpoint_file", "artifact_file", "model_type",
         "base_filters", "serve_host", "serve_port", "max_batch",
-        "batch_window_ms", "spatial_shards", "quant_int8", "tta", "cpu",
+        "batch_window_ms", "spatial_shards", "quant_int8", "tta",
+        "serve_raw", "out_dtype", "cpu",
     ],
 }
 
@@ -243,6 +248,10 @@ def build_command(menu, p):
             cmd += ["--quant", "int8"]
         if p["tta"]:
             cmd.append("--tta")
+        if p["serve_raw"]:
+            cmd.append("--serve_raw")
+        if p["out_dtype"] != "float32":
+            cmd += ["--out_dtype", p["out_dtype"]]
     else:
         raise ValueError(menu)
     if p["cpu"]:
