@@ -232,6 +232,15 @@ class InferenceEngine:
         shape-specialized."""
         self._quant_scales = scales
         if self.spatial_shards > 1:
+            # Validate the scales NOW (a truncated/mismatched sidecar must
+            # fail at construction, like the dense path) and precompute
+            # the folded int8 weights ONCE — every per-shape spatial
+            # forward and TTA ensemble reuses them instead of re-fetching
+            # the param tree and re-quantizing per bucket shape.
+            from mri_superresolution_tpu.models import quant_forward
+            self._host_params = jax.device_get(self.params)
+            self._spatial_qweights = quant_forward.int8_qweights(
+                self._host_params, scales, self.model_cfg.model_type)
             return
         from mri_superresolution_tpu.models import quant_forward
         fn = quant_forward.build_int8_forward(
@@ -249,13 +258,14 @@ class InferenceEngine:
         """Unjitted row-sharded frozen-scale int8 forward for one bucket
         shape (parallel/spatial.build_spatial_int8_forward_raw) — the
         engine's int8 x spatial serving path (VERDICT r4 item 3); the
-        on-device TTA ensemble wraps the same raw body."""
+        on-device TTA ensemble wraps the same raw body. The folded int8
+        weights were validated + computed once at freeze (_build_int8)."""
         from mri_superresolution_tpu.parallel.spatial import (
             build_spatial_int8_forward_raw)
         raw = build_spatial_int8_forward_raw(
-            self.mesh, (bh, bw), jax.device_get(self.params),
+            self.mesh, (bh, bw), self._host_params,
             self._quant_scales, self.model_cfg.model_type,
-            dtype=self._dtype)
+            dtype=self._dtype, qweights=self._spatial_qweights)
         return lambda p, a: jnp.clip(raw(p, a), 0.0, 1.0)
 
     def _spatial_int8_fwd(self, bh: int, bw: int):
@@ -295,25 +305,22 @@ class InferenceEngine:
 
     def _maybe_pack(self, y) -> jnp.ndarray:
         """Device-side output packing (fp32 [0,1] -> uint8/int16) so the
-        fetch moves 1-2 bytes/pixel; identity at the default float32."""
+        fetch moves 1-2 bytes/pixel; identity at the default float32.
+        ops/functional.pack_unit is the single packing source (shared
+        with artifacts and the daemon's scl_slope)."""
+        from mri_superresolution_tpu.ops.functional import pack_unit
         if self.out_dtype == np.dtype(np.float32):
             return y
         if self._pack_jit is None:
-            scale = 255.0 if self.out_dtype == np.dtype(np.uint8) else 32767.0
-            dt = jnp.uint8 if self.out_dtype == np.dtype(np.uint8) \
-                else jnp.int16
             self._pack_jit = jax.jit(
-                lambda t: jnp.round(
-                    jnp.clip(t, 0.0, 1.0) * scale).astype(dt))
+                lambda t: pack_unit(t, self.out_dtype))
         return self._pack_jit(y)
 
     def _pack_host(self, y: np.ndarray) -> np.ndarray:
         """Host-side twin of :meth:`_maybe_pack` (host-loop TTA packs the
         ensemble MEAN, matching the on-device ensemble's pack-after-mean)."""
-        if self.out_dtype == np.dtype(np.float32):
-            return y
-        scale = 255.0 if self.out_dtype == np.dtype(np.uint8) else 32767.0
-        return np.round(np.clip(y, 0.0, 1.0) * scale).astype(self.out_dtype)
+        from mri_superresolution_tpu.ops.functional import pack_unit_np
+        return pack_unit_np(y, self.out_dtype)
 
     def _normalized_input(self, batch: np.ndarray, nb: int,
                           bh: int, bw: int) -> jnp.ndarray:
@@ -405,17 +412,16 @@ class InferenceEngine:
             if self.spatial_shards > 1:
                 # row-sharded calib forward, shape-specialized per bucket
                 calib = self._spatial_calib_fwd(x.shape[1], x.shape[2])
-            elif self._calib_fwd is None:
-                raw = quant_forward.build_calib_forward(
-                    self.model_cfg.model_type, dtype=self._dtype,
-                    jit_fn=False)
-                # same sharding contract as the serving forwards: batch
-                # data-sharded over the mesh, params replicated
-                self._calib_fwd = jax.jit(
-                    raw, in_shardings=(self._rsh, self._dsh),
-                    out_shardings=(self._dsh, None))
-                calib = self._calib_fwd
             else:
+                if self._calib_fwd is None:
+                    raw = quant_forward.build_calib_forward(
+                        self.model_cfg.model_type, dtype=self._dtype,
+                        jit_fn=False)
+                    # same sharding contract as the serving forwards:
+                    # batch data-sharded, params replicated
+                    self._calib_fwd = jax.jit(
+                        raw, in_shardings=(self._rsh, self._dsh),
+                        out_shardings=(self._dsh, None))
                 calib = self._calib_fwd
             first = self._calib_seen == 0
             y, amax = calib(self.params, jnp.asarray(x))

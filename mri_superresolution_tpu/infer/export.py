@@ -172,13 +172,12 @@ def export_artifact(path: str, params, model_cfg,
     else:
         raw = plain
 
+    from mri_superresolution_tpu.ops.functional import pack_unit
+
     def pack(y):
-        """Device-side output packing (engine._maybe_pack semantics)."""
-        if out_dt == np.dtype(np.float32):
-            return y
-        scale = 255.0 if out_dt == np.dtype(np.uint8) else 32767.0
-        dt = jnp.uint8 if out_dt == np.dtype(np.uint8) else jnp.int16
-        return jnp.round(jnp.clip(y, 0.0, 1.0) * scale).astype(dt)
+        """Device-side output packing (the engine's single source,
+        ops/functional.pack_unit)."""
+        return pack_unit(y, out_dt)
 
     blobs = []
     for h, w in shapes:
@@ -514,6 +513,14 @@ class ServingArtifact:
                 "serve_raw artifacts bake the raw transposed volume "
                 "contract; the PNG single-image pipeline needs a standard "
                 "artifact (export without --serve_raw)")
+        if self.out_dtype != np.dtype(np.float32):
+            raise ValueError(
+                f"this artifact packs outputs as {self.out_dtype} "
+                "(integer codes, not [0,1] floats); the PNG single-image "
+                "pipeline (histogram matching, metrics, *255 write) needs "
+                "a float32 artifact — export without --out_dtype, or "
+                "serve volumes (infer_volume.py/daemon decode the codes "
+                "via scl_slope)")
         from mri_superresolution_tpu.infer.engine import InferenceEngine
         cls = type(self)
         if not hasattr(cls, "calculate_metrics"):

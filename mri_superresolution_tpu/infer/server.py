@@ -142,6 +142,30 @@ class DynamicBatcher:
         with self._cv:
             return len(self._queue)
 
+    def snapshot(self):
+        """(stats copy, batch-size-histogram copy, queue depth) under the
+        lock — the worker mutates these dicts, so /healthz and /metrics must
+        not iterate them live."""
+        with self._cv:
+            return dict(self.stats), dict(self.batch_size_hist), \
+                len(self._queue)
+
+    def submit_blocking(self, image01: np.ndarray,
+                        deadline: Optional[float] = None) -> _Request:
+        """:meth:`submit`, but on a full queue WAIT for capacity instead
+        of raising — for cooperating internal producers (the volume
+        endpoint) that have already committed to a response and must
+        apply backpressure, not shed. Raises TimeoutError past
+        ``deadline`` (a time.monotonic() timestamp)."""
+        while True:
+            try:
+                return self.submit(image01)
+            except QueueFullError:
+                if deadline is not None and time.monotonic() > deadline:
+                    raise TimeoutError(
+                        "queue stayed full past the request deadline")
+                time.sleep(0.02)
+
     def submit(self, image01: np.ndarray) -> _Request:
         """Enqueue one (H, W) image without blocking; pair with
         :meth:`wait`. Lets a caller holding N slices enqueue all of
@@ -249,13 +273,14 @@ class DynamicBatcher:
                     for r in group:
                         r.error = e
                 finally:
-                    self.stats["requests"] += len(group)
-                    self.stats["batches"] += 1
-                    self.batch_size_hist[len(group)] += 1
-                    if len(group) > 1:
-                        self.stats["batched_requests"] += len(group)
-                    self.stats["max_batch_seen"] = max(
-                        self.stats["max_batch_seen"], len(group))
+                    with self._cv:     # /metrics snapshots under this lock
+                        self.stats["requests"] += len(group)
+                        self.stats["batches"] += 1
+                        self.batch_size_hist[len(group)] += 1
+                        if len(group) > 1:
+                            self.stats["batched_requests"] += len(group)
+                        self.stats["max_batch_seen"] = max(
+                            self.stats["max_batch_seen"], len(group))
                     for r in group:
                         r.event.set()
 
@@ -376,9 +401,9 @@ def _serve_volume_streaming(batcher: DynamicBatcher, body: bytes, handler,
                          "(a negative slope flips intensity order, which "
                          "the device-side normalize does not absorb)")
     transpose = bool(getattr(batcher._backend, "transpose_io", False))
+    from mri_superresolution_tpu.ops.functional import unit_slope
     out_dtype = np.dtype(getattr(batcher._backend, "out_dtype", np.float32))
-    out_slope = {np.dtype(np.uint8): 1.0 / 255.0,
-                 np.dtype(np.int16): 1.0 / 32767.0}.get(out_dtype, 1.0)
+    out_slope = unit_slope(out_dtype)
 
     zooms = list(hdr.zooms) + [1.0] * 3
     out_head = nifti.encode_header(
@@ -422,11 +447,15 @@ def _serve_volume_streaming(batcher: DynamicBatcher, body: bytes, handler,
 
     read_chunk.left = n
 
+    deadline = (time.monotonic() + timeout) if timeout else None
+
     def submit_chunk(arr):
+        # the response is already committed: block for queue capacity
+        # (bounded by the request deadline) instead of shedding mid-stream
         if raw:
             if not transpose:      # device normalize, host (h, w) layout
                 arr = np.ascontiguousarray(arr.transpose(0, 2, 1))
-            return [batcher.submit(s) for s in arr]
+            return [batcher.submit_blocking(s, deadline) for s in arr]
         # legacy host path: scl scaling + per-slice percentile + minmax
         # (byte-for-byte scripts/infer_volume.py semantics)
         data = arr.astype(np.float64)
@@ -440,7 +469,7 @@ def _serve_volume_streaming(batcher: DynamicBatcher, body: bytes, handler,
         span = hi - lo
         stack = np.where(span > 0,
                          (stack - lo) / np.where(span > 0, span, 1), stack)
-        return [batcher.submit(s) for s in stack]
+        return [batcher.submit_blocking(s, deadline) for s in stack]
 
     def emit_chunk(reqs):
         ys = [batcher.wait(r, timeout) for r in reqs]
@@ -538,14 +567,16 @@ def serve_http(backend, host: str = "127.0.0.1", port: int = 8476,
 
         def do_GET(self):
             if self.path == "/healthz":
+                stats, _, _ = batcher.snapshot()
                 return self._json(200, {"status": "ok", "backend": describe,
-                                        "stats": dict(batcher.stats)})
+                                        "stats": stats})
             if self.path == "/metrics":
+                stats, hist, depth = batcher.snapshot()
                 payload = {
-                    "stats": dict(batcher.stats),
-                    "queue_depth": batcher.queue_depth,
-                    "batch_size_hist": {str(k): v for k, v in sorted(
-                        batcher.batch_size_hist.items())},
+                    "stats": stats,
+                    "queue_depth": depth,
+                    "batch_size_hist": {str(k): v
+                                        for k, v in sorted(hist.items())},
                     "limits": limits,
                 }
                 q = getattr(backend, "_quant_batches", None)

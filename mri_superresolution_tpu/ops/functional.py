@@ -55,3 +55,44 @@ def group_norm_leaky_ref(x, p, n_groups: int = 8, negative_slope: float = 0.2):
     """group_norm_ref followed by LeakyReLU, taking a {scale, bias} subtree."""
     return jax.nn.leaky_relu(
         group_norm_ref(x, p["scale"], p["bias"], n_groups), negative_slope)
+
+
+# ---------------------------------------------------------- output packing
+
+# [0,1] output -> integer-coded packing, and the NIfTI scl_slope that
+# decodes it back. SINGLE SOURCE for the engine's device/host packing,
+# the AOT artifact's baked pack program, and the daemon/CLI slope maps —
+# a drift between any two of these would silently decode volumes at the
+# wrong intensity scale.
+PACK_SCALES = {"uint8": 255.0, "int16": 32767.0}
+
+
+def pack_scale(dtype) -> float:
+    """Packing scale for a [0,1]-coded output dtype (1.0 = no packing)."""
+    import numpy as np
+    return PACK_SCALES.get(np.dtype(dtype).name, 1.0)
+
+
+def unit_slope(dtype) -> float:
+    """The scl_slope that decodes a packed volume back to [0,1]."""
+    return 1.0 / pack_scale(dtype)
+
+
+def pack_unit(y: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Device-side packing: round(clip(y, 0, 1) * scale) as ``dtype``;
+    identity for float32."""
+    import numpy as np
+    dt = np.dtype(dtype)
+    if dt.name not in PACK_SCALES:
+        return y
+    return jnp.round(jnp.clip(y, 0.0, 1.0)
+                     * PACK_SCALES[dt.name]).astype(dt.name)
+
+
+def pack_unit_np(y, dtype):
+    """Host twin of :func:`pack_unit` (numpy)."""
+    import numpy as np
+    dt = np.dtype(dtype)
+    if dt.name not in PACK_SCALES:
+        return y
+    return np.round(np.clip(y, 0.0, 1.0) * PACK_SCALES[dt.name]).astype(dt)

@@ -92,6 +92,13 @@ def _serve_one(args, engine, art, logger, input_path, output_path) -> int:
                     "transform the zero margin); re-export with this "
                     f"exact shape (exported: {art.shapes})")
                 return 1
+            if getattr(art, "spatial", None):
+                logger.error(
+                    f"spatial artifact has no program for {h}x{w} and "
+                    "cannot serve it by padding (H must stay % "
+                    f"{8 * art.spatial['n_space']}); re-export with this "
+                    f"exact shape (exported: {art.shapes})")
+                return 1
             logger.warning(
                 f"No exact program for {h}x{w}; slices will be zero-padded "
                 "to the smallest fitting exported shape (same GroupNorm-"
@@ -153,8 +160,8 @@ def _serve_one(args, engine, art, logger, input_path, output_path) -> int:
     zooms = list(hdr.zooms) + [1.0] * 3
     out_zooms = (zooms[0] / 2.0, zooms[1] / 2.0, zooms[2])
     # integer-coded outputs carry the slope that decodes back to [0,1]
-    slope = {np.dtype(np.uint8): 1.0 / 255.0,
-             np.dtype(np.int16): 1.0 / 32767.0}.get(sr_vol.dtype, 1.0)
+    from mri_superresolution_tpu.ops.functional import unit_slope
+    slope = unit_slope(sr_vol.dtype)
     if sr_vol.dtype == np.float64:  # float32 stays a no-copy view
         sr_vol = sr_vol.astype(np.float32)
     nifti.save(output_path, sr_vol, zooms=out_zooms, scl_slope=slope)

@@ -664,3 +664,22 @@ def test_tta_composes_with_spatial_int8(tmp_path):
     assert eng._quant_batches["int8"] == 1
     yf = eng.upscale_batch(np.ascontiguousarray(rich[:, ::-1]))
     _assert_int8_close(yf[:, ::-1], y)
+
+
+def test_engine_spatial_int8_bad_sidecar_fails_at_init(tmp_path):
+    """A truncated/mismatched sidecar must fail at CONSTRUCTION on the
+    spatial path too (review r5 finding: it used to surface only at the
+    first served batch, after clients connected)."""
+    from mri_superresolution_tpu.infer.engine import InferenceEngine
+    from mri_superresolution_tpu.models import quant_forward as qf
+
+    cfg, params = _quant_model_and_params("unet")
+    scales = qf.calibrate(params, [np.zeros((1, 32, 32, 1), np.float32)],
+                          "unet", dtype=jnp.float32)
+    scales.pop("inc.conv1")                      # truncate
+    sidecar = str(tmp_path / "bad.calib.json")
+    qf.save_scales(sidecar, scales, "unet")
+    with pytest.raises(ValueError, match="missing for sites"):
+        InferenceEngine(cfg, params, bf16=False, num_devices=8,
+                        spatial_shards=4, quant="int8",
+                        quant_calib_path=sidecar)
