@@ -157,20 +157,25 @@ class DynamicBatcher:
         endpoint) that have already committed to a response and must
         apply backpressure, not shed. Raises TimeoutError past
         ``deadline`` (a time.monotonic() timestamp)."""
+        first = True
         while True:
             try:
-                return self.submit(image01)
+                return self.submit(image01, _count_reject=first)
             except QueueFullError:
+                first = False
                 if deadline is not None and time.monotonic() > deadline:
                     raise TimeoutError(
                         "queue stayed full past the request deadline")
                 time.sleep(0.02)
 
-    def submit(self, image01: np.ndarray) -> _Request:
+    def submit(self, image01: np.ndarray,
+               _count_reject: bool = True) -> _Request:
         """Enqueue one (H, W) image without blocking; pair with
         :meth:`wait`. Lets a caller holding N slices enqueue all of
         them so they coalesce into one device batch. Raises
-        :class:`QueueFullError` when the bounded queue is full."""
+        :class:`QueueFullError` when the bounded queue is full
+        (``_count_reject=False`` suppresses the rejected-counter bump —
+        submit_blocking's retry loop is backpressure, not shedding)."""
         if image01.ndim != 2:
             raise ValueError(f"expected a 2-D image, got {image01.shape}")
         if self._raw_input:
@@ -184,7 +189,8 @@ class DynamicBatcher:
             if self._closed:
                 raise RuntimeError("batcher is closed")
             if self.max_pending and len(self._queue) >= self.max_pending:
-                self.stats["rejected"] += 1
+                if _count_reject:
+                    self.stats["rejected"] += 1
                 raise QueueFullError(
                     f"pending queue full ({self.max_pending} requests)")
             self._queue.append(req)
