@@ -254,3 +254,27 @@ def test_preprocess_slice_orchestrator(rng):
     # equalize branch runs
     out4 = preprocess_slice(x, equalize=True)
     assert out4.shape == x.shape
+
+
+def test_pack_unit_round_trip_and_slope():
+    """ops/functional packing helpers: single source for engine/artifact/
+    daemon packing + scl_slope (review r5 dedup). Device and host twins
+    agree bit-for-bit; slope decodes codes back into [0,1]."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mri_superresolution_tpu.ops.functional import (pack_unit,
+                                                        pack_unit_np,
+                                                        unit_slope)
+
+    y = np.linspace(-0.2, 1.2, 97, dtype=np.float32).reshape(1, 97)
+    for dt in ("uint8", "int16"):
+        dev = np.asarray(pack_unit(jnp.asarray(y), dt))
+        host = pack_unit_np(y, dt)
+        np.testing.assert_array_equal(dev, host)
+        assert dev.dtype == np.dtype(dt)
+        decoded = dev.astype(np.float64) * unit_slope(dt)
+        np.testing.assert_allclose(decoded, np.clip(y, 0, 1),
+                                   atol=unit_slope(dt) * 0.5 + 1e-12)
+    # float32 is the identity (and slope 1.0)
+    assert pack_unit_np(y, "float32") is y
+    assert unit_slope("float32") == 1.0
