@@ -411,6 +411,17 @@ def _serve_volume_streaming(batcher: DynamicBatcher, body: bytes, handler,
     out_dtype = np.dtype(getattr(batcher._backend, "out_dtype", np.float32))
     out_slope = unit_slope(out_dtype)
 
+    if not cur.gz:
+        # plain bodies: the voxel byte count is known up front — reject
+        # truncated uploads with a clean 400 BEFORE committing the 200
+        # (gzip bodies can only discover truncation while decoding; the
+        # gz response path buffers, so those still fail clean)
+        need = off + h * w * n * in_dtype.itemsize
+        if len(body) < need:
+            raise ValueError(
+                f"truncated NIfTI body: {len(body)} bytes < {need} "
+                f"needed for {h}x{w}x{n} {in_dtype.name}")
+
     zooms = list(hdr.zooms) + [1.0] * 3
     out_head = nifti.encode_header(
         (2 * h, 2 * w, n), out_dtype,

@@ -633,3 +633,55 @@ def test_volume_endpoint_streams_bounded_memory():
         server.server_close()
         server.batcher.close()
         thread.join(10)
+
+
+def test_volume_endpoint_negative_paths(raw_engine, rng):
+    """Streaming volume endpoint edge cases: corrupt bytes, truncated
+    gzip, negative scl_slope on the raw path, and 4D inputs (timepoint 0
+    served) — errors are clean 400s BEFORE any bytes stream."""
+    import gzip as _gzip
+
+    from mri_superresolution_tpu import nifti
+
+    server = serve_http(raw_engine, host="127.0.0.1", port=0, max_batch=4)
+    thread, base = _start(server)
+    try:
+        # corrupt body
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, "/upscale_volume", b"not a nifti at all")
+        assert ei.value.code == 400
+
+        # truncated voxel data (valid header, half the bytes)
+        vol = (rng.random((16, 16, 4)) * 900).astype(np.int16)
+        blob = nifti.save_bytes(vol)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, "/upscale_volume", blob[:len(blob) // 2])
+        assert ei.value.code == 400
+
+        # truncated GZIP stream decodes short -> clean 400 too
+        gz = _gzip.compress(blob)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, "/upscale_volume", gz[:len(gz) // 2])
+        assert ei.value.code == 400
+
+        # negative scl_slope is refused on the raw path (flips intensity
+        # order; the device-side normalize cannot absorb it)
+        neg = nifti.save_bytes(vol, scl_slope=-1.0)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, "/upscale_volume", neg)
+        assert ei.value.code == 400
+
+        # 4D volume: timepoint 0 served, later timepoints ignored
+        vol4 = (rng.random((16, 16, 4, 3)) * 900).astype(np.int16)
+        out = _post(base, "/upscale_volume", nifti.save_bytes(vol4),
+                    timeout=300)
+        sr, _ = nifti.load_bytes(out, raw=True)
+        assert sr.shape == (32, 32, 4)
+        want = raw_engine.upscale_batch(
+            np.ascontiguousarray(vol4[:, :, :, 0].T))
+        np.testing.assert_array_equal(sr, want.T)
+    finally:
+        server.shutdown()
+        server.server_close()
+        server.batcher.close()
+        thread.join(10)
