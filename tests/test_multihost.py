@@ -92,18 +92,42 @@ def workspace(tmp_path_factory):
     return ws
 
 
+def _run_pair(make_cmds, workspace, timeout=1200, env=None):
+    """Launch a coordinated 2-process pair; retry ONCE if (and only if)
+    the gloo rendezvous timed out. XLA's gloo KV-store exchange has a
+    hard-coded ~30 s GetKeyValue deadline; on this 1-core host a heavily
+    loaded machine can skew the two ranks' startup past it (measured
+    flake in the full suite running alongside TPU work). A retry on that
+    exact signature keeps real failures loud while absorbing the skew.
+    ``make_cmds`` is called per attempt (fresh port each time)."""
+    for attempt in (0, 1):
+        procs = [subprocess.Popen(cmd, cwd=str(workspace),
+                                  env=env or _env(2), text=True,
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.PIPE)
+                 for cmd in make_cmds()]
+        outs = [p.communicate(timeout=timeout) for p in procs]
+        rendezvous_flake = any(
+            p.returncode != 0 and ("DEADLINE_EXCEEDED" in err
+                                   or "connected peer ranks" in err)
+            for p, (_, err) in zip(procs, outs))
+        if rendezvous_flake and attempt == 0:
+            continue
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, (out[-1500:], err[-2500:])
+        return outs
+
+
 def test_multihost_train_matches_single_process(workspace):
-    port = _free_port()
-    mh_flags = ["--multihost", "--coordinator", f"127.0.0.1:{port}",
-                "--num_processes", "2"]
-    procs = [subprocess.Popen(
-        _train_cmd(workspace, "./ckpt_mh", "./logs_mh",
-                   mh_flags + ["--process_id", str(pid)]),
-        cwd=str(workspace), env=_env(2), text=True,
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE) for pid in (0, 1)]
-    outs = [p.communicate(timeout=900) for p in procs]
-    for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, (out[-1500:], err[-2500:])
+    def cmds():
+        port = _free_port()
+        mh = ["--multihost", "--coordinator", f"127.0.0.1:{port}",
+              "--num_processes", "2"]
+        return [_train_cmd(workspace, "./ckpt_mh", "./logs_mh",
+                           mh + ["--process_id", str(pid)])
+                for pid in (0, 1)]
+
+    outs = _run_pair(cmds, workspace, timeout=900)
 
     # rank 0 owns the stdout protocol; rank 1 is quiet on stdout
     lines0 = [json.loads(l) for l in outs[0][0].splitlines()
@@ -189,13 +213,8 @@ def test_multihost_qat_ema_training(workspace):
            "--checkpoint_dir", "./ckpt_mhq", "--log_dir", "./logs_mhq",
            "--cpu", "--multihost", "--coordinator", f"127.0.0.1:{port}",
            "--num_processes", "2"]
-    procs = [subprocess.Popen(cmd + ["--process_id", str(pid)],
-                              cwd=str(workspace), env=_env(2), text=True,
-                              stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-             for pid in (0, 1)]
-    outs = [p.communicate(timeout=1200) for p in procs]
-    for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, (out[-1500:], err[-2500:])
+    outs = _run_pair(lambda: [cmd + ["--process_id", str(pid)]
+                              for pid in (0, 1)], workspace)
     assert "QAT enabled" in outs[0][0]
     ckpt = workspace / "ckpt_mhq" / "final_model_unet.ckpt"
     sidecar = workspace / "ckpt_mhq" / "final_model_unet.calib.json"
@@ -231,17 +250,15 @@ def test_multihost_spatial_training(workspace):
     processes over a (1 data x 4 space) global mesh must reproduce the
     single-process 4-device spatial run (same data/seed) to collective
     reduce-order noise."""
-    port = _free_port()
-    mh_flags = ["--multihost", "--coordinator", f"127.0.0.1:{port}",
-                "--num_processes", "2"]
-    procs = [subprocess.Popen(
-        _spatial_cmd("./ckpt_mhs", "./logs_mhs",
-                     mh_flags + ["--process_id", str(pid)]),
-        cwd=str(workspace), env=_env(2), text=True,
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE) for pid in (0, 1)]
-    outs = [p.communicate(timeout=1200) for p in procs]
-    for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, (out[-1500:], err[-2500:])
+    def cmds():
+        port = _free_port()
+        mh = ["--multihost", "--coordinator", f"127.0.0.1:{port}",
+              "--num_processes", "2"]
+        return [_spatial_cmd("./ckpt_mhs", "./logs_mhs",
+                             mh + ["--process_id", str(pid)])
+                for pid in (0, 1)]
+
+    outs = _run_pair(cmds, workspace)
 
     lines0 = _json_lines(outs[0][0])
     assert "Multi-host spatially-sharded training" in outs[0][0]
