@@ -419,3 +419,23 @@ def test_artifact_spatial_validation(artifact, spatial_artifact, rng):
     with pytest.raises(ValueError, match="no program"):
         art.upscale_batch(rng.random((1, 64, 64), dtype=np.float32),
                           pad=True)
+
+
+def test_spatial_artifact_through_daemon_batcher(artifact, spatial_artifact,
+                                                 rng):
+    """The serving daemon's batcher composes with a row-sharded artifact
+    backend: slices coalesce, the loader's mesh serves them, outputs
+    match the direct artifact call."""
+    from mri_superresolution_tpu.infer.server import DynamicBatcher
+
+    art = load_artifact(spatial_artifact)
+    b = DynamicBatcher(art, max_batch=4, batch_window_ms=100.0)
+    try:
+        batch = rng.random((3, 32, 32), dtype=np.float32)
+        reqs = [b.submit(s) for s in batch]
+        outs = np.stack([b.wait(r, timeout=300) for r in reqs])
+        want = art.upscale_batch(batch)
+        np.testing.assert_array_equal(outs, want)
+        assert b.stats["max_batch_seen"] == 3
+    finally:
+        b.close()
